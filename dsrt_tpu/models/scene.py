@@ -1,0 +1,367 @@
+"""Scene schema (device SoA pytree) and the host scene compiler.
+
+TPU-native equivalent of inc/gpu_scene.h (POD schema) +
+src/gpu_scene_builder.cpp (flattener): the scene graph is compiled ONCE on
+the host into structure-of-arrays jnp buffers, then reused for every frame
+(the reference rebuilds and re-uploads everything per frame,
+src/main.cpp:404-410 — SURVEY.md §3B flags this as waste to fix).
+
+Array-count metadata lives in pytree aux (static under jit), so one
+compiled render executable serves all frames of a scene.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dsrt_tpu.models.materials import (DIFFUSE_LIGHT, Material,
+                                       DEFAULT_MATERIAL)
+from dsrt_tpu.models.bvh_build import BVH, build_bvh
+from dsrt_tpu.models.textures import TextureRegistry, make_perlin_tables
+
+# Medium boundary kinds
+MED_SPHERE = 0
+MED_BOX = 1
+
+
+def _f32(a):
+    return jnp.asarray(np.asarray(a, np.float32))
+
+
+def _i32(a):
+    return jnp.asarray(np.asarray(a, np.int32))
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=[
+             "tri_v0", "tri_v1", "tri_v2", "tri_n0", "tri_n1", "tri_n2",
+             "tri_uv0", "tri_uv1", "tri_uv2", "tri_mat", "tri_tex",
+             "bvh_min", "bvh_max", "bvh_left", "bvh_right",
+             "bvh_tri_offset", "bvh_tri_count", "tri_indices",
+             "sph_center", "sph_radius", "sph_mat", "light_idx",
+             "mat_type", "mat_albedo", "mat_emissive", "mat_fuzz",
+             "mat_ref_idx", "mat_ptex_kind", "mat_ptex_scale",
+             "mat_ptex_color2",
+             "tex_pool", "tex_w", "tex_h", "tex_off",
+             "perlin_vec", "perlin_px", "perlin_py", "perlin_pz",
+             "med_kind", "med_center", "med_radius", "med_min", "med_max",
+             "med_neg_inv_density", "med_albedo",
+             "sun_dir", "sun_radiance",
+         ],
+         meta_fields=[
+             "n_tris", "n_spheres", "n_nodes", "n_lights", "n_media",
+             "max_leaf", "n_textures", "sun_enabled", "has_image_tex",
+             "has_ptex", "seed",
+         ])
+@dataclasses.dataclass(frozen=True)
+class Scene:
+    """Flattened device scene.  Fields mirror GPUScene
+    (inc/gpu_scene.h:116-173) reorganized as SoA columns."""
+
+    # triangles (AoS GPUTriangle inc/gpu_scene.h:57-72 -> columns)
+    tri_v0: jnp.ndarray
+    tri_v1: jnp.ndarray
+    tri_v2: jnp.ndarray
+    tri_n0: jnp.ndarray
+    tri_n1: jnp.ndarray
+    tri_n2: jnp.ndarray
+    tri_uv0: jnp.ndarray
+    tri_uv1: jnp.ndarray
+    tri_uv2: jnp.ndarray
+    tri_mat: jnp.ndarray
+    tri_tex: jnp.ndarray
+    # BVH (inc/gpu_scene.h:77-85)
+    bvh_min: jnp.ndarray
+    bvh_max: jnp.ndarray
+    bvh_left: jnp.ndarray
+    bvh_right: jnp.ndarray
+    bvh_tri_offset: jnp.ndarray
+    bvh_tri_count: jnp.ndarray
+    tri_indices: jnp.ndarray
+    # spheres (inc/gpu_scene.h:50-55)
+    sph_center: jnp.ndarray
+    sph_radius: jnp.ndarray
+    sph_mat: jnp.ndarray
+    light_idx: jnp.ndarray  # emissive-sphere indices in sphere order
+    # materials (inc/gpu_scene.h:34-45)
+    mat_type: jnp.ndarray
+    mat_albedo: jnp.ndarray
+    mat_emissive: jnp.ndarray
+    mat_fuzz: jnp.ndarray
+    mat_ref_idx: jnp.ndarray
+    mat_ptex_kind: jnp.ndarray
+    mat_ptex_scale: jnp.ndarray
+    mat_ptex_color2: jnp.ndarray
+    # textures (inc/gpu_scene.h:28-32 + pool)
+    tex_pool: jnp.ndarray
+    tex_w: jnp.ndarray
+    tex_h: jnp.ndarray
+    tex_off: jnp.ndarray
+    # Perlin tables (inc/perlin.h:18-37)
+    perlin_vec: jnp.ndarray
+    perlin_px: jnp.ndarray
+    perlin_py: jnp.ndarray
+    perlin_pz: jnp.ndarray
+    # participating media (inc/constant_medium.h resurrected)
+    med_kind: jnp.ndarray
+    med_center: jnp.ndarray
+    med_radius: jnp.ndarray
+    med_min: jnp.ndarray
+    med_max: jnp.ndarray
+    med_neg_inv_density: jnp.ndarray
+    med_albedo: jnp.ndarray
+    # directional sun (inc/gpu_scene.h:169-172)
+    sun_dir: jnp.ndarray
+    sun_radiance: jnp.ndarray
+
+    # ---- static metadata (pytree aux; jit specializes on these) ----
+    n_tris: int
+    n_spheres: int
+    n_nodes: int
+    n_lights: int
+    n_media: int
+    max_leaf: int
+    n_textures: int
+    sun_enabled: bool
+    has_image_tex: bool
+    has_ptex: bool
+    seed: int
+
+
+@dataclasses.dataclass
+class _MeshEntry:
+    v0: np.ndarray
+    v1: np.ndarray
+    v2: np.ndarray
+    uv0: np.ndarray
+    uv1: np.ndarray
+    uv2: np.ndarray
+    materials: List[Material]       # per-triangle material object
+    tex_paths: List[str]            # per-triangle map_Kd path ("" if none)
+
+
+class SceneBuilder:
+    """Host scene compiler: collects primitives, dedups materials by object
+    identity (the raw-pointer key of src/gpu_scene_builder.cpp:88), builds
+    texture pool + BVH, and emits a `Scene`."""
+
+    def __init__(self, sun_enabled: bool = True,
+                 sun_dir: Tuple[float, float, float] = (0.0, 1.0, 0.0),
+                 sun_radiance: Tuple[float, float, float] = (1e5, 9.5e4, 9e4),
+                 seed: int = 1337,
+                 bvh_method: str = "median"):
+        self._meshes: List[_MeshEntry] = []
+        self._spheres: List[tuple] = []
+        self._media: List[tuple] = []
+        self.sun_enabled = sun_enabled
+        self.sun_dir = np.asarray(sun_dir, np.float64)
+        self.sun_radiance = np.asarray(sun_radiance, np.float32)
+        self.seed = seed
+        self.bvh_method = bvh_method
+        self._perlin_seed: Optional[int] = None
+
+    # ------------------------------------------------------------- add
+    def add_sphere(self, center, radius: float, material: Material) -> None:
+        self._spheres.append((np.asarray(center, np.float32),
+                              float(radius), material))
+
+    def add_triangle(self, v0, v1, v2, material: Material,
+                     uv0=(0, 0), uv1=(0, 0), uv2=(0, 0),
+                     tex_path: str = "") -> None:
+        self._meshes.append(_MeshEntry(
+            np.asarray([v0], np.float32), np.asarray([v1], np.float32),
+            np.asarray([v2], np.float32),
+            np.asarray([uv0], np.float32), np.asarray([uv1], np.float32),
+            np.asarray([uv2], np.float32), [material], [tex_path]))
+
+    def add_mesh(self, mesh) -> None:
+        """Add a loaded mesh (models.obj.MeshData or _MeshEntry-compatible)."""
+        self._meshes.append(_MeshEntry(
+            mesh.v0, mesh.v1, mesh.v2, mesh.uv0, mesh.uv1, mesh.uv2,
+            list(mesh.materials), list(mesh.tex_paths)))
+
+    def add_constant_medium_sphere(self, center, radius: float,
+                                   density: float, albedo) -> None:
+        self._media.append((MED_SPHERE, np.asarray(center, np.float32),
+                            float(radius), np.zeros(3, np.float32),
+                            np.zeros(3, np.float32), float(density),
+                            np.asarray(albedo, np.float32)))
+
+    def add_constant_medium_box(self, box_min, box_max,
+                                density: float, albedo) -> None:
+        self._media.append((MED_BOX, np.zeros(3, np.float32), 0.0,
+                            np.asarray(box_min, np.float32),
+                            np.asarray(box_max, np.float32), float(density),
+                            np.asarray(albedo, np.float32)))
+
+    def set_sun(self, direction, radiance=None, enabled: bool = True) -> None:
+        self.sun_dir = np.asarray(direction, np.float64)
+        if radiance is not None:
+            self.sun_radiance = np.asarray(radiance, np.float32)
+        self.sun_enabled = enabled
+
+    # ----------------------------------------------------------- build
+    def build(self) -> Scene:
+        texreg = TextureRegistry()
+        mats: List[Material] = []
+        mat_index = {}
+
+        def upsert(m: Optional[Material]) -> int:
+            # None -> fresh default entry each time (builder.cpp:76-86)
+            if m is None:
+                mats.append(DEFAULT_MATERIAL)
+                return len(mats) - 1
+            key = id(m)
+            if key in mat_index:
+                return mat_index[key]
+            mats.append(m)
+            mat_index[key] = len(mats) - 1
+            return mat_index[key]
+
+        # --- triangles
+        tv0, tv1, tv2, tuv0, tuv1, tuv2 = [], [], [], [], [], []
+        tmat, ttex = [], []
+        textured_mat_ids = set()
+        for mesh in self._meshes:
+            for i in range(len(mesh.v0)):
+                mid = upsert(mesh.materials[i])
+                path = mesh.tex_paths[i] if i < len(mesh.tex_paths) else ""
+                tex_id = texreg.get_or_load(path)
+                if tex_id >= 0:
+                    # textured triangles force the material albedo to white
+                    # (src/gpu_scene_builder.cpp:274-278)
+                    textured_mat_ids.add(mid)
+                tv0.append(mesh.v0[i]); tv1.append(mesh.v1[i]); tv2.append(mesh.v2[i])
+                tuv0.append(mesh.uv0[i][:2]); tuv1.append(mesh.uv1[i][:2])
+                tuv2.append(mesh.uv2[i][:2])
+                tmat.append(mid); ttex.append(tex_id)
+
+        n_tris = len(tv0)
+        if n_tris:
+            v0 = np.asarray(tv0, np.float32)
+            v1 = np.asarray(tv1, np.float32)
+            v2 = np.asarray(tv2, np.float32)
+            # flat shading: face normal for all three corners
+            # (inc/triangle.h:70-73)
+            fn = np.cross(v1 - v0, v2 - v0)
+            ln = np.linalg.norm(fn, axis=1, keepdims=True)
+            fn = np.where(ln > 0, fn / np.maximum(ln, 1e-30), 0.0).astype(np.float32)
+            uv0 = np.asarray(tuv0, np.float32)
+            uv1 = np.asarray(tuv1, np.float32)
+            uv2 = np.asarray(tuv2, np.float32)
+            tri_mat = np.asarray(tmat, np.int32)
+            tri_tex = np.asarray(ttex, np.int32)
+        else:
+            v0 = v1 = v2 = fn = np.zeros((1, 3), np.float32)
+            uv0 = uv1 = uv2 = np.zeros((1, 2), np.float32)
+            tri_mat = np.zeros(1, np.int32)
+            tri_tex = -np.ones(1, np.int32)
+
+        bvh: BVH = build_bvh(v0[:n_tris], v1[:n_tris], v2[:n_tris],
+                             method=self.bvh_method)
+        tri_indices = bvh.tri_indices if n_tris else np.zeros(1, np.int32)
+
+        # --- spheres
+        sc, sr, sm = [], [], []
+        for center, radius, m in self._spheres:
+            sc.append(center); sr.append(radius); sm.append(upsert(m))
+        n_spheres = len(sc)
+        if n_spheres == 0:
+            sc = [np.array([1e30, 1e30, 1e30], np.float32)]
+            sr = [0.0]
+            sm = [0]
+        sph_center = np.asarray(sc, np.float32)
+        sph_radius = np.asarray(sr, np.float32)
+        sph_mat = np.asarray(sm, np.int32)
+
+        # --- media
+        n_media = len(self._media)
+        if n_media:
+            med_kind = np.asarray([m[0] for m in self._media], np.int32)
+            med_center = np.asarray([m[1] for m in self._media], np.float32)
+            med_radius = np.asarray([m[2] for m in self._media], np.float32)
+            med_min = np.asarray([m[3] for m in self._media], np.float32)
+            med_max = np.asarray([m[4] for m in self._media], np.float32)
+            med_nid = np.asarray([-1.0 / m[5] for m in self._media], np.float32)
+            med_albedo = np.asarray([m[6] for m in self._media], np.float32)
+        else:
+            med_kind = np.zeros(1, np.int32)
+            med_center = np.zeros((1, 3), np.float32)
+            med_radius = np.zeros(1, np.float32)
+            med_min = np.zeros((1, 3), np.float32)
+            med_max = np.zeros((1, 3), np.float32)
+            med_nid = np.zeros(1, np.float32)
+            med_albedo = np.zeros((1, 3), np.float32)
+
+        # --- materials table
+        if not mats:
+            mats.append(DEFAULT_MATERIAL)
+        n_mats = len(mats)
+        mat_type = np.asarray([m.kind for m in mats], np.int32)
+        mat_albedo = np.asarray([m.albedo for m in mats], np.float32)
+        for mid in textured_mat_ids:
+            mat_albedo[mid] = 1.0
+        mat_emissive = np.asarray([m.emissive for m in mats], np.float32)
+        mat_fuzz = np.asarray([m.fuzz for m in mats], np.float32)
+        mat_ref_idx = np.asarray([m.ref_idx for m in mats], np.float32)
+        mat_ptk = np.asarray([m.ptex_kind for m in mats], np.int32)
+        mat_pts = np.asarray([m.ptex_scale for m in mats], np.float32)
+        mat_ptc = np.asarray([m.ptex_color2 for m in mats], np.float32)
+
+        # --- emissive sphere lights, in sphere order
+        # (the per-bounce scan of src/gpu_render.cu:841-847, hoisted to
+        # build time — the result is scene-constant)
+        light_idx = [i for i in range(n_spheres)
+                     if mat_type[sph_mat[i]] == DIFFUSE_LIGHT
+                     and mat_emissive[sph_mat[i]].max() > 0]
+        n_lights = len(light_idx)
+        light_arr = np.asarray(light_idx if n_lights else [0], np.int32)
+
+        # --- texture pool
+        pool, tex_w, tex_h, tex_off, n_tex = texreg.build_pool()
+
+        # --- perlin
+        pv, px, py, pz = make_perlin_tables(
+            np.random.default_rng(self._perlin_seed or 20271))
+
+        sun_dir = self.sun_dir / max(np.linalg.norm(self.sun_dir), 1e-300)
+
+        return Scene(
+            tri_v0=_f32(v0), tri_v1=_f32(v1), tri_v2=_f32(v2),
+            tri_n0=_f32(fn), tri_n1=_f32(fn), tri_n2=_f32(fn),
+            tri_uv0=_f32(uv0), tri_uv1=_f32(uv1), tri_uv2=_f32(uv2),
+            tri_mat=_i32(tri_mat), tri_tex=_i32(tri_tex),
+            bvh_min=_f32(bvh.bbox_min), bvh_max=_f32(bvh.bbox_max),
+            bvh_left=_i32(bvh.left), bvh_right=_i32(bvh.right),
+            bvh_tri_offset=_i32(bvh.tri_offset),
+            bvh_tri_count=_i32(bvh.tri_count),
+            tri_indices=_i32(tri_indices),
+            sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
+            sph_mat=_i32(sph_mat), light_idx=_i32(light_arr),
+            mat_type=_i32(mat_type), mat_albedo=_f32(mat_albedo),
+            mat_emissive=_f32(mat_emissive), mat_fuzz=_f32(mat_fuzz),
+            mat_ref_idx=_f32(mat_ref_idx), mat_ptex_kind=_i32(mat_ptk),
+            mat_ptex_scale=_f32(mat_pts), mat_ptex_color2=_f32(mat_ptc),
+            tex_pool=_f32(pool), tex_w=_i32(tex_w), tex_h=_i32(tex_h),
+            tex_off=_i32(tex_off),
+            perlin_vec=_f32(pv), perlin_px=_i32(px), perlin_py=_i32(py),
+            perlin_pz=_i32(pz),
+            med_kind=_i32(med_kind), med_center=_f32(med_center),
+            med_radius=_f32(med_radius), med_min=_f32(med_min),
+            med_max=_f32(med_max), med_neg_inv_density=_f32(med_nid),
+            med_albedo=_f32(med_albedo),
+            sun_dir=_f32(sun_dir), sun_radiance=_f32(self.sun_radiance),
+            n_tris=n_tris, n_spheres=n_spheres, n_nodes=bvh.num_nodes,
+            n_lights=n_lights, n_media=n_media,
+            max_leaf=max(bvh.max_leaf_size, 1), n_textures=n_tex,
+            sun_enabled=bool(self.sun_enabled),
+            has_image_tex=bool(n_tex > 0),
+            has_ptex=bool((mat_ptk != 0).any()),
+            seed=int(self.seed),
+        )

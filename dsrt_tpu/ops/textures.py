@@ -1,0 +1,122 @@
+"""On-device texture evaluation.
+
+`sample_image` matches the kernel's tex2D (src/gpu_render.cu:232-259):
+wrap u,v to [0,1) by floor-frac, V-flip j = (1-v)(h-1), nearest-neighbor
+fetch from the flat float pool, white on any out-of-bounds/invalid id.
+(The OBJ loader already stored v as 1-v, inc/triangle_mesh.h:207, so the
+two flips cancel — both are reproduced verbatim.)
+
+`sample_procedural` evaluates the reference's CPU-only procedural textures
+on-device: 3D-sine checker (inc/texture.h:60-68), marble-ish noise
+(inc/texture.h:82-85) over classic Perlin (inc/perlin.h:39-78).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import jax.lax as lax
+
+from dsrt_tpu.ops.linalg import V3
+from dsrt_tpu.models.materials import PTEX_CHECKER, PTEX_MARBLE, PTEX_NOISE
+
+
+def sample_image(scene, tex_id, u, v) -> V3:
+    """Nearest-neighbor sample from the texture pool over lanes.
+    tex_id i32 lanes (-1 -> white)."""
+    valid = (tex_id >= 0) & (tex_id < scene.n_textures)
+    tid = jnp.clip(tex_id, 0, max(scene.n_textures - 1, 0))
+    w = scene.tex_w[tid]
+    h = scene.tex_h[tid]
+    off = scene.tex_off[tid]
+    uu = u - jnp.floor(u)
+    vv = v - jnp.floor(v)
+    i = (uu * (w - 1).astype(jnp.float32)).astype(jnp.int32)
+    j = ((1.0 - vv) * (h - 1).astype(jnp.float32)).astype(jnp.int32)
+    idx = off + (j * w + i) * 3
+    pool_n = scene.tex_pool.shape[0]
+    ok = valid & (idx >= 0) & (idx + 2 < pool_n)
+    idx = jnp.clip(idx, 0, pool_n - 3)
+    r = jnp.where(ok, scene.tex_pool[idx], 1.0)
+    g = jnp.where(ok, scene.tex_pool[idx + 1], 1.0)
+    b = jnp.where(ok, scene.tex_pool[idx + 2], 1.0)
+    return V3(r, g, b)
+
+
+def perlin_noise(scene, p: V3):
+    """Classic gradient Perlin with Hermite-smoothed trilinear interpolation
+    (inc/perlin.h:39-66, 96-119), vectorized over lanes."""
+    u = p.x - jnp.floor(p.x)
+    v = p.y - jnp.floor(p.y)
+    w = p.z - jnp.floor(p.z)
+    i = jnp.floor(p.x).astype(jnp.int32)
+    j = jnp.floor(p.y).astype(jnp.int32)
+    k = jnp.floor(p.z).astype(jnp.int32)
+
+    uu = u * u * (3.0 - 2.0 * u)
+    vv = v * v * (3.0 - 2.0 * v)
+    ww = w * w * (3.0 - 2.0 * w)
+
+    accum = jnp.zeros_like(u)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                idx = (scene.perlin_px[(i + di) & 255]
+                       ^ scene.perlin_py[(j + dj) & 255]
+                       ^ scene.perlin_pz[(k + dk) & 255])
+                g = scene.perlin_vec[idx]  # lanes x 3 gather
+                dotv = (g[..., 0] * (u - di) + g[..., 1] * (v - dj)
+                        + g[..., 2] * (w - dk))
+                wt = ((uu if di else 1.0 - uu) * (vv if dj else 1.0 - vv)
+                      * (ww if dk else 1.0 - ww))
+                accum = accum + wt * dotv
+    return accum
+
+
+def perlin_turb(scene, p: V3, depth: int = 7):
+    """7-octave |fbm| (inc/perlin.h:68-78)."""
+    accum = jnp.zeros_like(p.x)
+    weight = 1.0
+    q = p
+    for _ in range(depth):
+        accum = accum + weight * perlin_noise(scene, q)
+        weight *= 0.5
+        q = V3(q.x * 2.0, q.y * 2.0, q.z * 2.0)
+    return jnp.abs(accum)
+
+
+def sample_procedural(scene, mat_id, base: V3, p: V3) -> V3:
+    """Apply the material's procedural texture (if any) at world point p.
+    Returns the effective albedo given the solid `base` color."""
+    kind = scene.mat_ptex_kind[mat_id]
+    scale = scene.mat_ptex_scale[mat_id]
+    if not scene.has_ptex:
+        return base
+
+    # checker: sin(s x) sin(s y) sin(s z) < 0 -> odd color
+    sines = (jnp.sin(scale * p.x) * jnp.sin(scale * p.y)
+             * jnp.sin(scale * p.z))
+    c2 = scene.mat_ptex_color2[mat_id]
+    checker = V3(jnp.where(sines < 0, c2[..., 0], base.x),
+                 jnp.where(sines < 0, c2[..., 1], base.y),
+                 jnp.where(sines < 0, c2[..., 2], base.z))
+
+    need_noise = jnp.any((kind == PTEX_NOISE) | (kind == PTEX_MARBLE))
+    turb = lax.cond(need_noise,
+                    lambda: perlin_turb(scene, p),
+                    lambda: jnp.zeros_like(p.x))
+    # marble (reference noise_texture): 0.5 (1 + sin(s z + 10 turb))
+    marble_v = 0.5 * (1.0 + jnp.sin(scale * p.z + 10.0 * turb))
+    # plain noise: 0.5 (1 + raw turb) scaled — kept simple as turb itself
+    noise_v = jnp.clip(turb, 0.0, 1.0)
+
+    out = base
+    out = V3(jnp.where(kind == PTEX_CHECKER, checker.x, out.x),
+             jnp.where(kind == PTEX_CHECKER, checker.y, out.y),
+             jnp.where(kind == PTEX_CHECKER, checker.z, out.z))
+    out = V3(jnp.where(kind == PTEX_MARBLE, marble_v, out.x),
+             jnp.where(kind == PTEX_MARBLE, marble_v, out.y),
+             jnp.where(kind == PTEX_MARBLE, marble_v, out.z))
+    out = V3(jnp.where(kind == PTEX_NOISE, noise_v, out.x),
+             jnp.where(kind == PTEX_NOISE, noise_v, out.y),
+             jnp.where(kind == PTEX_NOISE, noise_v, out.z))
+    return out

@@ -1,0 +1,146 @@
+"""Top-level frame rendering: lane layout, sample loop, tonemap.
+
+Replaces render_kernel + gpu_render_scene (src/gpu_render.cu:973-1108).
+Pixels are laid out as packets of 1024 lanes shaped as an 8-row x 128-col
+pixel tile (one VPU tile per vector component), the packet axis playing the
+role of the CUDA grid.  Samples run sequentially per pixel with the
+stratified-on-the-diagonal jitter of the reference
+(jx = (s + rand)/spp, jy = (s + rand)/spp, src/gpu_render.cu:993-999,
+both stratified on the same index s — reproduced verbatim), so the
+per-pixel LCG stream is identical to the CUDA renderer's.
+
+Tonemap chain (src/gpu_render.cu:1002-1030): average, clamp negatives,
+firefly clamp at 10.0 (dead in practice since ray_color pre-clamps to
+[0,1]), gamma via pow(c, 1/gamma), clamp01, vertical flip, u8 with 255.99
+scale.  `exposure` is accepted and unused, like the reference (1044).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dsrt_tpu.config import RenderConfig
+from dsrt_tpu.ops import rng as rngmod
+from dsrt_tpu.ops.camera import Camera, generate_rays
+from dsrt_tpu.ops.linalg import V3
+from dsrt_tpu.ops.shade import trace_paths
+
+TILE_H = 8
+TILE_W = 128
+PACKET = TILE_H * TILE_W
+
+
+def lane_layout(width: int, height: int):
+    """Pixel-to-lane mapping: (K, 1024) arrays px, py, valid where each
+    packet is an 8x128 pixel tile (spatially coherent for traversal)."""
+    tx = math.ceil(width / TILE_W)
+    ty = math.ceil(height / TILE_H)
+    hp, wp = ty * TILE_H, tx * TILE_W
+    ys, xs = np.mgrid[0:hp, 0:wp]
+
+    def to_lanes(a):
+        return (a.reshape(ty, TILE_H, tx, TILE_W)
+                .transpose(0, 2, 1, 3)
+                .reshape(ty * tx, PACKET))
+
+    px = to_lanes(xs).astype(np.int32)
+    py = to_lanes(ys).astype(np.int32)
+    valid = (px < width) & (py < height)
+    return px, py, valid, (ty, tx)
+
+
+def lanes_to_image(vals: jnp.ndarray, ty: int, tx: int) -> jnp.ndarray:
+    """(K, P) lane array -> (Hp, Wp) padded image."""
+    return (vals.reshape(ty, tx, TILE_H, TILE_W)
+            .transpose(0, 2, 1, 3)
+            .reshape(ty * TILE_H, tx * TILE_W))
+
+
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
+def _render_lanes(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
+                  ty: int, tx: int):
+    spp = cfg.resolved_spp()
+    state = rngmod.seed_pixels(px, py, cam.width, scene.seed)
+    zero = jnp.zeros(px.shape, jnp.float32)
+
+    def sample_body(s, carry):
+        accum, state = carry
+        jxu, state = rngmod.draw(state, valid)
+        jyu, state = rngmod.draw(state, valid)
+        sf = s.astype(jnp.float32)
+        jx = (sf + jxu) / jnp.float32(spp)
+        jy = (sf + jyu) / jnp.float32(spp)
+        ro, rd = generate_rays(cam, px, py, jx, jy)
+        L, state = trace_paths(scene, cfg, ro, rd, state, valid)
+        return (accum + L, state)
+
+    accum, _ = jax.lax.fori_loop(
+        0, spp, sample_body, (V3(zero, zero, zero), state))
+
+    inv_spp = jnp.float32(1.0 / spp)
+    inv_gamma = jnp.float32(1.0 / cfg.gamma)
+
+    def tonemap(c):
+        c = c * inv_spp
+        c = jnp.maximum(c, 0.0)
+        c = jnp.minimum(c, cfg.firefly_clamp)
+        c = jnp.power(c, inv_gamma)
+        c = jnp.clip(c, 0.0, 1.0)
+        return (255.99 * c).astype(jnp.uint8)
+
+    chans = [tonemap(accum.x), tonemap(accum.y), tonemap(accum.z)]
+    padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
+    img = padded[:cfg.height, :cfg.width][::-1]  # vertical flip (cu:1027)
+    return img
+
+
+def render_frame(scene, cam: Camera, cfg: RenderConfig | None = None
+                 ) -> np.ndarray:
+    """Render one frame; returns (H, W, 3) uint8 (row 0 = top)."""
+    if cfg is None:
+        cfg = RenderConfig(width=cam.width, height=cam.height)
+    px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
+    img = _render_lanes(scene, cam, jnp.asarray(px), jnp.asarray(py),
+                        jnp.asarray(valid), cfg, ty, tx)
+    return np.asarray(jax.device_get(img))
+
+
+def render_radiance(scene, cam: Camera, cfg: RenderConfig) -> np.ndarray:
+    """Float radiance image (pre-tonemap average of clamped samples), used
+    by tests and metrics: (H, W, 3) float32."""
+    px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
+    img = _render_lanes_radiance(scene, cam, jnp.asarray(px), jnp.asarray(py),
+                                 jnp.asarray(valid), cfg, ty, tx)
+    return np.asarray(jax.device_get(img))
+
+
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
+def _render_lanes_radiance(scene, cam, px, py, valid, cfg: RenderConfig,
+                           ty: int, tx: int):
+    spp = cfg.resolved_spp()
+    state = rngmod.seed_pixels(px, py, cam.width, scene.seed)
+    zero = jnp.zeros(px.shape, jnp.float32)
+
+    def sample_body(s, carry):
+        accum, state = carry
+        jxu, state = rngmod.draw(state, valid)
+        jyu, state = rngmod.draw(state, valid)
+        sf = s.astype(jnp.float32)
+        jx = (sf + jxu) / jnp.float32(spp)
+        jy = (sf + jyu) / jnp.float32(spp)
+        ro, rd = generate_rays(cam, px, py, jx, jy)
+        L, state = trace_paths(scene, cfg, ro, rd, state, valid)
+        return (accum + L, state)
+
+    accum, _ = jax.lax.fori_loop(
+        0, spp, sample_body, (V3(zero, zero, zero), state))
+    inv_spp = jnp.float32(1.0 / spp)
+    chans = [accum.x * inv_spp, accum.y * inv_spp, accum.z * inv_spp]
+    padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
+    return padded[:cfg.height, :cfg.width][::-1]
