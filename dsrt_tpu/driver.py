@@ -1,0 +1,194 @@
+"""Frame-loop driver and CLI — the reference's src/main.cpp redesigned.
+
+Pipeline per frame (reference call stack A, SURVEY.md §3):
+pose -> f64 world->model transform -> camera aim -> render -> PNG.
+
+Fixes over the reference, per SURVEY.md §3B/§5:
+- the scene is compiled ONCE (the reference re-flattens, re-builds the BVH
+  and re-uploads everything per frame, src/main.cpp:404-410); only the
+  per-frame sun direction (a data field) changes, so one jitted render
+  executable serves the whole sequence;
+- PNG written in-process (no ImageMagick shell-out, main.cpp:28-36);
+- the output directory is NOT wiped by default (main.cpp:41-50 wipes,
+  defeating resume); `--wipe` restores the reference behavior and
+  `--start_frame`/`--resume` support restarts;
+- every hardcoded constant is a CLI flag (main.cpp:238-267 constants).
+
+Usage:
+    python -m dsrt_tpu.driver --input_txt poses.txt --output_dir out \
+        [--obj mesh.obj | --standin_detail 2] [--width 800 --height 450]
+        [--spp 1000] [--upscale]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+
+import numpy as np
+
+from dsrt_tpu.config import RenderConfig
+from dsrt_tpu.models.materials import Material
+from dsrt_tpu.models.scene import SceneBuilder
+from dsrt_tpu.ops.camera import point_camera_at
+from dsrt_tpu.render import render_frame
+from dsrt_tpu.utils.image_io import write_png, write_ppm
+from dsrt_tpu.utils.pose import default_pose, read_pose_file
+from dsrt_tpu.utils.timing import StageTimer, estimate_rays, mrays_per_sec
+from dsrt_tpu.utils.transform import pose_to_frame
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="dsrt_tpu.driver",
+        description="Deep-space ray tracer frame-loop driver (TPU)")
+    p.add_argument("--input_txt", default="", help="pose file (orbit sim output)")
+    p.add_argument("--output_dir", default="render_output")
+    p.add_argument("--upscale", action="store_true",
+                   help="run the Real-ESRGAN upsampler on the output dir")
+    # promoted render config (reference compile-time constants)
+    p.add_argument("--width", type=int, default=800)
+    p.add_argument("--height", type=int, default=450)
+    p.add_argument("--spp", type=int, default=1000)
+    p.add_argument("--max_depth", type=int, default=50)
+    p.add_argument("--vfov", type=float, default=40.0)
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--gamma", type=float, default=2.0)
+    p.add_argument("--sun_radiance", type=float, nargs=3,
+                   default=[1e5, 9.5e4, 9e4])
+    # scene source
+    p.add_argument("--obj", default="", help="OBJ mesh path (model frame)")
+    p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--standin_detail", type=int, default=2,
+                   help="procedural ISS stand-in detail when no --obj")
+    p.add_argument("--bvh", choices=["median", "sah"], default="sah")
+    # frame control
+    p.add_argument("--start_frame", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="skip frames whose PNG already exists")
+    p.add_argument("--wipe", action="store_true",
+                   help="empty the output dir first (reference behavior)")
+    p.add_argument("--save_ppm", action="store_true",
+                   help="also write binary PPM P6 like the reference")
+    p.add_argument("--timings_tsv", default="",
+                   help="write per-stage timings TSV here")
+    return p
+
+
+def build_scene(args, timer: StageTimer):
+    with timer.stage("mesh_load"):
+        if args.obj:
+            from dsrt_tpu.models.obj import load_obj
+            fallback = Material.lambertian((0.73, 0.73, 0.73))
+            mesh = load_obj(args.obj, fallback, args.scale)
+        else:
+            from dsrt_tpu.models.mesh_gen import iss_standin_mesh
+            mesh = iss_standin_mesh(args.standin_detail)
+    with timer.stage("scene_compile"):
+        b = SceneBuilder(sun_enabled=True, sun_dir=(0.0, 1.0, 0.0),
+                         sun_radiance=tuple(args.sun_radiance),
+                         seed=args.seed, bvh_method=args.bvh)
+        b.add_mesh(mesh)
+        scene = b.build()
+    print(f"Scene: {scene.n_tris} triangles, {scene.n_nodes} BVH nodes, "
+          f"{scene.n_spheres} spheres, {len(np.asarray(scene.mat_type))} materials")
+    return scene
+
+
+def run(args) -> int:
+    timer = StageTimer()
+    os.makedirs(args.output_dir, exist_ok=True)
+    if args.wipe:
+        for f in os.listdir(args.output_dir):
+            fp = os.path.join(args.output_dir, f)
+            if os.path.isfile(fp):
+                os.unlink(fp)
+
+    print(f"Using input_txt : {args.input_txt or '(none)'}")
+    print(f"Using output_dir: {args.output_dir}")
+
+    scene = build_scene(args, timer)
+    print(timer.summary())
+
+    poses = []
+    if args.input_txt:
+        try:
+            poses = read_pose_file(args.input_txt)
+        except OSError:
+            poses = []
+    if not poses:
+        print("No valid pose file found; using single default pose.")
+        poses = [default_pose()]
+    else:
+        print(f"Loaded {len(poses)} poses.")
+
+    cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
+                       max_depth=args.max_depth, vfov=args.vfov,
+                       gamma=args.gamma, seed=args.seed)
+
+    total_start = time.perf_counter()
+    rendered = 0
+    for i, pose in enumerate(poses):
+        if i < args.start_frame:
+            continue
+        png = os.path.join(args.output_dir, f"frame_{i:04d}.png")
+        if args.resume and os.path.exists(png):
+            continue
+
+        frame = pose_to_frame(pose)
+        if frame is None:
+            print(f"[{i}] camera inside/too close to model; skipping frame.")
+            continue
+
+        print(f"\n=== Frame {i} ===")
+        print(f"  sep(cam, model) = {frame.separation_m:.3f} m")
+        print(f"  sun_dir_model   = ({frame.sun_dir_model[0]:.6f}, "
+              f"{frame.sun_dir_model[1]:.6f}, {frame.sun_dir_model[2]:.6f})")
+
+        cam = point_camera_at(frame.cam_in_model, (0.0, 0.0, 0.0),
+                              vfov=args.vfov, width=args.width,
+                              height=args.height)
+        frame_scene = dataclasses.replace(
+            scene, sun_dir=np.asarray(frame.sun_dir_model, np.float32))
+
+        t0 = time.perf_counter()
+        img = render_frame(frame_scene, cam, cfg)
+        dt = time.perf_counter() - t0
+        timer.log("render", dt)
+        nrays = estimate_rays(args.width, args.height, args.spp)
+        print(f"  render: {dt*1e3:.0f} ms  (~{mrays_per_sec(nrays, dt):.1f} "
+              f"Mrays/s est.)")
+
+        with timer.stage("encode"):
+            write_png(png, img)
+            if args.save_ppm:
+                write_ppm(png[:-4] + ".ppm", img)
+        print(f"Saved {png}")
+        rendered += 1
+
+    total = time.perf_counter() - total_start
+    print(f"\nTotal runtime: {total:.1f} s ({rendered} frames)")
+    if args.timings_tsv:
+        timer.write_tsv(args.timings_tsv)
+
+    if args.upscale:
+        try:
+            from scripts.upsample import process_folder  # optional deps
+            process_folder(args.output_dir, args.output_dir + "_upscaled",
+                           scale=4)
+        except Exception as e:
+            print(f"Upscaling unavailable: {e}", file=sys.stderr)
+    else:
+        print("Upscaling disabled (use --upscale to enable).")
+    return 0
+
+
+def main(argv=None) -> int:
+    return run(build_parser().parse_args(argv))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

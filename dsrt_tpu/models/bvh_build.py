@@ -32,6 +32,20 @@ import numpy as np
 MAX_LEAF = 4
 SAH_BINS = 16
 
+# Degenerate-extent padding.  The reference stores exact triangle bounds, so
+# an axis-aligned triangle produces a flat box and the slab test's
+# `t_max <= t_min -> miss` (src/gpu_render.cu:312) makes it invisible — a
+# latent bug in the CUDA renderer.  We pad near-zero extents like the
+# Shirley-series `aabb::pad`, a deliberate correctness deviation.
+FLAT_EPS = np.float32(1e-4)
+
+
+def _pad_flat(mn: np.ndarray, mx: np.ndarray):
+    """Expand axes with near-zero extent by FLAT_EPS/2 on each side."""
+    flat = (mx - mn) < FLAT_EPS
+    return (np.where(flat, mn - FLAT_EPS * 0.5, mn).astype(np.float32),
+            np.where(flat, mx + FLAT_EPS * 0.5, mx).astype(np.float32))
+
 
 @dataclasses.dataclass
 class BVH:
@@ -99,8 +113,9 @@ def _build_median(v0, v1, v2) -> BVH:
     def recurse(start: int, end: int) -> int:
         node = len(left)
         idx = indices[start:end]
-        bbox_min.append(lo[idx].min(axis=0))
-        bbox_max.append(hi[idx].max(axis=0))
+        mn, mx = _pad_flat(lo[idx].min(axis=0), hi[idx].max(axis=0))
+        bbox_min.append(mn)
+        bbox_max.append(mx)
         left.append(-1)
         right.append(-1)
         tri_offset.append(start)
@@ -160,8 +175,9 @@ def _build_sah(v0, v1, v2, max_leaf: int = MAX_LEAF) -> BVH:
         idx = indices[start:end]
         nb_min = lo[idx].min(axis=0)
         nb_max = hi[idx].max(axis=0)
-        bbox_min.append(nb_min)
-        bbox_max.append(nb_max)
+        pmn, pmx = _pad_flat(nb_min, nb_max)
+        bbox_min.append(pmn)
+        bbox_max.append(pmx)
         left.append(-1)
         right.append(-1)
         tri_offset.append(start)
@@ -245,13 +261,13 @@ def validate_bvh(bvh: BVH, lo: np.ndarray, hi: np.ndarray) -> None:
             tris = bvh.tri_indices[s:s + c]
             assert not seen[tris].any(), "leaf ranges overlap"
             seen[tris] = True
-            assert (lo[tris] >= bvh.bbox_min[i] - 1e-5).all()
-            assert (hi[tris] <= bvh.bbox_max[i] + 1e-5).all()
+            assert (lo[tris] >= bvh.bbox_min[i] - 1e-4).all()
+            assert (hi[tris] <= bvh.bbox_max[i] + 1e-4).all()
         else:
             l, r = bvh.left[i], bvh.right[i]
             assert l == i + 1, "left child must follow parent (preorder)"
             assert r > l, "right child after left subtree"
             for ch in (l, r):
-                assert (bvh.bbox_min[ch] >= bvh.bbox_min[i] - 1e-5).all()
-                assert (bvh.bbox_max[ch] <= bvh.bbox_max[i] + 1e-5).all()
+                assert (bvh.bbox_min[ch] >= bvh.bbox_min[i] - 1e-4).all()
+                assert (bvh.bbox_max[ch] <= bvh.bbox_max[i] + 1e-4).all()
     assert seen.all(), "every triangle must appear in exactly one leaf"

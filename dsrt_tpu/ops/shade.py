@@ -111,10 +111,14 @@ def _vmapped_scene_hit(scene, ro, rd, t_min, t_max, active, state,
     return hit, state
 
 
-def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0):
+def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0,
+                count_rays: bool = False):
     """Trace one sample per lane to completion; lanes shaped (K, P).
 
-    Returns (L clamped to [0,1] per channel, new rng state).
+    Returns (L clamped to [0,1] per channel, new rng state) — and, when
+    `count_rays` (static) is set, a third element: the exact number of rays
+    traced (scene-intersection queries: primary/bounce + shadow), the
+    denominator-free Mrays metric input.
     """
     shape = ro.x.shape
     zero = jnp.zeros(shape, jnp.float32)
@@ -131,7 +135,7 @@ def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0):
                         -scene.sun_dir[2]))
 
     def bounce(depth, carry):
-        L, thr, ro, rd, state, alive = carry
+        L, thr, ro, rd, state, alive, nrays = carry
 
         # ---- 0. Russian roulette -------------------------------------
         do_rr = depth >= cfg.rr_start_depth
@@ -145,6 +149,8 @@ def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0):
         thr = vwhere(scale_mask, thr * inv_p, thr)
 
         # ---- 1. scene intersection -----------------------------------
+        if count_rays:
+            nrays = nrays + jnp.sum(alive.astype(jnp.int32))
         hit, state = _vmapped_scene_hit(scene, ro, rd, t_min, t_max, alive,
                                         state)
         alive = alive & hit.hit
@@ -238,6 +244,8 @@ def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0):
             sh_d = V3(jnp.broadcast_to(sdir.x, shape),
                       jnp.broadcast_to(sdir.y, shape),
                       jnp.broadcast_to(sdir.z, shape))
+            if count_rays:
+                nrays = nrays + jnp.sum(pot.astype(jnp.int32))
             sh_hit, state = _vmapped_scene_hit(scene, sh_o, sh_d, t_min, t_max,
                                                pot, state, any_hit=True)
             unblocked = pot & ~sh_hit.hit
@@ -298,7 +306,7 @@ def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0):
             ro = vwhere(move, p, ro)
             rd = vwhere(move, dir_s, rd)
 
-        return L, thr, ro, rd, state, alive
+        return L, thr, ro, rd, state, alive, nrays
 
     def cond(dc):
         depth, carry = dc
@@ -308,9 +316,12 @@ def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0):
         depth, carry = dc
         return depth + 1, bounce(depth, carry)
 
-    init = (V3(zero, zero, zero), V3(one, one, one), ro, rd, state, active0)
-    _, (L, _, _, _, state, _) = lax.while_loop(cond, wl_body,
-                                               (jnp.int32(0), init))
+    init = (V3(zero, zero, zero), V3(one, one, one), ro, rd, state, active0,
+            jnp.int32(0))
+    _, (L, _, _, _, state, _, nrays) = lax.while_loop(cond, wl_body,
+                                                      (jnp.int32(0), init))
     # per-sample clamp before averaging (src/gpu_render.cu:935)
     from dsrt_tpu.ops.linalg import clamp01
+    if count_rays:
+        return clamp01(L), state, nrays
     return clamp01(L), state

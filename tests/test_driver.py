@@ -1,0 +1,53 @@
+"""Driver CLI end-to-end at tiny size (frame loop, resume, skip logic)."""
+
+import os
+
+import numpy as np
+
+from dsrt_tpu import driver
+from dsrt_tpu.utils.image_io import read_png
+from dsrt_tpu.utils.pose import write_pose_file
+
+
+def _tiny_args(tmp_path, poses_file, extra=()):
+    return driver.build_parser().parse_args([
+        "--input_txt", poses_file, "--output_dir", str(tmp_path / "out"),
+        "--width", "32", "--height", "18", "--spp", "2", "--max_depth", "4",
+        "--standin_detail", "1", *extra])
+
+
+def test_driver_end_to_end(tmp_path):
+    poses = str(tmp_path / "p.txt")
+    cams = np.array([[0.0, 200.0, 1800.0], [0.0, 100.0, 900.0],
+                     [0.0, 0.0, 0.05]])  # third: too close -> skipped
+    mdls = np.zeros((3, 3))
+    write_pose_file(poses, cams, mdls, yaw=90.0)
+
+    rc = driver.run(_tiny_args(tmp_path, poses))
+    assert rc == 0
+    out = tmp_path / "out"
+    files = sorted(os.listdir(out))
+    assert files == ["frame_0000.png", "frame_0001.png"]  # frame 2 skipped
+    img = read_png(str(out / "frame_0000.png"))
+    assert img.shape == (18, 32, 3)
+
+
+def test_driver_resume_skips_existing(tmp_path):
+    poses = str(tmp_path / "p.txt")
+    write_pose_file(poses, np.array([[0.0, 200.0, 1800.0]]),
+                    np.zeros((1, 3)), yaw=0.0)
+    args = _tiny_args(tmp_path, poses)
+    driver.run(args)
+    png = tmp_path / "out" / "frame_0000.png"
+    mtime = png.stat().st_mtime_ns
+    driver.run(_tiny_args(tmp_path, poses, extra=("--resume",)))
+    assert png.stat().st_mtime_ns == mtime  # untouched
+
+
+def test_driver_default_pose_without_file(tmp_path):
+    args = driver.build_parser().parse_args([
+        "--output_dir", str(tmp_path / "out"), "--width", "16",
+        "--height", "10", "--spp", "1", "--max_depth", "3",
+        "--standin_detail", "1"])
+    assert driver.run(args) == 0
+    assert os.path.exists(tmp_path / "out" / "frame_0000.png")
