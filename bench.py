@@ -1,16 +1,21 @@
 """Benchmark: Mrays/sec/chip on the ISS scene (BASELINE.json metric).
 
 Renders the ISS stand-in scene (the NASA OBJ is not in the reference repo;
-see models/mesh_gen.py) at the reference's 800x450 frame size with the
-rendezvous-style camera/sun geometry.  The ray count is measured EXACTLY
-(every scene-intersection query — primary, bounce, and shadow rays — is
-counted inside the jitted loop), not estimated.
+see models/mesh_gen.py) at the reference's 800x450 frame size with a
+rendezvous-style camera/sun geometry, in the renderer's throughput mode
+(8 concurrent samples per pixel, decorrelated LCG slots — the rng_mode the
+reference reserved, inc/gpu_scene.h:103; the sequential parity mode is
+validated against the scalar oracle by tests/test_render_golden.py).
+
+The ray count is measured EXACTLY — every scene-intersection query
+(primary, bounce, shadow) is counted inside the jitted loop — not
+estimated.
 
 Prints ONE JSON line:
     {"metric": "Mrays/sec/chip", "value": N, "unit": "Mrays/s",
      "vs_baseline": N / 50.0}
 vs_baseline is against the driver-supplied north-star target of
-50 Mrays/sec/chip (BASELINE.md; the reference publishes no numbers).
+50 Mrays/sec/chip on v5e (BASELINE.md; the reference publishes no numbers).
 """
 
 from __future__ import annotations
@@ -25,100 +30,69 @@ import jax.numpy as jnp
 
 from dsrt_tpu.config import RenderConfig
 from dsrt_tpu.models.mesh_gen import iss_standin_scene
-from dsrt_tpu.ops import rng as rngmod
-from dsrt_tpu.ops.camera import generate_rays, point_camera_at
-from dsrt_tpu.ops.linalg import V3
-from dsrt_tpu.ops.shade import trace_paths
+from dsrt_tpu.ops.camera import point_camera_at
+from dsrt_tpu.ops.wavefront import trace_accumulate
 from dsrt_tpu.render import lane_layout
 
 NORTH_STAR = 50.0  # Mrays/sec/chip on v5e (BASELINE.md)
 
 WIDTH, HEIGHT = 800, 450
-SPP_CHUNK = 4          # samples per timed device call (int32 count-safe)
-N_CHUNKS = 8           # timed chunks (32 spp total measured)
-DETAIL = 3             # ~9k-triangle stand-in (ISS OBJ is tens of thousands)
+BATCH = 8       # concurrent sample slots per pixel (wavefront mode)
+SPP = 32        # timed samples per pixel
+DETAIL = 4      # ~5.8k-triangle stand-in (ISS OBJ is tens of thousands)
 
 
-@partial(jax.jit, static_argnames=("cfg", "spp", "count"))
-def sample_chunk(scene, cam, px, py, valid, state, s0, cfg, spp, count):
-    """Trace `spp` samples; returns (accum, state, nrays)."""
-    zero = jnp.zeros(px.shape, jnp.float32)
-
-    def body(s, carry):
-        accum, state, nrays = carry
-        jxu, state = rngmod.draw(state, valid)
-        jyu, state = rngmod.draw(state, valid)
-        sf = (s0 + s).astype(jnp.float32)
-        jx = (sf + jxu) / jnp.float32(cfg.resolved_spp())
-        jy = (sf + jyu) / jnp.float32(cfg.resolved_spp())
-        ro, rd = generate_rays(cam, px, py, jx, jy)
-        if count:
-            L, state, nr = trace_paths(scene, cfg, ro, rd, state, valid,
-                                       count_rays=True)
-            nrays = nrays + nr
-        else:
-            L, state = trace_paths(scene, cfg, ro, rd, state, valid)
-        return (accum + L, state, nrays)
-
-    accum, state, nrays = jax.lax.fori_loop(
-        0, spp, body, (V3(zero, zero, zero), state, jnp.int32(0)))
-    return accum, state, nrays
+@partial(jax.jit, static_argnames=("cfg", "spp_local", "count"))
+def run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg, spp_local, count):
+    return trace_accumulate(scene, cfg, cam, pxb, pyb, validb, slot,
+                            spp_local, count_rays=count)
 
 
 def main() -> int:
-    cfg = RenderConfig(width=WIDTH, height=HEIGHT,
-                       spp=SPP_CHUNK * (N_CHUNKS + 1), max_depth=50)
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT, spp=SPP, max_depth=50)
     scene = iss_standin_scene(detail=DETAIL)
     # rendezvous-style viewpoint: ~200 m out, station fills the frame
     cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
                           vfov=cfg.vfov, width=WIDTH, height=HEIGHT)
     px, py, valid, _ = lane_layout(WIDTH, HEIGHT)
-    px = jnp.asarray(px); py = jnp.asarray(py); valid = jnp.asarray(valid)
-    state = rngmod.seed_pixels(px, py, WIDTH, scene.seed)
+    k = px.shape[0]
+    pxb = jnp.tile(jnp.asarray(px), (BATCH, 1))
+    pyb = jnp.tile(jnp.asarray(py), (BATCH, 1))
+    validb = jnp.tile(jnp.asarray(valid), (BATCH, 1))
+    slot = jnp.broadcast_to(
+        jnp.repeat(jnp.arange(BATCH, dtype=jnp.uint32), k)[:, None],
+        pxb.shape)
+    spp_local = SPP // BATCH
 
-    # warmup + compile (both count and no-count variants), and take the
-    # exact per-chunk ray count from the counting variant
-    accum, state_w, nrays = sample_chunk(scene, cam, px, py, valid, state,
-                                         jnp.int32(0), cfg, SPP_CHUNK, True)
-    nrays_per_chunk = int(jax.device_get(nrays))
-    _ = sample_chunk(scene, cam, px, py, valid, state, jnp.int32(0), cfg,
-                     SPP_CHUNK, False)[0].x.block_until_ready()
+    # compile + warm both variants; exact ray count from counting variant
+    # (identical RNG schedule => identical ray count in the timed run)
+    accum, nr = run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
+                              spp_local, True)
+    exact = int(jax.device_get(nr))
+    accum, _ = run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
+                             spp_local, False)
+    accum.x.block_until_ready()
 
-    # timed: N_CHUNKS uncounted chunks, sequential samples (parity RNG)
+    # timed pass
     t0 = time.perf_counter()
-    st = state
-    total_rays = 0
-    for c in range(N_CHUNKS):
-        accum, st, _ = sample_chunk(scene, cam, px, py, valid, st,
-                                    jnp.int32(c * SPP_CHUNK), cfg,
-                                    SPP_CHUNK, False)
-        total_rays += nrays_per_chunk  # identical stream => identical count
+    accum, _ = run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
+                             spp_local, False)
     accum.x.block_until_ready()
     dt = time.perf_counter() - t0
 
-    # chunk ray counts drift slightly across strata; re-measure honestly:
-    # count the exact rays for every timed chunk (uncounted timing above,
-    # counted accounting here, same RNG stream).
-    st = state
-    exact = 0
-    for c in range(N_CHUNKS):
-        _, st, nr = sample_chunk(scene, cam, px, py, valid, st,
-                                 jnp.int32(c * SPP_CHUNK), cfg,
-                                 SPP_CHUNK, True)
-        exact += int(jax.device_get(nr))
-
     mrays = exact / dt / 1e6
-    n_dev = 1  # single-chip benchmark
     result = {
         "metric": "Mrays/sec/chip",
-        "value": round(mrays / n_dev, 3),
+        "value": round(mrays, 3),
         "unit": "Mrays/s",
-        "vs_baseline": round(mrays / n_dev / NORTH_STAR, 4),
+        "vs_baseline": round(mrays / NORTH_STAR, 4),
         "detail": {
             "scene": f"iss_standin_detail{DETAIL}",
             "n_tris": scene.n_tris,
             "frame": f"{WIDTH}x{HEIGHT}",
-            "spp_timed": SPP_CHUNK * N_CHUNKS,
+            "spp_timed": SPP,
+            "spp_batch": BATCH,
+            "mode": "wavefront-regeneration",
             "rays": exact,
             "seconds": round(dt, 3),
             "device": str(jax.devices()[0]),

@@ -117,8 +117,9 @@ class MeshAccum:
 def iss_standin_mesh(detail: int = 2) -> MeshData:
     """ISS-like station, ~meters scale, centered at origin.
 
-    detail=1 -> ~1.3k tris, detail=2 -> ~4k, detail=3 -> ~9k,
-    detail=4 -> ~16k (the real ISS OBJ is tens of thousands).
+    detail=1 -> ~0.8k tris, detail=2 -> ~2.4k, detail=3 -> ~5k,
+    detail=4 -> ~9k, detail=6 -> ~20k (the real ISS OBJ is tens of
+    thousands).
     """
     m = MeshAccum()
     hull = Material.lambertian((0.73, 0.73, 0.73))
@@ -126,10 +127,10 @@ def iss_standin_mesh(detail: int = 2) -> MeshData:
     panel = Material.lambertian((0.25, 0.2, 0.45))
     radiator = Material.lambertian((0.85, 0.85, 0.88))
     gold = Material.metal((0.8, 0.65, 0.3), fuzz=0.25)
-    seg = 8 + 4 * detail
+    seg = 8 + 8 * detail
 
     # main truss along x (~109 m real span)
-    m.box((0, 0, 0), (52, 1.6, 1.6), truss_m, subdiv=detail)
+    m.box((0, 0, 0), (52, 1.6, 1.6), truss_m, subdiv=2 * detail)
 
     # pressurized modules along z
     m.cylinder((0, 0, -28), (0, 0, 24), 3.4, hull, segments=seg)
@@ -139,7 +140,7 @@ def iss_standin_mesh(detail: int = 2) -> MeshData:
     m.cylinder((0, 0, -34), (0, 0, -28), 1.8, gold, segments=seg)
 
     # 4 solar array wing pairs at the truss ends (each wing ~34x12 m)
-    wing = 2 * detail
+    wing = 4 * detail
     for sx in (-1, 1):
         for wx in (34.0, 46.0):
             x = sx * wx
@@ -154,7 +155,7 @@ def iss_standin_mesh(detail: int = 2) -> MeshData:
         x = sx * 14.0
         m.quad((x - 1.5, -1.8, 3), (x + 1.5, -1.8, 3),
                (x + 1.5, -1.8, 25), (x - 1.5, -1.8, 25),
-               radiator, subdiv=detail)
+               radiator, subdiv=2 * detail)
 
     return m.build()
 

@@ -30,6 +30,47 @@ MED_SPHERE = 0
 MED_BOX = 1
 
 
+def _pack_for_kernel(bvh: BVH, v0: np.ndarray, v1: np.ndarray,
+                     v2: np.ndarray):
+    """Build the Pallas traversal tables.
+
+    bvh_pack f32[Bp,16] per node: [minx,miny,minz,maxx,maxy,maxz, skip,
+    leaf_off, leaf_cnt, 0...].  `skip` is the stackless threaded-BVH escape
+    index: with preorder layout (left child == parent+1), skip = node +
+    subtree_size, so traversal is `node+1` on descend and `skip` on
+    miss/leaf — no stack.  Integer fields are stored as exact small floats.
+
+    tri_pack f32[Tp,16] per triangle (in leaf order): [v0(3), e1(3), e2(3),
+    0...] with e = precomputed Moller-Trumbore edges.  Rows padded to a
+    multiple of 8 (sublane tile); padded triangles are degenerate (det 0).
+    """
+    b = bvh.num_nodes
+    size = np.ones(b, np.int64)
+    internal = (bvh.tri_count == 0) & (bvh.left >= 0)
+    for i in range(b - 1, -1, -1):
+        if internal[i]:
+            size[i] = 1 + size[bvh.left[i]] + size[bvh.right[i]]
+    skip = np.arange(b) + size
+
+    bp = max(((b + 7) // 8) * 8, 8)
+    pack = np.zeros((bp, 16), np.float32)
+    pack[:b, 0:3] = bvh.bbox_min
+    pack[:b, 3:6] = bvh.bbox_max
+    pack[:b, 6] = skip.astype(np.float32)
+    pack[:b, 7] = bvh.tri_offset.astype(np.float32)
+    pack[:b, 8] = bvh.tri_count.astype(np.float32)
+    pack[b:, 6] = float(b)  # padded rows escape immediately (never visited)
+
+    t = len(v0)
+    tp = max(((t + 7) // 8) * 8, 8)
+    tpack = np.zeros((tp, 16), np.float32)
+    if t:
+        tpack[:t, 0:3] = v0
+        tpack[:t, 3:6] = v1 - v0
+        tpack[:t, 6:9] = v2 - v0
+    return pack, tpack
+
+
 def _f32(a):
     return jnp.asarray(np.asarray(a, np.float32))
 
@@ -44,6 +85,7 @@ def _i32(a):
              "tri_uv0", "tri_uv1", "tri_uv2", "tri_mat", "tri_tex",
              "bvh_min", "bvh_max", "bvh_left", "bvh_right",
              "bvh_tri_offset", "bvh_tri_count", "tri_indices",
+             "bvh_pack", "tri_pack", "tri_shade", "mat_pack",
              "sph_center", "sph_radius", "sph_mat", "light_idx",
              "mat_type", "mat_albedo", "mat_emissive", "mat_fuzz",
              "mat_ref_idx", "mat_ptex_kind", "mat_ptex_scale",
@@ -84,6 +126,19 @@ class Scene:
     bvh_tri_offset: jnp.ndarray
     bvh_tri_count: jnp.ndarray
     tri_indices: jnp.ndarray
+    # packed VMEM tables for the Pallas traversal kernel (ops/pallas_trace):
+    # bvh_pack f32[Bp,16]: min(3) max(3) skip off cnt pad...; skip-pointer
+    # (stackless threaded) preorder layout; tri_pack f32[Tp,16]:
+    # v0(3) e1(3) e2(3) pad..., triangles in BVH-leaf order.
+    bvh_pack: jnp.ndarray
+    tri_pack: jnp.ndarray
+    # consolidated shading tables: one row-gather per wave instead of many
+    # column gathers (TPU gathers are op-overhead-bound).
+    # tri_shade f32[T,16]: n(3) uv0(2) uv1(2) uv2(2) mat tex pad...
+    # mat_pack f32[M,16]: type albedo(3) emissive(3) fuzz ref_idx
+    #                     ptex_kind ptex_scale ptex_color2(3) pad
+    tri_shade: jnp.ndarray
+    mat_pack: jnp.ndarray
     # spheres (inc/gpu_scene.h:50-55)
     sph_center: jnp.ndarray
     sph_radius: jnp.ndarray
@@ -265,7 +320,26 @@ class SceneBuilder:
 
         bvh: BVH = build_bvh(v0[:n_tris], v1[:n_tris], v2[:n_tris],
                              method=self.bvh_method)
-        tri_indices = bvh.tri_indices if n_tris else np.zeros(1, np.int32)
+        if n_tris:
+            # permute triangles into BVH-leaf order so leaves reference
+            # contiguous rows; tri_indices becomes the identity (the
+            # indirection of gpu_scene.h tri_indices, pre-applied)
+            perm = bvh.tri_indices
+            v0, v1, v2, fn = v0[perm], v1[perm], v2[perm], fn[perm]
+            uv0, uv1, uv2 = uv0[perm], uv1[perm], uv2[perm]
+            tri_mat, tri_tex = tri_mat[perm], tri_tex[perm]
+            tri_indices = np.arange(n_tris, dtype=np.int32)
+        else:
+            tri_indices = np.zeros(1, np.int32)
+        bvh_pack, tri_pack = _pack_for_kernel(bvh, v0[:n_tris], v1[:n_tris],
+                                              v2[:n_tris])
+        tri_shade = np.zeros((max(n_tris, 1), 16), np.float32)
+        tri_shade[:, 0:3] = fn[:max(n_tris, 1)]
+        tri_shade[:, 3:5] = uv0[:max(n_tris, 1)]
+        tri_shade[:, 5:7] = uv1[:max(n_tris, 1)]
+        tri_shade[:, 7:9] = uv2[:max(n_tris, 1)]
+        tri_shade[:, 9] = tri_mat[:max(n_tris, 1)].astype(np.float32)
+        tri_shade[:, 10] = tri_tex[:max(n_tris, 1)].astype(np.float32)
 
         # --- spheres
         sc, sr, sm = [], [], []
@@ -313,6 +387,15 @@ class SceneBuilder:
         mat_ptk = np.asarray([m.ptex_kind for m in mats], np.int32)
         mat_pts = np.asarray([m.ptex_scale for m in mats], np.float32)
         mat_ptc = np.asarray([m.ptex_color2 for m in mats], np.float32)
+        mat_pack = np.zeros((n_mats, 16), np.float32)
+        mat_pack[:, 0] = mat_type.astype(np.float32)
+        mat_pack[:, 1:4] = mat_albedo
+        mat_pack[:, 4:7] = mat_emissive
+        mat_pack[:, 7] = mat_fuzz
+        mat_pack[:, 8] = mat_ref_idx
+        mat_pack[:, 9] = mat_ptk.astype(np.float32)
+        mat_pack[:, 10] = mat_pts
+        mat_pack[:, 11:14] = mat_ptc
 
         # --- emissive sphere lights, in sphere order
         # (the per-bounce scan of src/gpu_render.cu:841-847, hoisted to
@@ -342,6 +425,8 @@ class SceneBuilder:
             bvh_tri_offset=_i32(bvh.tri_offset),
             bvh_tri_count=_i32(bvh.tri_count),
             tri_indices=_i32(tri_indices),
+            bvh_pack=_f32(bvh_pack), tri_pack=_f32(tri_pack),
+            tri_shade=_f32(tri_shade), mat_pack=_f32(mat_pack),
             sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
             sph_mat=_i32(sph_mat), light_idx=_i32(light_arr),
             mat_type=_i32(mat_type), mat_albedo=_f32(mat_albedo),

@@ -82,6 +82,71 @@ def point_camera_at(cam_pos, target=(0.0, 0.0, 0.0), **kw) -> Camera:
     return make_camera(cam_pos, target, vup=(0.0, 1.0, 0.0), **kw)
 
 
+def random_in_unit_disk(state, mask=None, max_tries: int = 64):
+    """Rejection-sample the unit disk (2 draws/attempt), the
+    random_in_unit_disk_device of inc/rtweekend.h used by the thin-lens
+    raygen (inc/camera.h:50)."""
+    import jax.lax as lax
+    from dsrt_tpu.ops import rng as rngmod
+
+    if mask is None:
+        mask = jnp.ones(state.shape, bool)
+
+    def attempt(state, need):
+        x, state = rngmod.draw(state, need)
+        y, state = rngmod.draw(state, need)
+        return x * 2.0 - 1.0, y * 2.0 - 1.0, state
+
+    x0, y0, state = attempt(state, mask)
+
+    def cond(c):
+        i, _, _, _, need = c
+        return jnp.logical_and(i < max_tries, jnp.any(need))
+
+    def body(c):
+        i, x, y, state, need = c
+        cx, cy, state = attempt(state, need)
+        accept = cx * cx + cy * cy < 1.0
+        x = jnp.where(need, cx, x)
+        y = jnp.where(need, cy, y)
+        need = need & ~accept
+        return i + 1, x, y, state, need
+
+    need0 = mask & (x0 * x0 + y0 * y0 >= 1.0)
+    _, x, y, state, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), x0, y0, state, need0))
+    return x, y, state
+
+
+def generate_rays_dof(cam: Camera, px, py, jx, jy, state, mask
+                      ) -> Tuple[V3, V3, jnp.ndarray]:
+    """Thin-lens jittered raygen (generate_camera_ray_device,
+    inc/camera.h:35-61): lens offset = lens_radius * disk sample projected
+    on the camera (u, v) basis.  The reference kernel never uses this path
+    (aperture is 0 in the pipeline, src/main.cpp:260); it exists for API
+    parity and is active when RenderConfig.aperture > 0."""
+    origin0, rd0 = generate_rays(cam, px, py, jx, jy)
+    dx, dy, state = random_in_unit_disk(state, mask)
+    rdx = cam.lens_radius * dx
+    rdy = cam.lens_radius * dy
+    off = V3(cam.u[0] * rdx + cam.v[0] * rdy,
+             cam.u[1] * rdx + cam.v[1] * rdy,
+             cam.u[2] * rdx + cam.v[2] * rdy)
+    origin = origin0 + off
+    rd = rd0 - off  # pixel_pos - origin - offset
+    return origin, rd, state
+
+
+def camera_rays(cam: Camera, px, py, jx, jy, state, mask,
+                aperture_on: bool):
+    """Dispatch pinhole vs thin-lens raygen on the static aperture flag;
+    returns (origin, dir, state) — state advances only on the DOF path."""
+    if aperture_on:
+        return generate_rays_dof(cam, px, py, jx, jy, state, mask)
+    ro, rd = generate_rays(cam, px, py, jx, jy)
+    return ro, rd, state
+
+
 def generate_rays(cam: Camera, px, py, jx, jy) -> Tuple[V3, V3]:
     """Batched jittered raygen.  px/py/jx/jy are same-shaped arrays;
     returns (origin, direction) V3 fields of that shape."""

@@ -1,0 +1,253 @@
+"""Pallas TPU kernel: stackless threaded-BVH packet traversal.
+
+The performance-critical replacement for the XLA packet traversal in
+ops/trace.py (the CUDA megakernel's `bvh_hit_closest`,
+src/gpu_render.cu:387-473, re-designed twice over for TPU):
+
+- the whole scene (BVH nodes + triangles) lives in VMEM for the duration of
+  the kernel — zero HBM traffic per traversal step;
+- one grid step = one packet of 1024 rays shaped (8, 128) — a full VPU tile
+  per vector component;
+- control flow is a single scalar node index per packet over a *skip-pointer
+  (threaded) preorder BVH*: descend -> node+1, miss/leaf -> skip.  No stack,
+  no per-ray state machines;
+- node/triangle fetches are scalar loads from VMEM (9 scalars per node, 9
+  per leaf triangle) broadcast against the packet's lanes;
+- the traversal loop runs entirely on-core: no per-iteration XLA dispatch
+  (the reason the pure-XLA path is ~100x slower).
+
+Semantics match ops/trace.py (same epsilons, `<=` tie acceptance) with two
+benign deviations: leaf visit order is DFS (no per-ray near/far ordering,
+a work heuristic only) and NaN slab corner cases resolve to miss.
+
+VMEM budget: tables are (rows, 16) f32, padded by Mosaic to (rows, 128)
+lanes, i.e. 512 B/row.  ~12 MB budget => ~12k nodes + 12k triangles; larger
+scenes fall back to the XLA path (see `fits_vmem`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.lax as lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dsrt_tpu.ops.linalg import V3
+
+TILE_H = 8
+TILE_W = 128
+# Rays per grid step: BLOCK_H x 128 lanes (BLOCK_H/8 packets fused).  Bigger
+# blocks amortize the per-grid-step pipeline overhead (measured ~47us/step
+# on v5e) at the cost of a larger traversal union per block.
+BLOCK_H = 32
+
+_VMEM_BUDGET_ROWS = 24000  # (Bp + Tp) rows at 512 B/row ~= 12 MB
+
+
+def fits_vmem(scene) -> bool:
+    return (scene.bvh_pack.shape[0] + scene.tri_pack.shape[0]
+            <= _VMEM_BUDGET_ROWS)
+
+
+def backend_is_tpu() -> bool:
+    try:
+        plat = jax.devices()[0].platform
+    except Exception:
+        return False
+    return plat in ("tpu", "axon")
+
+
+def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
+                     dx_ref, dy_ref, dz_ref, act_ref,
+                     t_ref, u_ref, v_ref, id_ref,
+                     *, n_nodes: int, max_leaf: int, t_min: float,
+                     t_max: float, any_hit: bool):
+    ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
+    dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
+    act = act_ref[...] > 0
+
+    inv_dx = 1.0 / dx
+    inv_dy = 1.0 / dy
+    inv_dz = 1.0 / dz
+
+    tmin_f = jnp.float32(t_min)
+    tmax_f = jnp.float32(t_max)
+
+    shape = ox.shape
+    closest0 = jnp.where(act, tmax_f, tmin_f)
+    best_t0 = jnp.full(shape, tmax_f)
+    best_u0 = jnp.zeros(shape, jnp.float32)
+    best_v0 = jnp.zeros(shape, jnp.float32)
+    best_i0 = jnp.full(shape, -1, jnp.int32)
+
+    def cond(c):
+        return c[0] < n_nodes
+
+    def body(c):
+        node, closest, bt, bu, bv, bi = c
+        minx = box_ref[node, 0]
+        miny = box_ref[node, 1]
+        minz = box_ref[node, 2]
+        maxx = box_ref[node, 3]
+        maxy = box_ref[node, 4]
+        maxz = box_ref[node, 5]
+        skip = box_ref[node, 6].astype(jnp.int32)
+        off = box_ref[node, 7].astype(jnp.int32)
+        cnt = box_ref[node, 8].astype(jnp.int32)
+
+        t0 = (minx - ox) * inv_dx
+        t1 = (maxx - ox) * inv_dx
+        lo = jnp.minimum(t0, t1)
+        hi = jnp.maximum(t0, t1)
+        t0 = (miny - oy) * inv_dy
+        t1 = (maxy - oy) * inv_dy
+        lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+        hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+        t0 = (minz - oz) * inv_dz
+        t1 = (maxz - oz) * inv_dz
+        lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+        hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+        lo = jnp.maximum(lo, tmin_f)
+        hi = jnp.minimum(hi, closest)
+        boxhit = (hi > lo) & act
+        enter = jnp.any(boxhit)
+
+        is_leaf = cnt > 0
+
+        def leaf_body(i, lc):
+            closest, bt, bu, bv, bi = lc
+            row = off + i
+
+            def hit_tri(args):
+                closest, bt, bu, bv, bi = args
+                v0x = tri_ref[row, 0]
+                v0y = tri_ref[row, 1]
+                v0z = tri_ref[row, 2]
+                e1x = tri_ref[row, 3]
+                e1y = tri_ref[row, 4]
+                e1z = tri_ref[row, 5]
+                e2x = tri_ref[row, 6]
+                e2y = tri_ref[row, 7]
+                e2z = tri_ref[row, 8]
+                # Moller-Trumbore with precomputed edges
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = jnp.abs(det) >= 1e-8
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                ok = ok & (u >= 0.0) & (u <= 1.0)
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                ok = ok & (v >= 0.0) & (u + v <= 1.0)
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = ok & (t >= tmin_f) & (t <= closest) & act
+                if any_hit:
+                    closest = jnp.where(ok, tmin_f, closest)
+                else:
+                    closest = jnp.where(ok, t, closest)
+                bt = jnp.where(ok, t, bt)
+                bu = jnp.where(ok, u, bu)
+                bv = jnp.where(ok, v, bv)
+                bi = jnp.where(ok, row, bi)
+                return closest, bt, bu, bv, bi
+
+            return lax.cond(i < cnt, hit_tri, lambda a: a,
+                            (closest, bt, bu, bv, bi))
+
+        def do_leaf(args):
+            return lax.fori_loop(0, max_leaf, leaf_body, args)
+
+        closest, bt, bu, bv, bi = lax.cond(
+            enter & is_leaf, do_leaf, lambda a: a,
+            (closest, bt, bu, bv, bi))
+
+        descend = enter & jnp.logical_not(is_leaf)
+        node_next = jnp.where(descend, node + 1, skip)
+        if any_hit:
+            # all active lanes occluded -> escape
+            alive = jnp.any(closest > tmin_f)
+            node_next = jnp.where(alive, node_next, n_nodes)
+        return node_next, closest, bt, bu, bv, bi
+
+    _, closest, bt, bu, bv, bi = lax.while_loop(
+        cond, body, (jnp.int32(0), closest0, best_t0, best_u0, best_v0,
+                     best_i0))
+
+    t_ref[...] = bt
+    u_ref[...] = bu
+    v_ref[...] = bv
+    id_ref[...] = bi
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "t_min", "t_max",
+                                   "any_hit", "k"))
+def _run_traverse(bvh_pack, tri_pack, ox, oy, oz, dx, dy, dz, act,
+                  n_nodes: int, max_leaf: int, t_min: float, t_max: float,
+                  any_hit: bool, k: int):
+    kern = partial(_traverse_kernel, n_nodes=n_nodes, max_leaf=max_leaf,
+                   t_min=t_min, t_max=t_max, any_hit=any_hit)
+    ray_spec = pl.BlockSpec((BLOCK_H, TILE_W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = (k * TILE_H, TILE_W)
+    n_blocks = (k * TILE_H) // BLOCK_H
+    flops_est = int(n_nodes) * 60 * TILE_H * TILE_W  # rough
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[full, full] + [ray_spec] * 7,
+        out_specs=(ray_spec, ray_spec, ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(flops=flops_est,
+                                      bytes_accessed=out_shape[0] * 128 * 44,
+                                      transcendentals=0),
+    )(bvh_pack, tri_pack, ox, oy, oz, dx, dy, dz, act)
+
+
+def traverse(scene, ro: V3, rd: V3, active, t_min: float, t_max: float,
+             any_hit: bool = False):
+    """Traverse for (K, P) lane grids (P = 1024).
+
+    Returns (t, u, v, tri) arrays of shape (K, P); tri == -1 means miss.
+    """
+    K, P = ro.x.shape
+    assert P == TILE_H * TILE_W, P
+    # pad the packet axis so K*8 divides BLOCK_H
+    group = BLOCK_H // TILE_H
+    Kp = ((K + group - 1) // group) * group
+    pad = Kp - K
+
+    def fold(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        return a.reshape(Kp * TILE_H, TILE_W)
+
+    act_f = fold(active.astype(jnp.float32))
+    t, u, v, tri = _run_traverse(
+        scene.bvh_pack, scene.tri_pack,
+        fold(ro.x), fold(ro.y), fold(ro.z),
+        fold(rd.x), fold(rd.y), fold(rd.z), act_f,
+        n_nodes=scene.n_nodes, max_leaf=scene.max_leaf,
+        t_min=float(t_min), t_max=float(t_max), any_hit=any_hit, k=Kp)
+
+    def unfold(a):
+        return a.reshape(Kp, P)[:K]
+
+    return unfold(t), unfold(u), unfold(v), unfold(tri)

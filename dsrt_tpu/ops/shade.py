@@ -93,10 +93,25 @@ def sample_sphere_light_direction(center: V3, radius, origin: V3, state, mask):
     return wi, pdf, state
 
 
+import os
+
+_DISABLE_PALLAS = os.environ.get("DSRT_DISABLE_PALLAS", "") == "1"
+
+
+def _use_pallas(scene) -> bool:
+    from dsrt_tpu.ops import pallas_trace
+    return (not _DISABLE_PALLAS and scene.n_tris > 0
+            and pallas_trace.fits_vmem(scene)
+            and pallas_trace.backend_is_tpu())
+
+
 def _vmapped_scene_hit(scene, ro, rd, t_min, t_max, active, state,
                        any_hit=False):
-    """scene_hit over a (K, P) lane grid: vmap the per-packet kernel over
-    the leading packet axis."""
+    """scene_hit over a (K, P) lane grid: the Pallas traversal kernel on
+    TPU (VMEM-resident scene), else vmap of the per-packet XLA kernel."""
+    if _use_pallas(scene):
+        return tracemod.scene_hit_flat(scene, ro, rd, t_min, t_max, active,
+                                       state, any_hit=any_hit)
     if scene.n_media > 0:
         fn = lambda ox, oy, oz, dx, dy, dz, act, st: tracemod.scene_hit(
             scene, V3(ox, oy, oz), V3(dx, dy, dz), t_min, t_max, act, st,
@@ -111,35 +126,33 @@ def _vmapped_scene_hit(scene, ro, rd, t_min, t_max, active, state,
     return hit, state
 
 
-def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0,
+def bounce_step(scene, cfg, L, thr, ro: V3, rd: V3, state, alive, rr_mask,
                 count_rays: bool = False):
-    """Trace one sample per lane to completion; lanes shaped (K, P).
+    """One path segment for every lane: Russian roulette (on `rr_mask`
+    lanes), scene intersection, and the full reference shading chain
+    (emission, albedo/texture, specular, sun MIS, mixture sampling).
 
-    Returns (L clamped to [0,1] per channel, new rng state) — and, when
-    `count_rays` (static) is set, a third element: the exact number of rays
-    traced (scene-intersection queries: primary/bounce + shadow), the
-    denominator-free Mrays metric input.
+    Shared by the two execution strategies: the sample-sequential parity
+    loop (`trace_paths`) and the persistent-wavefront regeneration loop
+    (ops/wavefront.py), which differ only in how depth/termination and
+    sample banking are orchestrated.
+
+    Returns (L, thr, ro, rd, state, alive, nrays_inc).
     """
     shape = ro.x.shape
-    zero = jnp.zeros(shape, jnp.float32)
     one = jnp.ones(shape, jnp.float32)
-
-    max_depth = cfg.max_depth if cfg.max_depth > 0 else 12
-    t_min = jnp.float32(cfg.hit_eps)
-    t_max = jnp.float32(cfg.hit_tmax)
-
+    # python floats: the Pallas traversal takes these as static params
+    t_min = float(cfg.hit_eps)
+    t_max = float(cfg.hit_tmax)
     sun_on = scene.sun_enabled
     # Ldir = normalize(-sun_dir): the verbatim negation quirk
     # (src/gpu_render.cu:802-806).
     sdir = normalize(V3(-scene.sun_dir[0], -scene.sun_dir[1],
                         -scene.sun_dir[2]))
+    nrays = jnp.int32(0)
 
-    def bounce(depth, carry):
-        L, thr, ro, rd, state, alive, nrays = carry
-
+    if True:
         # ---- 0. Russian roulette -------------------------------------
-        do_rr = depth >= cfg.rr_start_depth
-        rr_mask = alive & do_rr
         u_rr, state = rngmod.draw(state, rr_mask)
         p_rr = jnp.minimum(maxc(thr), cfg.rr_max_p)
         killed = rr_mask & (u_rr > p_rr)
@@ -174,10 +187,11 @@ def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0,
         else:
             surf = alive
 
-        mtype = scene.mat_type[hit.mat]
-        m_emis = V3(scene.mat_emissive[hit.mat, 0],
-                    scene.mat_emissive[hit.mat, 1],
-                    scene.mat_emissive[hit.mat, 2])
+        # one consolidated material row gather (type, albedo, emissive,
+        # fuzz, ref_idx in a single fetch — TPU gathers are overhead-bound)
+        mp = scene.mat_pack[hit.mat]
+        mtype = mp[..., 0].astype(jnp.int32)
+        m_emis = V3(mp[..., 4], mp[..., 5], mp[..., 6])
 
         # ---- 2. emission ---------------------------------------------
         emis_mask = surf & (mtype == DIFFUSE_LIGHT)
@@ -186,16 +200,9 @@ def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0,
         surf = surf & ~emis_mask
 
         # ---- 3. albedo ------------------------------------------------
-        albedo = V3(scene.mat_albedo[hit.mat, 0], scene.mat_albedo[hit.mat, 1],
-                    scene.mat_albedo[hit.mat, 2])
+        albedo = V3(mp[..., 1], mp[..., 2], mp[..., 3])
         if scene.has_image_tex:
-            tri = jnp.clip(hit.tri, 0, scene.tri_uv0.shape[0] - 1)
-            wgt = 1.0 - hit.u - hit.v
-            u_tex = (wgt * scene.tri_uv0[tri, 0] + hit.u * scene.tri_uv1[tri, 0]
-                     + hit.v * scene.tri_uv2[tri, 0])
-            v_tex = (wgt * scene.tri_uv0[tri, 1] + hit.u * scene.tri_uv1[tri, 1]
-                     + hit.v * scene.tri_uv2[tri, 1])
-            tex_rgb = texmod.sample_image(scene, hit.tex, u_tex, v_tex)
+            tex_rgb = texmod.sample_image(scene, hit.tex, hit.tu, hit.tv)
             has_tex = hit.tex >= 0
             albedo = vwhere(surf & has_tex, albedo * tex_rgb, albedo)
         if scene.has_ptex:
@@ -208,14 +215,14 @@ def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0,
         # metal (src/gpu_render.cu:603-619)
         unit_in = normalize(rd)
         refl = reflect(unit_in, n)
-        fuzz = jnp.clip(scene.mat_fuzz[hit.mat], 0.0, 1.0)
+        fuzz = jnp.clip(mp[..., 7], 0.0, 1.0)
         fz, state = rngmod.random_in_unit_sphere(state, metal_mask)
         metal_dir = refl + fz * fuzz
         metal_ok = dot(metal_dir, n) > 0.0
         alive = alive & ~(metal_mask & ~metal_ok)
 
         # dielectric (src/gpu_render.cu:621-661)
-        eta = scene.mat_ref_idx[hit.mat]
+        eta = mp[..., 8]
         eta = jnp.where((eta <= 0.0) | ~jnp.isfinite(eta), 1.5, eta)
         ratio = jnp.where(hit.front, 1.0 / eta, eta)
         cos_t = jnp.minimum(dot(-unit_in, n), 1.0)
@@ -306,7 +313,22 @@ def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0,
             ro = vwhere(move, p, ro)
             rd = vwhere(move, dir_s, rd)
 
-        return L, thr, ro, rd, state, alive, nrays
+    return L, thr, ro, rd, state, alive, nrays
+
+
+def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0,
+                count_rays: bool = False):
+    """Trace one sample per lane to completion; lanes shaped (K, P).
+
+    Returns (L clamped to [0,1] per channel, new rng state) — and, when
+    `count_rays` (static) is set, a third element: the exact number of rays
+    traced (scene-intersection queries: primary/bounce + shadow), the
+    denominator-free Mrays metric input.
+    """
+    shape = ro.x.shape
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+    max_depth = cfg.max_depth if cfg.max_depth > 0 else 12
 
     def cond(dc):
         depth, carry = dc
@@ -314,7 +336,12 @@ def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0,
 
     def wl_body(dc):
         depth, carry = dc
-        return depth + 1, bounce(depth, carry)
+        L, thr, ro, rd, state, alive, nrays = carry
+        rr_mask = alive & (depth >= cfg.rr_start_depth)
+        L, thr, ro, rd, state, alive, nr = bounce_step(
+            scene, cfg, L, thr, ro, rd, state, alive, rr_mask,
+            count_rays=count_rays)
+        return depth + 1, (L, thr, ro, rd, state, alive, nrays + nr)
 
     init = (V3(zero, zero, zero), V3(one, one, one), ro, rd, state, active0,
             jnp.int32(0))

@@ -57,6 +57,8 @@ class Hit(NamedTuple):
     tri: jnp.ndarray        # i32 triangle index (-1 sphere/medium)
     u: jnp.ndarray          # barycentric u
     v: jnp.ndarray          # barycentric v
+    tu: jnp.ndarray         # interpolated texture u (triangles only)
+    tv: jnp.ndarray         # interpolated texture v
     medium: jnp.ndarray     # i32 medium index (-1 = surface hit)
 
     @property
@@ -123,7 +125,7 @@ def packet_traverse(scene, ro: V3, rd: V3, t_min, t_max, active,
         nx=f0, ny=f0, nz=f0,
         front=jnp.zeros(P, bool),
         mat=jnp.zeros(P, jnp.int32),
-        tex=i_neg, tri=i_neg, u=f0, v=f0,
+        tex=i_neg, tri=i_neg, u=f0, v=f0, tu=f0, tv=f0,
     )
 
     rep = 0  # representative lane for near/far ordering (perf-only choice)
@@ -180,6 +182,13 @@ def packet_traverse(scene, ro: V3, rd: V3, t_min, t_max, active,
                 st["tri"] = jnp.where(ok, tri_idx.astype(jnp.int32), st["tri"])
                 st["u"] = jnp.where(ok, u, st["u"])
                 st["v"] = jnp.where(ok, v, st["v"])
+                uv0 = scene.tri_uv0[tri_idx]
+                uv1 = scene.tri_uv1[tri_idx]
+                uv2 = scene.tri_uv2[tri_idx]
+                st["tu"] = jnp.where(ok, w * uv0[0] + u * uv1[0] + v * uv2[0],
+                                     st["tu"])
+                st["tv"] = jnp.where(ok, w * uv0[1] + u * uv1[1] + v * uv2[1],
+                                     st["tv"])
                 return st
 
             return lax.fori_loop(0, max_leaf, tri_body, st)
@@ -242,7 +251,7 @@ def packet_traverse(scene, ro: V3, rd: V3, t_min, t_max, active,
     t_out = jnp.where(st["hit"], st["closest"], jnp.asarray(t_max, jnp.float32))
     return Hit(hit=st["hit"], t=t_out, nx=st["nx"], ny=st["ny"], nz=st["nz"],
                front=st["front"], mat=st["mat"], tex=st["tex"], tri=st["tri"],
-               u=st["u"], v=st["v"],
+               u=st["u"], v=st["v"], tu=st["tu"], tv=st["tv"],
                medium=jnp.full(ro.x.shape, -1, jnp.int32))
 
 
@@ -290,6 +299,8 @@ def sphere_pass(scene, ro: V3, rd: V3, t_min, hit: Hit, active) -> Hit:
             tri=jnp.where(ok, -1, hit.tri),
             u=jnp.where(ok, 0.0, hit.u),
             v=jnp.where(ok, 0.0, hit.v),
+            tu=jnp.where(ok, 0.0, hit.tu),
+            tv=jnp.where(ok, 0.0, hit.tv),
             medium=jnp.where(ok, -1, hit.medium),
         )
         closest = jnp.where(ok, root, closest)
@@ -372,6 +383,8 @@ def media_pass(scene, ro: V3, rd: V3, t_min, hit: Hit, active, state):
             tri=jnp.where(ok, -1, hit.tri),
             u=jnp.where(ok, 0.0, hit.u),
             v=jnp.where(ok, 0.0, hit.v),
+            tu=jnp.where(ok, 0.0, hit.tu),
+            tv=jnp.where(ok, 0.0, hit.tv),
             medium=jnp.where(ok, i, hit.medium),
         )
         return new, state
@@ -385,6 +398,68 @@ def scene_hit(scene, ro: V3, rd: V3, t_min, t_max, active, state=None,
     """Full scene intersection for one packet: BVH triangles, then spheres,
     then media.  Returns (Hit, state); `state` unchanged when no media."""
     hit = packet_traverse(scene, ro, rd, t_min, t_max, active, any_hit=any_hit)
+    hit = sphere_pass(scene, ro, rd, t_min, hit, active)
+    if scene.n_media > 0:
+        assert state is not None, "media require an RNG state"
+        hit, state = media_pass(scene, ro, rd, t_min, hit, active, state)
+    return hit, state
+
+
+def hit_from_kernel(scene, ro: V3, rd: V3, t, u, v, tri, t_max) -> Hit:
+    """Assemble a full Hit from the Pallas traversal kernel's raw output
+    with ONE consolidated row gather from tri_shade (normal + uvs + mat +
+    tex in a single (.,16) fetch — TPU gathers are op-overhead-bound)."""
+    hitmask = tri >= 0
+    trc = jnp.clip(tri, 0, scene.tri_shade.shape[0] - 1)
+    ts = scene.tri_shade[trc]  # (..., 16)
+    nx, ny, nz = ts[..., 0], ts[..., 1], ts[..., 2]
+    w = 1.0 - u - v
+    tu = w * ts[..., 3] + u * ts[..., 5] + v * ts[..., 7]
+    tv = w * ts[..., 4] + u * ts[..., 6] + v * ts[..., 8]
+    mat = ts[..., 9].astype(jnp.int32)
+    tex = ts[..., 10].astype(jnp.int32)
+    front = (rd.x * nx + rd.y * ny + rd.z * nz) < 0.0
+    sgn = jnp.where(front, 1.0, -1.0)
+    zero = jnp.zeros_like(t)
+    return Hit(
+        hit=hitmask,
+        t=jnp.where(hitmask, t, jnp.asarray(t_max, jnp.float32)),
+        nx=jnp.where(hitmask, sgn * nx, zero),
+        ny=jnp.where(hitmask, sgn * ny, zero),
+        nz=jnp.where(hitmask, sgn * nz, zero),
+        front=jnp.where(hitmask, front, False),
+        mat=jnp.where(hitmask, mat, 0),
+        tex=jnp.where(hitmask, tex, -1),
+        tri=tri,
+        u=jnp.where(hitmask, u, 0.0),
+        v=jnp.where(hitmask, v, 0.0),
+        tu=jnp.where(hitmask, tu, 0.0),
+        tv=jnp.where(hitmask, tv, 0.0),
+        medium=jnp.full(t.shape, -1, jnp.int32),
+    )
+
+
+def scene_hit_flat(scene, ro: V3, rd: V3, t_min, t_max, active, state=None,
+                   any_hit: bool = False):
+    """scene_hit over a full (K, P) lane grid using the Pallas traversal
+    kernel for triangles (sphere/media passes are shape-polymorphic)."""
+    from dsrt_tpu.ops import pallas_trace
+    if scene.n_tris > 0:
+        t, u, v, tri = pallas_trace.traverse(scene, ro, rd, active,
+                                             float(t_min), float(t_max),
+                                             any_hit=any_hit)
+        hit = hit_from_kernel(scene, ro, rd, t, u, v, tri, t_max)
+    else:
+        shape = ro.x.shape
+        f0 = jnp.zeros(shape, jnp.float32)
+        hit = Hit(hit=jnp.zeros(shape, bool),
+                  t=jnp.full(shape, t_max, jnp.float32),
+                  nx=f0, ny=f0, nz=f0, front=jnp.zeros(shape, bool),
+                  mat=jnp.zeros(shape, jnp.int32),
+                  tex=jnp.full(shape, -1, jnp.int32),
+                  tri=jnp.full(shape, -1, jnp.int32), u=f0, v=f0,
+                  tu=f0, tv=f0,
+                  medium=jnp.full(shape, -1, jnp.int32))
     hit = sphere_pass(scene, ro, rd, t_min, hit, active)
     if scene.n_media > 0:
         assert state is not None, "media require an RNG state"

@@ -34,7 +34,7 @@ from jax.experimental.shard_map import shard_map
 
 from dsrt_tpu.config import RenderConfig
 from dsrt_tpu.ops import rng as rngmod
-from dsrt_tpu.ops.camera import Camera, generate_rays
+from dsrt_tpu.ops.camera import Camera, camera_rays
 from dsrt_tpu.ops.linalg import V3
 from dsrt_tpu.ops.shade import trace_paths
 from dsrt_tpu.render import PACKET, lane_layout, lanes_to_image
@@ -73,7 +73,8 @@ def _render_sharded(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
             sf = s_global.astype(jnp.float32)
             jx = (sf + jxu) / jnp.float32(spp_total)
             jy = (sf + jyu) / jnp.float32(spp_total)
-            ro, rd = generate_rays(cam, px, py, jx, jy)
+            ro, rd, state = camera_rays(cam, px, py, jx, jy, state, valid,
+                                        cfg.aperture > 0)
             L, state = trace_paths(scene, cfg, ro, rd, state, valid)
             return (accum + L, state)
 

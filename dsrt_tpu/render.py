@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from dsrt_tpu.config import RenderConfig
 from dsrt_tpu.ops import rng as rngmod
-from dsrt_tpu.ops.camera import Camera, generate_rays
+from dsrt_tpu.ops.camera import Camera, camera_rays, generate_rays
 from dsrt_tpu.ops.linalg import V3
 from dsrt_tpu.ops.shade import trace_paths
 
@@ -76,7 +76,8 @@ def _render_lanes(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
         sf = s.astype(jnp.float32)
         jx = (sf + jxu) / jnp.float32(spp)
         jy = (sf + jyu) / jnp.float32(spp)
-        ro, rd = generate_rays(cam, px, py, jx, jy)
+        ro, rd, state = camera_rays(cam, px, py, jx, jy, state, valid,
+                                    cfg.aperture > 0)
         L, state = trace_paths(scene, cfg, ro, rd, state, valid)
         return (accum + L, state)
 
@@ -100,15 +101,136 @@ def _render_lanes(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
     return img
 
 
-def render_frame(scene, cam: Camera, cfg: RenderConfig | None = None
-                 ) -> np.ndarray:
-    """Render one frame; returns (H, W, 3) uint8 (row 0 = top)."""
+def render_frame(scene, cam: Camera, cfg: RenderConfig | None = None,
+                 spp_batch: int = 1) -> np.ndarray:
+    """Render one frame; returns (H, W, 3) uint8 (row 0 = top).
+
+    spp_batch = 1 (default): samples per pixel run sequentially on one LCG
+    stream — bit-identical to the CUDA reference.  spp_batch = B > 1:
+    throughput mode — B samples per pixel are traced concurrently as extra
+    lane packets with decorrelated per-slot streams (statistically
+    equivalent; the `rng_mode` knob the reference reserved unimplemented,
+    inc/gpu_scene.h:103).  B must divide spp.
+    """
     if cfg is None:
         cfg = RenderConfig(width=cam.width, height=cam.height)
     px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
-    img = _render_lanes(scene, cam, jnp.asarray(px), jnp.asarray(py),
-                        jnp.asarray(valid), cfg, ty, tx)
+    if spp_batch <= 1:
+        img = _render_lanes(scene, cam, jnp.asarray(px), jnp.asarray(py),
+                            jnp.asarray(valid), cfg, ty, tx)
+    else:
+        spp = cfg.resolved_spp()
+        if spp % spp_batch != 0:
+            raise ValueError(f"spp_batch={spp_batch} must divide spp={spp}")
+        img = _render_lanes_batched(scene, cam, jnp.asarray(px),
+                                    jnp.asarray(py), jnp.asarray(valid),
+                                    cfg, ty, tx, spp_batch)
     return np.asarray(jax.device_get(img))
+
+
+SLOT_SEED_MIX = 0x9E3779B9  # golden-ratio mix for per-slot decorrelation
+
+
+def render_frame_wavefront(scene, cam: Camera, cfg: RenderConfig,
+                           spp_batch: int = 8) -> np.ndarray:
+    """Throughput-mode render via the persistent wavefront with per-lane
+    sample regeneration (ops/wavefront.py).  `spp_batch` concurrent sample
+    slots per pixel; must divide spp.  Statistically equivalent to the
+    parity renderer (decorrelated RNG slots)."""
+    spp = cfg.resolved_spp()
+    if spp % spp_batch != 0:
+        raise ValueError(f"spp_batch={spp_batch} must divide spp={spp}")
+    px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
+    k = px.shape[0]
+    pxb = jnp.tile(jnp.asarray(px), (spp_batch, 1))
+    pyb = jnp.tile(jnp.asarray(py), (spp_batch, 1))
+    validb = jnp.tile(jnp.asarray(valid), (spp_batch, 1))
+    slot = jnp.repeat(jnp.arange(spp_batch, dtype=jnp.uint32), k)[:, None]
+    slot = jnp.broadcast_to(slot, pxb.shape)
+    img = _render_wavefront(scene, cam, pxb, pyb, validb, slot, cfg, ty, tx,
+                            spp_batch)
+    return np.asarray(jax.device_get(img))
+
+
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "batch"))
+def _render_wavefront(scene, cam: Camera, pxb, pyb, validb, slot,
+                      cfg: RenderConfig, ty: int, tx: int, batch: int):
+    from dsrt_tpu.ops.wavefront import trace_accumulate
+    spp = cfg.resolved_spp()
+    k = pxb.shape[0] // batch
+    accum, _ = trace_accumulate(scene, cfg, cam, pxb, pyb, validb, slot,
+                                spp // batch)
+
+    def fold(c):
+        return c.reshape(batch, k, PACKET).sum(axis=0)
+
+    inv_spp = jnp.float32(1.0 / spp)
+    inv_gamma = jnp.float32(1.0 / cfg.gamma)
+
+    def tonemap(c):
+        c = fold(c) * inv_spp
+        c = jnp.maximum(c, 0.0)
+        c = jnp.minimum(c, cfg.firefly_clamp)
+        c = jnp.power(c, inv_gamma)
+        c = jnp.clip(c, 0.0, 1.0)
+        return (255.99 * c).astype(jnp.uint8)
+
+    chans = [tonemap(accum.x), tonemap(accum.y), tonemap(accum.z)]
+    padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
+    return padded[:cfg.height, :cfg.width][::-1]
+
+
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "batch"))
+def _render_lanes_batched(scene, cam: Camera, px, py, valid,
+                          cfg: RenderConfig, ty: int, tx: int, batch: int):
+    """Throughput mode: lanes (B*K, P); slot b traces sample strata
+    s = i*B + b, so the bounce-loop tail is amortized over B samples."""
+    spp = cfg.resolved_spp()
+    iters = spp // batch
+
+    k = px.shape[0]
+    pxb = jnp.tile(px, (batch, 1))
+    pyb = jnp.tile(py, (batch, 1))
+    validb = jnp.tile(valid, (batch, 1))
+    slot = jnp.repeat(jnp.arange(batch, dtype=jnp.uint32), k)[:, None]
+
+    seed = rngmod.seed_pixels(pxb, pyb, cam.width, scene.seed)
+    state = seed ^ (slot * jnp.uint32(SLOT_SEED_MIX))
+    zero = jnp.zeros(pxb.shape, jnp.float32)
+
+    def sample_body(i, carry):
+        accum, state = carry
+        jxu, state = rngmod.draw(state, validb)
+        jyu, state = rngmod.draw(state, validb)
+        s_global = (i * batch).astype(jnp.float32) + slot.astype(jnp.float32)
+        jx = (s_global + jxu) / jnp.float32(spp)
+        jy = (s_global + jyu) / jnp.float32(spp)
+        ro, rd, state = camera_rays(cam, pxb, pyb, jx, jy, state, validb,
+                                    cfg.aperture > 0)
+        L, state = trace_paths(scene, cfg, ro, rd, state, validb)
+        return (accum + L, state)
+
+    accum, _ = jax.lax.fori_loop(
+        0, iters, sample_body, (V3(zero, zero, zero), state))
+
+    # fold the slot axis
+    def fold(c):
+        return c.reshape(batch, k, PACKET).sum(axis=0)
+
+    inv_spp = jnp.float32(1.0 / spp)
+    inv_gamma = jnp.float32(1.0 / cfg.gamma)
+
+    def tonemap(c):
+        c = fold(c) * inv_spp
+        c = jnp.maximum(c, 0.0)
+        c = jnp.minimum(c, cfg.firefly_clamp)
+        c = jnp.power(c, inv_gamma)
+        c = jnp.clip(c, 0.0, 1.0)
+        return (255.99 * c).astype(jnp.uint8)
+
+    chans = [tonemap(accum.x), tonemap(accum.y), tonemap(accum.z)]
+    padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
+    return padded[:cfg.height, :cfg.width][::-1]
 
 
 def render_radiance(scene, cam: Camera, cfg: RenderConfig) -> np.ndarray:
@@ -134,7 +256,8 @@ def _render_lanes_radiance(scene, cam, px, py, valid, cfg: RenderConfig,
         sf = s.astype(jnp.float32)
         jx = (sf + jxu) / jnp.float32(spp)
         jy = (sf + jyu) / jnp.float32(spp)
-        ro, rd = generate_rays(cam, px, py, jx, jy)
+        ro, rd, state = camera_rays(cam, px, py, jx, jy, state, valid,
+                                    cfg.aperture > 0)
         L, state = trace_paths(scene, cfg, ro, rd, state, valid)
         return (accum + L, state)
 

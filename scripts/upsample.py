@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Super-resolution post-process for rendered frames.
+
+Equivalent of the reference's scripts/upsample.py (Real-ESRGAN x2/x4,
+RRDBNet-23, auto-downloaded weights, fp16 on GPU, upsample.py:26-100).
+Real-ESRGAN needs packages (realesrgan/basicsr) and network weight
+downloads that are not available in a hermetic environment, so this script
+layers fallbacks:
+
+1. realesrgan (if importable + weights cached locally) — reference parity;
+2. torch bicubic upsampling (always available with CPU torch);
+3. PIL bicubic.
+
+Usage: python scripts/upsample.py --in dir_or_image --out out_dir
+       [--scale 4] [--backend auto|realesrgan|torch|pil]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+
+def build_realesrgan(scale: int):
+    from basicsr.archs.rrdbnet_arch import RRDBNet
+    from realesrgan import RealESRGANer
+    import torch
+
+    name = f"RealESRGAN_x{scale}plus"
+    model = RRDBNet(num_in_ch=3, num_out_ch=3, num_feat=64, num_block=23,
+                    num_grow_ch=32, scale=scale)
+    weights = os.path.expanduser(f"~/.cache/realesrgan/{name}.pth")
+    if not os.path.exists(weights):
+        raise FileNotFoundError(f"weights not cached at {weights}")
+    half = torch.cuda.is_available()
+    return RealESRGANer(scale=scale, model_path=weights, model=model,
+                        half=half)
+
+
+def upsample_torch(img, scale: int):
+    import numpy as np
+    import torch
+    t = torch.from_numpy(img.transpose(2, 0, 1)[None].astype("float32") / 255)
+    out = torch.nn.functional.interpolate(
+        t, scale_factor=scale, mode="bicubic", align_corners=False)
+    out = out.clamp(0, 1).numpy()[0].transpose(1, 2, 0)
+    return (out * 255 + 0.5).astype(np.uint8)
+
+
+def upsample_pil(img, scale: int):
+    import numpy as np
+    from PIL import Image
+    h, w = img.shape[:2]
+    return np.asarray(Image.fromarray(img).resize(
+        (w * scale, h * scale), Image.BICUBIC))
+
+
+def process_folder(in_path: str, out_dir: str, scale: int = 4,
+                   backend: str = "auto") -> int:
+    from dsrt_tpu.utils.image_io import load_image_rgb8, write_png
+
+    os.makedirs(out_dir, exist_ok=True)
+    if os.path.isdir(in_path):
+        files = sorted(glob.glob(os.path.join(in_path, "*.png")))
+    else:
+        files = [in_path]
+
+    upsampler = None
+    if backend in ("auto", "realesrgan"):
+        try:
+            upsampler = build_realesrgan(scale)
+            backend = "realesrgan"
+        except Exception as e:
+            if backend == "realesrgan":
+                raise
+            print(f"realesrgan unavailable ({e}); falling back", file=sys.stderr)
+            backend = "torch"
+
+    n = 0
+    for f in files:
+        img = load_image_rgb8(f)
+        if backend == "realesrgan":
+            out, _ = upsampler.enhance(img[:, :, ::-1], outscale=scale)
+            out = out[:, :, ::-1]
+        elif backend == "torch":
+            try:
+                out = upsample_torch(img, scale)
+            except ImportError:
+                out = upsample_pil(img, scale)
+        else:
+            out = upsample_pil(img, scale)
+        write_png(os.path.join(out_dir, os.path.basename(f)), out)
+        n += 1
+    print(f"[+] upsampled {n} image(s) x{scale} via {backend} -> {out_dir}")
+    return n
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--in", dest="in_path", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--scale", type=int, default=4, choices=(2, 4))
+    p.add_argument("--backend", default="auto",
+                   choices=("auto", "realesrgan", "torch", "pil"))
+    args = p.parse_args(argv)
+    process_folder(args.in_path, args.out, args.scale, args.backend)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
