@@ -34,7 +34,7 @@ from dsrt_tpu.config import RenderConfig
 from dsrt_tpu.models.materials import Material
 from dsrt_tpu.models.scene import SceneBuilder
 from dsrt_tpu.ops.camera import point_camera_at
-from dsrt_tpu.render import render_frame
+from dsrt_tpu.render import render_frame, render_frame_wavefront
 from dsrt_tpu.utils.image_io import write_png, write_ppm
 from dsrt_tpu.utils.pose import default_pose, read_pose_file
 from dsrt_tpu.utils.timing import StageTimer, estimate_rays, mrays_per_sec
@@ -65,6 +65,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--standin_detail", type=int, default=2,
                    help="procedural ISS stand-in detail when no --obj")
     p.add_argument("--bvh", choices=["median", "sah"], default="sah")
+    p.add_argument("--mode", choices=["parity", "wavefront"],
+                   default="wavefront",
+                   help="parity: sequential per-pixel LCG (bit-identical to "
+                        "the CUDA reference); wavefront: regeneration "
+                        "renderer (faster, statistically equivalent)")
+    p.add_argument("--spp_batch", type=int, default=8,
+                   help="concurrent sample slots per pixel (wavefront mode)")
     # frame control
     p.add_argument("--start_frame", type=int, default=0)
     p.add_argument("--resume", action="store_true",
@@ -155,7 +162,14 @@ def run(args) -> int:
             scene, sun_dir=np.asarray(frame.sun_dir_model, np.float32))
 
         t0 = time.perf_counter()
-        img = render_frame(frame_scene, cam, cfg)
+        if args.mode == "wavefront":
+            batch = args.spp_batch
+            while args.spp % batch != 0:
+                batch //= 2
+            img = render_frame_wavefront(frame_scene, cam, cfg,
+                                         spp_batch=max(batch, 1))
+        else:
+            img = render_frame(frame_scene, cam, cfg)
         dt = time.perf_counter() - t0
         timer.log("render", dt)
         nrays = estimate_rays(args.width, args.height, args.spp)
