@@ -71,6 +71,16 @@ def _pack_for_kernel(bvh: BVH, v0: np.ndarray, v1: np.ndarray,
     return pack, tpack
 
 
+def _pack8(rows16: np.ndarray) -> np.ndarray:
+    """(N,16) row table -> (ceil(N/8),128): record j of row r occupies
+    lanes [16j,16j+16) — 8 records per VMEM row (64 B/record)."""
+    n = rows16.shape[0]
+    n8 = ((n + 7) // 8) * 8
+    padded = np.zeros((n8, 16), rows16.dtype)
+    padded[:n] = rows16
+    return padded.reshape(n8 // 8, 128)
+
+
 def _f32(a):
     return jnp.asarray(np.asarray(a, np.float32))
 
@@ -85,7 +95,8 @@ def _i32(a):
              "tri_uv0", "tri_uv1", "tri_uv2", "tri_mat", "tri_tex",
              "bvh_min", "bvh_max", "bvh_left", "bvh_right",
              "bvh_tri_offset", "bvh_tri_count", "tri_indices",
-             "bvh_pack", "tri_pack", "tri_shade", "mat_pack",
+             "bvh_pack", "tri_pack", "bvh_pk8", "tri_pk8",
+             "tri_shade", "mat_pack",
              "sph_center", "sph_radius", "sph_mat", "light_idx",
              "mat_type", "mat_albedo", "mat_emissive", "mat_fuzz",
              "mat_ref_idx", "mat_ptex_kind", "mat_ptex_scale",
@@ -139,6 +150,11 @@ class Scene:
     #                     ptex_kind ptex_scale ptex_color2(3) pad
     tri_shade: jnp.ndarray
     mat_pack: jnp.ndarray
+    # dense-packed variants (8 records per 128-lane row) for scenes whose
+    # row tables exceed the ~16 MB VMEM ceiling: 64 B/record instead of
+    # 512 B (see ops/pallas_trace.py packed mode).
+    bvh_pk8: jnp.ndarray
+    tri_pk8: jnp.ndarray
     # spheres (inc/gpu_scene.h:50-55)
     sph_center: jnp.ndarray
     sph_radius: jnp.ndarray
@@ -333,6 +349,8 @@ class SceneBuilder:
             tri_indices = np.zeros(1, np.int32)
         bvh_pack, tri_pack = _pack_for_kernel(bvh, v0[:n_tris], v1[:n_tris],
                                               v2[:n_tris])
+        bvh_pk8 = _pack8(bvh_pack)
+        tri_pk8 = _pack8(tri_pack)
         tri_shade = np.zeros((max(n_tris, 1), 16), np.float32)
         tri_shade[:, 0:3] = fn[:max(n_tris, 1)]
         tri_shade[:, 3:5] = uv0[:max(n_tris, 1)]
@@ -426,6 +444,7 @@ class SceneBuilder:
             bvh_tri_count=_i32(bvh.tri_count),
             tri_indices=_i32(tri_indices),
             bvh_pack=_f32(bvh_pack), tri_pack=_f32(tri_pack),
+            bvh_pk8=_f32(bvh_pk8), tri_pk8=_f32(tri_pk8),
             tri_shade=_f32(tri_shade), mat_pack=_f32(mat_pack),
             sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
             sph_mat=_i32(sph_mat), light_idx=_i32(light_arr),

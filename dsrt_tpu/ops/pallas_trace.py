@@ -42,14 +42,24 @@ TILE_H = 8
 TILE_W = 128
 # Rays per grid step: BLOCK_H x 128 lanes (BLOCK_H/8 packets fused).  Bigger
 # blocks amortize the per-grid-step pipeline overhead (measured ~47us/step
-# on v5e) at the cost of a larger traversal union per block.
-BLOCK_H = 32
+# on v5e) at the cost of a larger traversal union per block.  32 measured
+# best on v5e for the ISS scene; override with DSRT_BLOCK_H.
+import os as _os
+
+BLOCK_H = int(_os.environ.get("DSRT_BLOCK_H", "32"))
 
 _VMEM_BUDGET_ROWS = 24000  # (Bp + Tp) rows at 512 B/row ~= 12 MB
 
 
 def fits_vmem(scene) -> bool:
+    """Dense-row mode budget (512 B/record)."""
     return (scene.bvh_pack.shape[0] + scene.tri_pack.shape[0]
+            <= _VMEM_BUDGET_ROWS)
+
+
+def fits_vmem_packed(scene) -> bool:
+    """Packed mode budget (64 B/record): ~8x the dense capacity."""
+    return (scene.bvh_pk8.shape[0] + scene.tri_pk8.shape[0]
             <= _VMEM_BUDGET_ROWS)
 
 
@@ -61,11 +71,27 @@ def backend_is_tpu() -> bool:
     return plat in ("tpu", "axon")
 
 
+def _load_many(tab_ref, rec, cols, packed: bool):
+    """Fetch scalar fields `cols` of record `rec` from a kernel table.
+
+    Dense mode: direct dynamic-sublane scalar loads from a (N,16) table.
+    Packed mode: records live 8-per-128-lane-row (64 B/record); Mosaic has
+    no dynamic-lane scalar load, so fields are extracted from the (1,128)
+    row with static-lane mask reductions (~2x the per-visit cost, 8x the
+    VMEM capacity)."""
+    if not packed:
+        return [tab_ref[rec, c] for c in cols]
+    row = tab_ref[pl.ds(rec // 8, 1), :]
+    base = (rec % 8) * 16
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    return [jnp.sum(jnp.where(lane == base + c, row, 0.0)) for c in cols]
+
+
 def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                      dx_ref, dy_ref, dz_ref, act_ref,
                      t_ref, u_ref, v_ref, id_ref,
                      *, n_nodes: int, max_leaf: int, t_min: float,
-                     t_max: float, any_hit: bool):
+                     t_max: float, any_hit: bool, packed: bool = False):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
     act = act_ref[...] > 0
@@ -89,15 +115,11 @@ def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
     def body(c):
         node, closest, bt, bu, bv, bi = c
-        minx = box_ref[node, 0]
-        miny = box_ref[node, 1]
-        minz = box_ref[node, 2]
-        maxx = box_ref[node, 3]
-        maxy = box_ref[node, 4]
-        maxz = box_ref[node, 5]
-        skip = box_ref[node, 6].astype(jnp.int32)
-        off = box_ref[node, 7].astype(jnp.int32)
-        cnt = box_ref[node, 8].astype(jnp.int32)
+        (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
+         cnt_f) = _load_many(box_ref, node, range(9), packed)
+        skip = skip_f.astype(jnp.int32)
+        off = off_f.astype(jnp.int32)
+        cnt = cnt_f.astype(jnp.int32)
 
         t0 = (minx - ox) * inv_dx
         t1 = (maxx - ox) * inv_dx
@@ -124,15 +146,8 @@ def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
             def hit_tri(args):
                 closest, bt, bu, bv, bi = args
-                v0x = tri_ref[row, 0]
-                v0y = tri_ref[row, 1]
-                v0z = tri_ref[row, 2]
-                e1x = tri_ref[row, 3]
-                e1y = tri_ref[row, 4]
-                e1z = tri_ref[row, 5]
-                e2x = tri_ref[row, 6]
-                e2y = tri_ref[row, 7]
-                e2z = tri_ref[row, 8]
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y,
+                 e2z) = _load_many(tri_ref, row, range(9), packed)
                 # Moller-Trumbore with precomputed edges
                 pvx = dy * e2z - dz * e2y
                 pvy = dz * e2x - dx * e2z
@@ -191,12 +206,12 @@ def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "t_min", "t_max",
-                                   "any_hit", "k"))
+                                   "any_hit", "k", "packed"))
 def _run_traverse(bvh_pack, tri_pack, ox, oy, oz, dx, dy, dz, act,
                   n_nodes: int, max_leaf: int, t_min: float, t_max: float,
-                  any_hit: bool, k: int):
+                  any_hit: bool, k: int, packed: bool = False):
     kern = partial(_traverse_kernel, n_nodes=n_nodes, max_leaf=max_leaf,
-                   t_min=t_min, t_max=t_max, any_hit=any_hit)
+                   t_min=t_min, t_max=t_max, any_hit=any_hit, packed=packed)
     ray_spec = pl.BlockSpec((BLOCK_H, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -240,12 +255,16 @@ def traverse(scene, ro: V3, rd: V3, active, t_min: float, t_max: float,
         return a.reshape(Kp * TILE_H, TILE_W)
 
     act_f = fold(active.astype(jnp.float32))
+    packed = not fits_vmem(scene)
+    box_tab = scene.bvh_pk8 if packed else scene.bvh_pack
+    tri_tab = scene.tri_pk8 if packed else scene.tri_pack
     t, u, v, tri = _run_traverse(
-        scene.bvh_pack, scene.tri_pack,
+        box_tab, tri_tab,
         fold(ro.x), fold(ro.y), fold(ro.z),
         fold(rd.x), fold(rd.y), fold(rd.z), act_f,
         n_nodes=scene.n_nodes, max_leaf=scene.max_leaf,
-        t_min=float(t_min), t_max=float(t_max), any_hit=any_hit, k=Kp)
+        t_min=float(t_min), t_max=float(t_max), any_hit=any_hit, k=Kp,
+        packed=packed)
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

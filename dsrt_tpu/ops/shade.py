@@ -101,7 +101,7 @@ _DISABLE_PALLAS = os.environ.get("DSRT_DISABLE_PALLAS", "") == "1"
 def _use_pallas(scene) -> bool:
     from dsrt_tpu.ops import pallas_trace
     return (not _DISABLE_PALLAS and scene.n_tris > 0
-            and pallas_trace.fits_vmem(scene)
+            and pallas_trace.fits_vmem_packed(scene)
             and pallas_trace.backend_is_tpu())
 
 
