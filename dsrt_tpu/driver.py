@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="also write binary PPM P6 like the reference")
     p.add_argument("--timings_tsv", default="",
                    help="write per-stage timings TSV here")
+    p.add_argument("--profile", default="",
+                   help="capture a jax.profiler trace of the first rendered "
+                        "frame into this directory (view with TensorBoard/"
+                        "xprof) — the TPU-native replacement for the "
+                        "reference's chrono prints (SURVEY.md §5)")
     return p
 
 
@@ -161,6 +166,10 @@ def run(args) -> int:
         frame_scene = dataclasses.replace(
             scene, sun_dir=np.asarray(frame.sun_dir_model, np.float32))
 
+        profiling = bool(args.profile) and rendered == 0
+        if profiling:
+            import jax
+            jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
         if args.mode == "wavefront":
             batch = args.spp_batch
@@ -171,6 +180,10 @@ def run(args) -> int:
         else:
             img = render_frame(frame_scene, cam, cfg)
         dt = time.perf_counter() - t0
+        if profiling:
+            import jax
+            jax.profiler.stop_trace()
+            print(f"  profiler trace written to {args.profile}")
         timer.log("render", dt)
         nrays = estimate_rays(args.width, args.height, args.spp)
         print(f"  render: {dt*1e3:.0f} ms  (~{mrays_per_sec(nrays, dt):.1f} "
