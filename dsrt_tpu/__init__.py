@@ -31,3 +31,21 @@ renderer.
 __version__ = "0.1.0"
 
 from dsrt_tpu.config import RenderConfig, SunConfig  # noqa: F401
+
+
+def __getattr__(name):
+    """Lazy convenience exports (avoid importing jax at package import)."""
+    lazy = {
+        "render_frame": ("dsrt_tpu.render", "render_frame"),
+        "render_frame_wavefront": ("dsrt_tpu.render", "render_frame_wavefront"),
+        "make_camera": ("dsrt_tpu.ops.camera", "make_camera"),
+        "point_camera_at": ("dsrt_tpu.ops.camera", "point_camera_at"),
+        "SceneBuilder": ("dsrt_tpu.models.scene", "SceneBuilder"),
+        "Material": ("dsrt_tpu.models.materials", "Material"),
+        "load_obj": ("dsrt_tpu.models.obj", "load_obj"),
+    }
+    if name in lazy:
+        import importlib
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(name)

@@ -11,7 +11,7 @@ flows through the identical scene-compile path as a loaded OBJ.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Tuple
+
 
 import numpy as np
 

@@ -16,8 +16,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from dsrt_tpu.models.materials import (DIELECTRIC, DIFFUSE_LIGHT, LAMBERTIAN,
-                                       METAL)
+from dsrt_tpu.models.materials import DIELECTRIC, DIFFUSE_LIGHT, METAL
 
 F = np.float32
 PI = F(3.14159265358979323846)

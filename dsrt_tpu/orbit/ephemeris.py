@@ -14,7 +14,7 @@ from __future__ import annotations
 import datetime as _dt
 import math
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 

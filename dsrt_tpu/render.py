@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import math
 from functools import partial
-from typing import Tuple
+
 
 import numpy as np
 import jax
@@ -27,7 +27,7 @@ import jax.numpy as jnp
 
 from dsrt_tpu.config import RenderConfig
 from dsrt_tpu.ops import rng as rngmod
-from dsrt_tpu.ops.camera import Camera, camera_rays, generate_rays
+from dsrt_tpu.ops.camera import Camera, camera_rays
 from dsrt_tpu.ops.linalg import V3
 from dsrt_tpu.ops.shade import trace_paths
 
