@@ -19,6 +19,7 @@ verification path.
 
 from __future__ import annotations
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import jax.lax as lax
@@ -105,3 +106,147 @@ def trace_accumulate(scene, cfg, cam: Camera, px, py, valid, slot,
 
     out = lax.while_loop(cond, body, init)
     return out["accum"], out["nrays"]
+
+
+def trace_queue(scene, cfg, cam: Camera, width: int, height: int,
+                pool_shape, count_rays: bool = False):
+    """Global-work-queue wavefront: true load balancing.
+
+    Per-lane regeneration (`trace_accumulate`) binds each lane to one
+    pixel, so the render tail is dominated by the most expensive pixels
+    while background lanes idle (~4-8% occupancy on deep-space frames).
+    Here the work units are all (pixel, sample) pairs of the frame in one
+    global queue; ANY idle lane pops the next unit via an exclusive prefix
+    sum over dead lanes, and completed samples are banked into a per-pixel
+    accumulator with a scatter-add (measured ~0.03 ms for 3M updates on
+    v5e — effectively free).  Occupancy stays ~100% until the final drain,
+    so wave count tracks total path segments / pool size.
+
+    Work ids are stratum-major (sid = s * npix + pix), so a regeneration
+    burst fills lanes with *consecutive pixels of one sample stratum* —
+    coherent packets for the traversal kernel.
+
+    Returns (accum (npix, 3) f32 sum of clamp01(L) per pixel, nrays).
+    """
+    shape = pool_shape
+    zero = jnp.zeros(shape, jnp.float32)
+    one = jnp.ones(shape, jnp.float32)
+    izero = jnp.zeros(shape, jnp.int32)
+
+    npix = width * height
+    spp = cfg.resolved_spp()
+    total = npix * spp
+    pool = int(np.prod(shape)) if hasattr(shape, "__len__") else int(shape)
+    if total + pool >= 2 ** 31:
+        raise ValueError(
+            f"work-queue id space {total} + pool {pool} overflows int32; "
+            "split the frame into horizontal bands")
+    max_depth = cfg.max_depth if cfg.max_depth > 0 else 12
+
+    def cond(c):
+        return jnp.any(c["alive"]) | (c["base"] < total)
+
+    def body(c):
+        accum = c["accum"]
+        L, thr = c["L"], c["thr"]
+        ro, rd = c["ro"], c["rd"]
+        state, alive = c["state"], c["alive"]
+        depth, pix = c["depth"], c["pix"]
+        base, nrays = c["base"], c["nrays"]
+
+        # ---- pop work units for idle lanes ---------------------------
+        dead = ~alive
+        deadf = dead.reshape(-1).astype(jnp.int32)
+        offs = (jnp.cumsum(deadf) - deadf).reshape(dead.shape)
+        sid = base + offs
+        assign = dead & (sid < total)
+        s_idx = sid // npix
+        pix_new = sid - s_idx * npix
+        pix = jnp.where(assign, pix_new, pix)
+        base = jnp.minimum(base + jnp.sum(deadf), total)
+
+        pxl = pix % width
+        pyl = pix // width
+        seed = rngmod.seed_pixels(pxl, pyl, cam.width, scene.seed)
+        fresh = seed ^ (s_idx.astype(jnp.uint32) * jnp.uint32(SLOT_SEED_MIX))
+        state = jnp.where(assign, fresh, state)
+
+        jxu, state = rngmod.draw(state, assign)
+        jyu, state = rngmod.draw(state, assign)
+        sf = s_idx.astype(jnp.float32)
+        jx = (sf + jxu) / jnp.float32(spp)
+        jy = (sf + jyu) / jnp.float32(spp)
+        cro, crd, state = camera_rays(cam, pxl, pyl, jx, jy, state, assign,
+                                      cfg.aperture > 0)
+        z = jnp.zeros_like(jx)
+        o = jnp.ones_like(jx)
+        ro = vwhere(assign, cro, ro)
+        rd = vwhere(assign, crd, rd)
+        L = vwhere(assign, V3(z, z, z), L)
+        thr = vwhere(assign, V3(o, o, o), thr)
+        depth = jnp.where(assign, 0, depth)
+        alive = alive | assign
+
+        # ---- one path segment ----------------------------------------
+        rr_mask = alive & (depth >= cfg.rr_start_depth)
+        L, thr, ro, rd, state, alive2, nr = bounce_step(
+            scene, cfg, L, thr, ro, rd, state, alive, rr_mask,
+            count_rays=count_rays)
+        depth = depth + alive.astype(jnp.int32)
+        alive2 = alive2 & (depth < max_depth)
+
+        # ---- bank completed samples (scatter-add) --------------------
+        died = alive & ~alive2
+        Lc = clamp01(L)
+        vals = jnp.stack([jnp.where(died, Lc.x, 0.0),
+                          jnp.where(died, Lc.y, 0.0),
+                          jnp.where(died, Lc.z, 0.0)], axis=-1)
+        accum = accum.at[pix.reshape(-1)].add(
+            vals.reshape(-1, 3), mode="drop")
+
+        return dict(accum=accum, L=L, thr=thr, ro=ro, rd=rd, state=state,
+                    alive=alive2, depth=depth, pix=pix, base=base,
+                    nrays=nrays + nr)
+
+    init = dict(accum=jnp.zeros((npix, 3), jnp.float32),
+                L=V3(zero, zero, zero), thr=V3(one, one, one),
+                ro=V3(zero, zero, zero), rd=V3(zero, zero, one),
+                state=jnp.zeros(shape, jnp.uint32),
+                alive=jnp.zeros(shape, bool), depth=izero, pix=izero,
+                base=jnp.int32(0), nrays=jnp.int32(0))
+
+    # ---- phase 1: full pool while work remains or too many survivors ----
+    # The Russian-roulette tail (paths surviving to depth 30-50) would
+    # otherwise cost dozens of nearly-empty full-width waves; once the
+    # queue is exhausted and survivors fit, they are compacted into a
+    # 16x smaller pool and drained with cheap waves.
+    cap_rows = max(shape[0] // 16, 1)
+    cap = cap_rows * shape[1]
+
+    def cond1(c):
+        n_alive = jnp.sum(c["alive"].astype(jnp.int32))
+        return (c["base"] < total) | (n_alive > cap)
+
+    out = lax.while_loop(cond1, body, init)
+
+    # ---- compaction: survivors to the front, slice the small pool -------
+    order = jnp.argsort(~out["alive"].reshape(-1))[:cap]
+
+    def take(a):
+        return a.reshape(-1)[order].reshape(cap_rows, shape[1])
+
+    small = dict(
+        accum=out["accum"],
+        L=V3(take(out["L"].x), take(out["L"].y), take(out["L"].z)),
+        thr=V3(take(out["thr"].x), take(out["thr"].y), take(out["thr"].z)),
+        ro=V3(take(out["ro"].x), take(out["ro"].y), take(out["ro"].z)),
+        rd=V3(take(out["rd"].x), take(out["rd"].y), take(out["rd"].z)),
+        state=take(out["state"]), alive=take(out["alive"]),
+        depth=take(out["depth"]), pix=take(out["pix"]),
+        base=out["base"], nrays=out["nrays"])
+
+    def cond2(c):
+        return jnp.any(c["alive"])
+
+    out2 = lax.while_loop(cond2, body, small)
+    return out2["accum"], out2["nrays"]

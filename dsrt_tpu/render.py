@@ -152,6 +152,33 @@ def render_frame_wavefront(scene, cam: Camera, cfg: RenderConfig,
     return np.asarray(jax.device_get(img))
 
 
+def render_frame_queue(scene, cam: Camera, cfg: RenderConfig,
+                       pool_packets: int = 0) -> np.ndarray:
+    """Fastest mode: global-work-queue wavefront (ops/wavefront.trace_queue).
+    Load-balanced across all (pixel, sample) units; occupancy ~100%.
+    `pool_packets` = lanes/1024 in flight (0 = auto: one frame's packets)."""
+    px, _, _, (ty, tx) = lane_layout(cfg.width, cfg.height)
+    k = pool_packets or px.shape[0]
+    img = _render_queue(scene, cam, cfg, k)
+    return np.asarray(jax.device_get(img))
+
+
+@partial(jax.jit, static_argnames=("cfg", "k"))
+def _render_queue(scene, cam: Camera, cfg: RenderConfig, k: int):
+    from dsrt_tpu.ops.wavefront import trace_queue
+    accum, _ = trace_queue(scene, cfg, cam, cfg.width, cfg.height,
+                           (k, PACKET))
+    inv_spp = jnp.float32(1.0 / cfg.resolved_spp())
+    inv_gamma = jnp.float32(1.0 / cfg.gamma)
+    c = accum * inv_spp
+    c = jnp.maximum(c, 0.0)
+    c = jnp.minimum(c, cfg.firefly_clamp)
+    c = jnp.power(c, inv_gamma)
+    c = jnp.clip(c, 0.0, 1.0)
+    img = (255.99 * c).astype(jnp.uint8).reshape(cfg.height, cfg.width, 3)
+    return img[::-1]  # vertical flip (cu:1027)
+
+
 @partial(jax.jit, static_argnames=("cfg", "ty", "tx", "batch"))
 def _render_wavefront(scene, cam: Camera, pxb, pyb, validb, slot,
                       cfg: RenderConfig, ty: int, tx: int, batch: int):

@@ -88,3 +88,14 @@ def test_dof_render_differs_and_is_deterministic(smoke):
     assert (pin != dof).any()  # defocus changes the image
     dof2 = render_frame(smoke, cam_d, cfg_d)
     np.testing.assert_array_equal(dof, dof2)
+
+
+def test_queue_renderer_statistically_matches(smoke, cam):
+    from dsrt_tpu.render import render_frame_queue
+    cfg = RenderConfig(width=W, height=H, spp=32, max_depth=10)
+    ref = render_frame(smoke, cam, cfg)
+    q = render_frame_queue(smoke, cam, cfg)
+    d = q.astype(float) - ref.astype(float)
+    assert abs(d.mean()) < 1.5
+    q2 = render_frame_queue(smoke, cam, cfg)
+    np.testing.assert_array_equal(q, q2)
