@@ -56,7 +56,7 @@ def volumetric_scene(seed: int = 1337) -> Scene:
     constant_medium/perlin features resurrected, SURVEY.md §7 step 10)."""
     b = SceneBuilder(sun_enabled=True,
                      sun_dir=(-0.3, -0.9, -0.2),
-                     sun_radiance=(30.0, 28.0, 26.0),
+                     sun_radiance=(7.0, 6.6, 6.2),  # modest: keep checker albedo visible (no clamp saturation)
                      seed=seed)
     ground = Material.checker((0.2, 0.3, 0.1), (0.9, 0.9, 0.9), scale=4.0)
     marble = Material.marble(scale=2.0)
