@@ -36,8 +36,10 @@ from dsrt_tpu.render import lane_layout
 
 NORTH_STAR = 50.0  # Mrays/sec/chip on v5e (BASELINE.md)
 
+import os
+
 WIDTH, HEIGHT = 800, 450
-BATCH = 8       # concurrent sample slots per pixel (wavefront mode)
+BATCH = int(os.environ.get("DSRT_BENCH_BATCH", "4"))  # sample slots/pixel
 SPP = 32        # timed samples per pixel
 DETAIL = 4      # ~5.8k-triangle stand-in (ISS OBJ is tens of thousands)
 
