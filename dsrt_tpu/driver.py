@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "renderer (faster, statistically equivalent)")
     p.add_argument("--spp_batch", type=int, default=8,
                    help="concurrent sample slots per pixel (wavefront mode)")
+    p.add_argument("--shard", action="store_true",
+                   help="shard the render across all visible devices "
+                        "(Mesh('sp','dp') + psum; dp-only sharding is "
+                        "bit-identical to single-chip)")
+    p.add_argument("--shard_sp", type=int, default=1,
+                   help="sample-parallel axis size (must divide devices & spp)")
     # frame control
     p.add_argument("--start_frame", type=int, default=0)
     p.add_argument("--resume", action="store_true",
@@ -171,7 +177,13 @@ def run(args) -> int:
             import jax
             jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
-        if args.mode == "wavefront":
+        if args.shard:
+            import jax as _jax
+            from dsrt_tpu.parallel.mesh import make_mesh
+            from dsrt_tpu.parallel.render import render_frame_sharded
+            mesh = make_mesh(len(_jax.devices()), sp=args.shard_sp)
+            img = render_frame_sharded(frame_scene, cam, cfg, mesh)
+        elif args.mode == "wavefront":
             batch = args.spp_batch
             while args.spp % batch != 0:
                 batch //= 2
