@@ -87,11 +87,12 @@ def _load_many(tab_ref, rec, cols, packed: bool):
     return [jnp.sum(jnp.where(lane == base + c, row, 0.0)) for c in cols]
 
 
-def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
-                     dx_ref, dy_ref, dz_ref, act_ref,
-                     t_ref, u_ref, v_ref, id_ref,
-                     *, n_nodes: int, max_leaf: int, t_min: float,
-                     t_max: float, any_hit: bool, packed: bool = False):
+def _kernel_common(box_ref, tri_ref, sun_ref, ox_ref, oy_ref, oz_ref,
+                   dx_ref, dy_ref, dz_ref, act_ref,
+                   t_ref, u_ref, v_ref, id_ref, sh_ref,
+                   *, n_nodes: int, max_leaf: int, t_min: float,
+                   t_max: float, any_hit: bool, packed: bool,
+                   with_shadow: bool):
     ox, oy, oz = ox_ref[...], oy_ref[...], oz_ref[...]
     dx, dy, dz = dx_ref[...], dy_ref[...], dz_ref[...]
     act = act_ref[...] > 0
@@ -109,12 +110,13 @@ def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
     best_u0 = jnp.zeros(shape, jnp.float32)
     best_v0 = jnp.zeros(shape, jnp.float32)
     best_i0 = jnp.full(shape, -1, jnp.int32)
+    zero = jnp.zeros(shape, jnp.float32)
 
     def cond(c):
         return c[0] < n_nodes
 
     def body(c):
-        node, closest, bt, bu, bv, bi = c
+        node, closest, bt, bu, bv, bi, bn = c
         (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
          cnt_f) = _load_many(box_ref, node, range(9), packed)
         skip = skip_f.astype(jnp.int32)
@@ -141,11 +143,11 @@ def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
         is_leaf = cnt > 0
 
         def leaf_body(i, lc):
-            closest, bt, bu, bv, bi = lc
+            closest, bt, bu, bv, bi, bn = lc
             row = off + i
 
             def hit_tri(args):
-                closest, bt, bu, bv, bi = args
+                closest, bt, bu, bv, bi, bn = args
                 (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y,
                  e2z) = _load_many(tri_ref, row, range(9), packed)
                 # Moller-Trumbore with precomputed edges
@@ -175,17 +177,30 @@ def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                 bu = jnp.where(ok, u, bu)
                 bv = jnp.where(ok, v, bv)
                 bi = jnp.where(ok, row, bi)
-                return closest, bt, bu, bv, bi
+                if with_shadow:
+                    # track the face-flipped shading normal (scalar
+                    # geometric normal per triangle, per-lane sign)
+                    gx = e1y * e2z - e1z * e2y
+                    gy = e1z * e2x - e1x * e2z
+                    gz = e1x * e2y - e1y * e2x
+                    gl = 1.0 / jnp.sqrt(gx * gx + gy * gy + gz * gz + 1e-38)
+                    gx, gy, gz = gx * gl, gy * gl, gz * gl
+                    sgn = jnp.where(dx * gx + dy * gy + dz * gz < 0.0,
+                                    1.0, -1.0)
+                    bn = (jnp.where(ok, sgn * gx, bn[0]),
+                          jnp.where(ok, sgn * gy, bn[1]),
+                          jnp.where(ok, sgn * gz, bn[2]))
+                return closest, bt, bu, bv, bi, bn
 
             return lax.cond(i < cnt, hit_tri, lambda a: a,
-                            (closest, bt, bu, bv, bi))
+                            (closest, bt, bu, bv, bi, bn))
 
         def do_leaf(args):
             return lax.fori_loop(0, max_leaf, leaf_body, args)
 
-        closest, bt, bu, bv, bi = lax.cond(
+        closest, bt, bu, bv, bi, bn = lax.cond(
             enter & is_leaf, do_leaf, lambda a: a,
-            (closest, bt, bu, bv, bi))
+            (closest, bt, bu, bv, bi, bn))
 
         descend = enter & jnp.logical_not(is_leaf)
         node_next = jnp.where(descend, node + 1, skip)
@@ -193,16 +208,137 @@ def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
             # all active lanes occluded -> escape
             alive = jnp.any(closest > tmin_f)
             node_next = jnp.where(alive, node_next, n_nodes)
-        return node_next, closest, bt, bu, bv, bi
+        return node_next, closest, bt, bu, bv, bi, bn
 
-    _, closest, bt, bu, bv, bi = lax.while_loop(
+    _, closest, bt, bu, bv, bi, bn = lax.while_loop(
         cond, body, (jnp.int32(0), closest0, best_t0, best_u0, best_v0,
-                     best_i0))
+                     best_i0, (zero, zero, zero)))
 
     t_ref[...] = bt
     u_ref[...] = bu
     v_ref[...] = bv
     id_ref[...] = bi
+
+    if with_shadow:
+        # ---- fused sun shadow pass (any-hit) over the SAME block ------
+        # direction is uniform (the frame's sun), so the Moller-Trumbore
+        # p-vector and determinant become per-triangle scalars.
+        ldx = sun_ref[0]
+        ldy = sun_ref[1]
+        ldz = sun_ref[2]
+        bias = sun_ref[3]
+        hitm = bi >= 0
+        sox = ox + bt * dx + bias * bn[0]
+        soy = oy + bt * dy + bias * bn[1]
+        soz = oz + bt * dz + bias * bn[2]
+        inv_sx = 1.0 / ldx
+        inv_sy = 1.0 / ldy
+        inv_sz = 1.0 / ldz
+        sc0 = jnp.where(hitm & act, tmax_f, tmin_f)
+
+        def scond(c):
+            return c[0] < n_nodes
+
+        def sbody(c):
+            node, sc, blocked = c
+            (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
+             cnt_f) = _load_many(box_ref, node, range(9), packed)
+            skip = skip_f.astype(jnp.int32)
+            off = off_f.astype(jnp.int32)
+            cnt = cnt_f.astype(jnp.int32)
+
+            t0 = (minx - sox) * inv_sx
+            t1 = (maxx - sox) * inv_sx
+            lo = jnp.minimum(t0, t1)
+            hi = jnp.maximum(t0, t1)
+            t0 = (miny - soy) * inv_sy
+            t1 = (maxy - soy) * inv_sy
+            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+            t0 = (minz - soz) * inv_sz
+            t1 = (maxz - soz) * inv_sz
+            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+            lo = jnp.maximum(lo, tmin_f)
+            hi = jnp.minimum(hi, sc)
+            enter = jnp.any(hi > lo)
+            is_leaf = cnt > 0
+
+            def leaf_body(i, lc):
+                sc, blocked = lc
+                row = off + i
+
+                def hit_tri(args):
+                    sc, blocked = args
+                    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y,
+                     e2z) = _load_many(tri_ref, row, range(9), packed)
+                    pvx = ldy * e2z - ldz * e2y      # scalar
+                    pvy = ldz * e2x - ldx * e2z
+                    pvz = ldx * e2y - ldy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok0 = jnp.abs(det) >= 1e-8
+                    inv_det = 1.0 / jnp.where(ok0, det, 1.0)
+                    tvx = sox - v0x
+                    tvy = soy - v0y
+                    tvz = soz - v0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    ok = ok0 & (u >= 0.0) & (u <= 1.0)
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (ldx * qvx + ldy * qvy + ldz * qvz) * inv_det
+                    ok = ok & (v >= 0.0) & (u + v <= 1.0)
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    ok = ok & (t >= tmin_f) & (t <= sc)
+                    sc = jnp.where(ok, tmin_f, sc)   # any-hit collapse
+                    # f32 carry: bool vector carries trip a Mosaic layout
+                    # bug in nested scf conditionals
+                    blocked = jnp.where(ok, 1.0, blocked)
+                    return sc, blocked
+
+                return lax.cond(i < cnt, hit_tri, lambda a: a, (sc, blocked))
+
+            sc, blocked = lax.cond(
+                enter & is_leaf,
+                lambda a: lax.fori_loop(0, max_leaf, leaf_body, a),
+                lambda a: a, (sc, blocked))
+
+            descend = enter & jnp.logical_not(is_leaf)
+            node_next = jnp.where(descend, node + 1, skip)
+            open_lanes = jnp.any(sc > tmin_f)
+            node_next = jnp.where(open_lanes, node_next, n_nodes)
+            return node_next, sc, blocked
+
+        _, _, blocked = lax.while_loop(
+            scond, sbody,
+            (jnp.int32(0), sc0, jnp.zeros(shape, jnp.float32)))
+        sh_ref[...] = blocked
+
+
+def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
+                     dx_ref, dy_ref, dz_ref, act_ref,
+                     t_ref, u_ref, v_ref, id_ref,
+                     *, n_nodes: int, max_leaf: int, t_min: float,
+                     t_max: float, any_hit: bool, packed: bool = False):
+    _kernel_common(box_ref, tri_ref, None, ox_ref, oy_ref, oz_ref,
+                   dx_ref, dy_ref, dz_ref, act_ref,
+                   t_ref, u_ref, v_ref, id_ref, None,
+                   n_nodes=n_nodes, max_leaf=max_leaf, t_min=t_min,
+                   t_max=t_max, any_hit=any_hit, packed=packed,
+                   with_shadow=False)
+
+
+def _traverse_sun_kernel(box_ref, tri_ref, sun_ref, ox_ref, oy_ref, oz_ref,
+                         dx_ref, dy_ref, dz_ref, act_ref,
+                         t_ref, u_ref, v_ref, id_ref, sh_ref,
+                         *, n_nodes: int, max_leaf: int, t_min: float,
+                         t_max: float, packed: bool = False):
+    _kernel_common(box_ref, tri_ref, sun_ref, ox_ref, oy_ref, oz_ref,
+                   dx_ref, dy_ref, dz_ref, act_ref,
+                   t_ref, u_ref, v_ref, id_ref, sh_ref,
+                   n_nodes=n_nodes, max_leaf=max_leaf, t_min=t_min,
+                   t_max=t_max, any_hit=False, packed=packed,
+                   with_shadow=True)
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "t_min", "t_max",
@@ -233,6 +369,38 @@ def _run_traverse(bvh_pack, tri_pack, ox, oy, oz, dx, dy, dz, act,
                                       bytes_accessed=out_shape[0] * 128 * 44,
                                       transcendentals=0),
     )(bvh_pack, tri_pack, ox, oy, oz, dx, dy, dz, act)
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "t_min", "t_max",
+                                   "k", "packed"))
+def _run_traverse_sun(bvh_pack, tri_pack, sun, ox, oy, oz, dx, dy, dz, act,
+                      n_nodes: int, max_leaf: int, t_min: float,
+                      t_max: float, k: int, packed: bool = False):
+    kern = partial(_traverse_sun_kernel, n_nodes=n_nodes, max_leaf=max_leaf,
+                   t_min=t_min, t_max=t_max, packed=packed)
+    ray_spec = pl.BlockSpec((BLOCK_H, TILE_W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sun_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = (k * TILE_H, TILE_W)
+    n_blocks = (k * TILE_H) // BLOCK_H
+    flops_est = int(n_nodes) * 120 * TILE_H * TILE_W  # rough (2 passes)
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[full, full, sun_spec] + [ray_spec] * 7,
+        out_specs=(ray_spec, ray_spec, ray_spec, ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.int32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(flops=flops_est,
+                                      bytes_accessed=out_shape[0] * 128 * 48,
+                                      transcendentals=0),
+    )(bvh_pack, tri_pack, sun, ox, oy, oz, dx, dy, dz, act)
 
 
 def traverse(scene, ro: V3, rd: V3, active, t_min: float, t_max: float,
@@ -270,3 +438,45 @@ def traverse(scene, ro: V3, rd: V3, active, t_min: float, t_max: float,
         return a.reshape(Kp, P)[:K]
 
     return unfold(t), unfold(u), unfold(v), unfold(tri)
+
+
+def traverse_with_sun(scene, ro: V3, rd: V3, active, t_min: float,
+                      t_max: float, sun_ldir: V3, shadow_bias: float):
+    """Fused closest-hit + sun-shadow traversal for (K, P) lane grids.
+
+    `sun_ldir` is the normalized shadow direction (the kernel-negated
+    reference quirk already applied by the caller).  Returns
+    (t, u, v, tri, blocked) of shape (K, P); `blocked` is meaningful only
+    on triangle-hit lanes.  Saves one kernel launch + one XLA round trip
+    per bounce wave (the per-call floor dominates sparse waves).
+    """
+    K, P = ro.x.shape
+    assert P == TILE_H * TILE_W, P
+    group = BLOCK_H // TILE_H
+    Kp = ((K + group - 1) // group) * group
+    pad = Kp - K
+
+    def fold(a):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+        return a.reshape(Kp * TILE_H, TILE_W)
+
+    act_f = fold(active.astype(jnp.float32))
+    packed = not fits_vmem(scene)
+    box_tab = scene.bvh_pk8 if packed else scene.bvh_pack
+    tri_tab = scene.tri_pk8 if packed else scene.tri_pack
+    sun = jnp.stack([sun_ldir.x, sun_ldir.y, sun_ldir.z,
+                     jnp.float32(shadow_bias)]).astype(jnp.float32)
+    t, u, v, tri, sh = _run_traverse_sun(
+        box_tab, tri_tab, sun,
+        fold(ro.x), fold(ro.y), fold(ro.z),
+        fold(rd.x), fold(rd.y), fold(rd.z), act_f,
+        n_nodes=scene.n_nodes, max_leaf=scene.max_leaf,
+        t_min=float(t_min), t_max=float(t_max), k=Kp, packed=packed)
+
+    def unfold(a):
+        return a.reshape(Kp, P)[:K]
+
+    return (unfold(t), unfold(u), unfold(v), unfold(tri),
+            unfold(sh) > 0.5)

@@ -96,6 +96,7 @@ def sample_sphere_light_direction(center: V3, radius, origin: V3, state, mask):
 import os
 
 _DISABLE_PALLAS = os.environ.get("DSRT_DISABLE_PALLAS", "") == "1"
+_FUSED_SUN = os.environ.get("DSRT_FUSED_SUN", "") == "1"
 
 
 def _use_pallas(scene) -> bool:
@@ -164,8 +165,21 @@ def bounce_step(scene, cfg, L, thr, ro: V3, rd: V3, state, alive, rr_mask,
         # ---- 1. scene intersection -----------------------------------
         if count_rays:
             nrays = nrays + jnp.sum(alive.astype(jnp.int32))
-        hit, state = _vmapped_scene_hit(scene, ro, rd, t_min, t_max, alive,
-                                        state)
+        # Fused hit+shadow kernel: saves one launch floor per wave but runs
+        # the shadow traversal for every hit lane (not just potential
+        # diffuse receivers) — measured net-negative on the ISS scene
+        # (9.4 vs 13.9 Mrays/s), so off by default; kept for scenes where
+        # most hits are shadow receivers (DSRT_FUSED_SUN=1).
+        fused_sun = (_FUSED_SUN and sun_on and scene.n_media == 0
+                     and scene.n_spheres == 0 and _use_pallas(scene))
+        if fused_sun:
+            # one Pallas launch: closest hit + sun occlusion together
+            hit, sun_blocked = tracemod.scene_hit_flat_sun(
+                scene, ro, rd, t_min, t_max, alive, sdir, cfg.shadow_bias)
+        else:
+            sun_blocked = None
+            hit, state = _vmapped_scene_hit(scene, ro, rd, t_min, t_max,
+                                            alive, state)
         alive = alive & hit.hit
         n = hit.normal
         px = ro.x + hit.t * rd.x
@@ -246,16 +260,21 @@ def bounce_step(scene, cfg, L, thr, ro: V3, rd: V3, state, alive, rr_mask,
         if sun_on:
             cos_sun = jnp.maximum(0.0, dot(n, sdir))
             pot = diff_mask & (cos_sun > 0.0)
-            sh_o = V3(px + cfg.shadow_bias * n.x, py + cfg.shadow_bias * n.y,
-                      pz + cfg.shadow_bias * n.z)
-            sh_d = V3(jnp.broadcast_to(sdir.x, shape),
-                      jnp.broadcast_to(sdir.y, shape),
-                      jnp.broadcast_to(sdir.z, shape))
             if count_rays:
                 nrays = nrays + jnp.sum(pot.astype(jnp.int32))
-            sh_hit, state = _vmapped_scene_hit(scene, sh_o, sh_d, t_min, t_max,
-                                               pot, state, any_hit=True)
-            unblocked = pot & ~sh_hit.hit
+            if sun_blocked is not None:
+                unblocked = pot & ~sun_blocked
+            else:
+                sh_o = V3(px + cfg.shadow_bias * n.x,
+                          py + cfg.shadow_bias * n.y,
+                          pz + cfg.shadow_bias * n.z)
+                sh_d = V3(jnp.broadcast_to(sdir.x, shape),
+                          jnp.broadcast_to(sdir.y, shape),
+                          jnp.broadcast_to(sdir.z, shape))
+                sh_hit, state = _vmapped_scene_hit(scene, sh_o, sh_d, t_min,
+                                                   t_max, pot, state,
+                                                   any_hit=True)
+                unblocked = pot & ~sh_hit.hit
             pdf_brdf_s = cos_sun / PI_F
             pdf_mix = 0.5 * 1.0 + 0.5 * pdf_brdf_s
             w_sun = pdf_brdf_s / pdf_mix

@@ -439,6 +439,19 @@ def hit_from_kernel(scene, ro: V3, rd: V3, t, u, v, tri, t_max) -> Hit:
     )
 
 
+def scene_hit_flat_sun(scene, ro: V3, rd: V3, t_min, t_max, active,
+                       sun_ldir: V3, shadow_bias: float):
+    """Fused closest-hit + sun-shadow for triangle-only scenes (no spheres,
+    no media): one Pallas launch instead of two per bounce wave.  Returns
+    (Hit, blocked) where `blocked` is valid on triangle-hit lanes."""
+    from dsrt_tpu.ops import pallas_trace
+    t, u, v, tri, blocked = pallas_trace.traverse_with_sun(
+        scene, ro, rd, active, float(t_min), float(t_max), sun_ldir,
+        float(shadow_bias))
+    hit = hit_from_kernel(scene, ro, rd, t, u, v, tri, t_max)
+    return hit, blocked
+
+
 def scene_hit_flat(scene, ro: V3, rd: V3, t_min, t_max, active, state=None,
                    any_hit: bool = False):
     """scene_hit over a full (K, P) lane grid using the Pallas traversal
