@@ -134,6 +134,14 @@ class OracleScene:
         self.tex_pool = g(scene.tex_pool)
         self.tex_w = g(scene.tex_w); self.tex_h = g(scene.tex_h)
         self.tex_off = g(scene.tex_off)
+        self.med_kind = g(scene.med_kind)
+        self.med_center = g(scene.med_center)
+        self.med_radius = g(scene.med_radius)
+        self.med_min = g(scene.med_min)
+        self.med_max = g(scene.med_max)
+        self.med_nid = g(scene.med_neg_inv_density)
+        self.med_albedo = g(scene.med_albedo)
+        self.n_media = scene.n_media
         self.sun_dir = g(scene.sun_dir).astype(F)
         self.sun_radiance = g(scene.sun_radiance).astype(F)
         self.sun_enabled = scene.sun_enabled
@@ -209,6 +217,60 @@ def scene_hit(sc: OracleScene, ro, rd, t_min, t_max):
     return best
 
 
+def _medium_interval(sc, m, ro, rd):
+    """Entry/exit of medium m's boundary (sphere or box), unclipped."""
+    if sc.med_kind[m] == 0:
+        c = sc.med_center[m]
+        r = F(sc.med_radius[m])
+        oc = (ro - c).astype(F)
+        a = F(rd @ rd)
+        half_b = F(oc @ rd)
+        cq = F(oc @ oc) - r * r
+        disc = half_b * half_b - a * cq
+        if disc <= 0.0:
+            return None
+        sq = F(np.sqrt(disc))
+        return F((-half_b - sq) / a), F((-half_b + sq) / a)
+    t0, t1 = F(-3e38), F(3e38)
+    for axis in range(3):
+        inv = F(1.0) / rd[axis]
+        ta = (sc.med_min[m, axis] - ro[axis]) * inv
+        tb = (sc.med_max[m, axis] - ro[axis]) * inv
+        t0 = max(t0, min(ta, tb))
+        t1 = min(t1, max(ta, tb))
+    if t1 > t0:
+        return F(t0), F(t1)
+    return None
+
+
+def scene_hit_with_media(sc, ro, rd, t_min, t_max, rng):
+    """scene_hit + probabilistic constant-medium hits, mirroring
+    ops/trace.py media_pass draw-for-draw (one rand per medium per call)."""
+    rec = scene_hit(sc, ro, rd, t_min, t_max)
+    if sc.n_media == 0:
+        return rec
+    rlen = F(np.sqrt(float(rd @ rd)))
+    closest = rec["t"] if rec is not None else F(t_max)
+    for m in range(sc.n_media):
+        iv = _medium_interval(sc, m, ro, rd)
+        u = rng.rand()  # uniform draw schedule (media_pass draws always)
+        if iv is None:
+            continue
+        e0 = max(iv[0], t_min)
+        e1 = min(iv[1], closest)
+        if not e0 < e1:
+            continue
+        dist_inside = (e1 - e0) * rlen
+        hit_dist = F(sc.med_nid[m]) * F(np.log(max(u, F(1e-30))))
+        if hit_dist <= dist_inside:
+            t = F(e0 + hit_dist / max(rlen, F(1e-30)))
+            rec = dict(t=t, u=F(0.0), v=F(0.0),
+                       normal=np.array([1, 0, 0], F), front=True,
+                       mat=0, tex=-1, tri=-1, medium=m)
+            closest = t
+    return rec
+
+
 def _tex2d(sc, tex_id, u, v):
     if tex_id < 0 or tex_id >= sc.n_textures:
         return np.ones(3, F)
@@ -237,9 +299,18 @@ def ray_color(sc: OracleScene, ro, rd, rng: LCG, max_depth: int,
                 break
             thr = (thr / p).astype(F)
 
-        rec = scene_hit(sc, ro, rd, F(1e-3), F(1e9))
+        rec = scene_hit_with_media(sc, ro, rd, F(1e-3), F(1e9), rng)
         if rec is None:
             break
+
+        if rec.get("medium", -1) >= 0:
+            # isotropic in-medium scatter (ops/shade.py medium branch)
+            m = rec["medium"]
+            p = (ro + rec["t"] * rd).astype(F)
+            d = _norm(_random_in_unit_sphere(rng))
+            thr = (thr * sc.med_albedo[m].astype(F)).astype(F)
+            ro, rd = p, d
+            continue
 
         mtype = sc.mat_type[rec["mat"]]
         if mtype == DIFFUSE_LIGHT:
@@ -291,7 +362,8 @@ def ray_color(sc: OracleScene, ro, rd, rng: LCG, max_depth: int,
             cos_sun = max(F(0.0), F(n @ ldir))
             if cos_sun > 0.0:
                 sh_o = (p + F(1e-3) * n).astype(F)
-                if scene_hit(sc, sh_o, ldir, F(1e-3), F(1e9)) is None:
+                if scene_hit_with_media(sc, sh_o, ldir, F(1e-3), F(1e9),
+                                        rng) is None:
                     pdf_brdf = cos_sun / PI
                     pdf_mix = F(0.5) * F(1.0) + F(0.5) * pdf_brdf
                     weight = (cos_sun / PI) / pdf_mix
