@@ -54,49 +54,55 @@ def trace_accumulate(scene, cfg, cam: Camera, px, py, valid, slot,
     seed = rngmod.seed_pixels(px, py, cam.width, scene.seed)
     state0 = seed ^ (slot.astype(jnp.uint32) * jnp.uint32(SLOT_SEED_MIX))
 
-    def cond(c):
-        return jnp.any(c["alive"]) | jnp.any(valid & (c["scnt"] < spp_local))
+    def make_body(px, py, valid, slot):
+        def body(c):
+            accum = c["accum"]
+            L, thr = c["L"], c["thr"]
+            ro, rd = c["ro"], c["rd"]
+            state, alive = c["state"], c["alive"]
+            depth, scnt = c["depth"], c["scnt"]
+            nrays = c["nrays"]
 
-    def body(c):
-        accum = c["accum"]
-        L, thr = c["L"], c["thr"]
-        ro, rd = c["ro"], c["rd"]
-        state, alive = c["state"], c["alive"]
-        depth, scnt = c["depth"], c["scnt"]
-        nrays = c["nrays"]
+            # ---- regeneration: idle lanes start their next sample ----
+            need = valid & ~alive & (scnt < spp_local)
+            jxu, state = rngmod.draw(state, need)
+            jyu, state = rngmod.draw(state, need)
+            s_global = (scnt * batch).astype(jnp.float32) + slot.astype(
+                jnp.float32)
+            jx = (s_global + jxu) / jnp.float32(spp_total)
+            jy = (s_global + jyu) / jnp.float32(spp_total)
+            cro, crd, state = camera_rays(cam, px, py, jx, jy, state, need,
+                                          cfg.aperture > 0)
+            z = jnp.zeros_like(jx)
+            o = jnp.ones_like(jx)
+            ro = vwhere(need, cro, ro)
+            rd = vwhere(need, crd, rd)
+            L = vwhere(need, V3(z, z, z), L)
+            thr = vwhere(need, V3(o, o, o), thr)
+            depth = jnp.where(need, 0, depth)
+            scnt = scnt + need.astype(jnp.int32)
+            alive = alive | need
 
-        # ---- regeneration: idle lanes start their next sample --------
-        need = valid & ~alive & (scnt < spp_local)
-        jxu, state = rngmod.draw(state, need)
-        jyu, state = rngmod.draw(state, need)
-        s_global = (scnt * batch).astype(jnp.float32) + slot.astype(
-            jnp.float32)
-        jx = (s_global + jxu) / jnp.float32(spp_total)
-        jy = (s_global + jyu) / jnp.float32(spp_total)
-        cro, crd, state = camera_rays(cam, px, py, jx, jy, state, need,
-                                      cfg.aperture > 0)
-        ro = vwhere(need, cro, ro)
-        rd = vwhere(need, crd, rd)
-        L = vwhere(need, V3(zero, zero, zero), L)
-        thr = vwhere(need, V3(one, one, one), thr)
-        depth = jnp.where(need, 0, depth)
-        scnt = scnt + need.astype(jnp.int32)
-        alive = alive | need
+            # ---- one path segment ------------------------------------
+            rr_mask = alive & (depth >= cfg.rr_start_depth)
+            L, thr, ro, rd, state, alive2, nr = bounce_step(
+                scene, cfg, L, thr, ro, rd, state, alive, rr_mask,
+                count_rays=count_rays)
+            depth = depth + alive.astype(jnp.int32)
+            alive2 = alive2 & (depth < max_depth)
 
-        # ---- one path segment ----------------------------------------
-        rr_mask = alive & (depth >= cfg.rr_start_depth)
-        L, thr, ro, rd, state, alive2, nr = bounce_step(
-            scene, cfg, L, thr, ro, rd, state, alive, rr_mask,
-            count_rays=count_rays)
-        depth = depth + alive.astype(jnp.int32)
-        alive2 = alive2 & (depth < max_depth)
+            # ---- bank completed samples ------------------------------
+            died = alive & ~alive2
+            accum = vwhere(died, accum + clamp01(L), accum)
 
-        # ---- bank completed samples ----------------------------------
-        died = alive & ~alive2
-        accum = vwhere(died, accum + clamp01(L), accum)
+            return dict(accum=accum, L=L, thr=thr, ro=ro, rd=rd,
+                        state=state, alive=alive2, depth=depth, scnt=scnt,
+                        nrays=nrays + nr)
 
-        return dict(accum=accum, L=L, thr=thr, ro=ro, rd=rd, state=state,
-                    alive=alive2, depth=depth, scnt=scnt, nrays=nrays + nr)
+        return body
+
+    def busy(c, valid):
+        return c["alive"] | (valid & (c["scnt"] < spp_local))
 
     init = dict(accum=V3(zero, zero, zero), L=V3(zero, zero, zero),
                 thr=V3(one, one, one), ro=V3(zero, zero, zero),
@@ -104,8 +110,54 @@ def trace_accumulate(scene, cfg, cam: Camera, px, py, valid, slot,
                 alive=jnp.zeros(shape, bool), depth=izero, scnt=izero,
                 nrays=jnp.int32(0))
 
-    out = lax.while_loop(cond, body, init)
-    return out["accum"], out["nrays"]
+    # ---- phase 1: full width until the busy set fits the drain pool ----
+    # Deep-space frames leave ~10% of lanes (the mesh pixels) grinding
+    # many more waves than the background; draining them at 1/16 width
+    # removes most of the tail's full-width wave cost.
+    cap_rows = max(shape[0] // 16, 1)
+    cap = cap_rows * shape[1]
+
+    def cond1(c):
+        n_busy = jnp.sum(busy(c, valid).astype(jnp.int32))
+        return n_busy > cap
+
+    out = lax.while_loop(cond1, make_body(px, py, valid, slot), init)
+
+    # ---- compaction into the drain pool ---------------------------------
+    order = jnp.argsort(~busy(out, valid).reshape(-1))[:cap]
+
+    def take(a):
+        return a.reshape(-1)[order].reshape(cap_rows, shape[1])
+
+    small = dict(
+        accum=V3(take(out["accum"].x), take(out["accum"].y),
+                 take(out["accum"].z)),
+        L=V3(take(out["L"].x), take(out["L"].y), take(out["L"].z)),
+        thr=V3(take(out["thr"].x), take(out["thr"].y), take(out["thr"].z)),
+        ro=V3(take(out["ro"].x), take(out["ro"].y), take(out["ro"].z)),
+        rd=V3(take(out["rd"].x), take(out["rd"].y), take(out["rd"].z)),
+        state=take(out["state"]), alive=take(out["alive"]),
+        depth=take(out["depth"]), scnt=take(out["scnt"]),
+        nrays=out["nrays"])
+    px_s, py_s = take(px), take(py)
+    valid_s, slot_s = take(valid), take(slot)
+
+    def cond2(c):
+        return jnp.any(busy(c, valid_s))
+
+    out2 = lax.while_loop(cond2, make_body(px_s, py_s, valid_s, slot_s),
+                          small)
+
+    # ---- scatter the drained lanes' accumulators back -------------------
+    # full-pool accum minus the compacted lanes' stale copies, plus final
+    nacc = out["accum"]
+    flat = dict(x=nacc.x.reshape(-1), y=nacc.y.reshape(-1),
+                z=nacc.z.reshape(-1))
+    fx = flat["x"].at[order].set(out2["accum"].x.reshape(-1))
+    fy = flat["y"].at[order].set(out2["accum"].y.reshape(-1))
+    fz = flat["z"].at[order].set(out2["accum"].z.reshape(-1))
+    accum = V3(fx.reshape(shape), fy.reshape(shape), fz.reshape(shape))
+    return accum, out2["nrays"]
 
 
 def trace_queue(scene, cfg, cam: Camera, width: int, height: int,
