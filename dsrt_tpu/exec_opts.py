@@ -1,0 +1,48 @@
+"""Runtime execution options (TPU knobs promoted out of env vars).
+
+SURVEY.md §5 calls for promoting scattered knobs to a real config; round-1
+kept three in env vars (DSRT_BLOCK_H / DSRT_FUSED_SUN / DSRT_DISABLE_PALLAS).
+They now live here as one mutable process-wide options object, settable from
+driver/bench CLI flags and from tests.  These are *execution strategy* knobs
+(which kernel, what block size) — they never change rendered pixels, so they
+are deliberately separate from the frozen `RenderConfig` that is hashed into
+jit cache keys.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass
+class ExecOptions:
+    # Pallas traversal kernel: "auto" = on TPU when the scene fits VMEM,
+    # "off" = always the pure-XLA packet traversal, "on" = force (testing).
+    pallas: str = "auto"
+    # Fuse the sun-shadow any-hit pass into the traversal kernel.  Saves a
+    # launch per wave but shadows every hit lane instead of the sparse
+    # potential-receiver set — measured net-negative on the ISS scene;
+    # kept for scenes where most hits are diffuse receivers.
+    fused_sun: bool = False
+    # Rays per Pallas grid step = block_h x 128 lanes.  Bigger blocks
+    # amortize the per-grid-step pipeline overhead at the cost of a larger
+    # traversal union per block; 32 measured best on v5e for the ISS scene.
+    block_h: int = 32
+    # Sort bounce rays by direction octant between waves (coherence).
+    sort_rays: bool = True
+
+
+OPTS = ExecOptions()
+
+
+def use_pallas(scene) -> bool:
+    """Whether the Pallas traversal kernel runs for this scene."""
+    from dsrt_tpu.ops import pallas_trace
+
+    if OPTS.pallas == "off":
+        return False
+    if OPTS.pallas == "on":
+        return True
+    return (scene.n_tris > 0
+            and pallas_trace.fits_vmem_packed(scene)
+            and pallas_trace.backend_is_tpu())

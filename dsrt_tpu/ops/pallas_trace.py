@@ -40,13 +40,15 @@ from dsrt_tpu.ops.linalg import V3
 
 TILE_H = 8
 TILE_W = 128
-# Rays per grid step: BLOCK_H x 128 lanes (BLOCK_H/8 packets fused).  Bigger
+# Rays per grid step: block_h x 128 lanes (block_h/8 packets fused).  Bigger
 # blocks amortize the per-grid-step pipeline overhead (measured ~47us/step
 # on v5e) at the cost of a larger traversal union per block.  32 measured
-# best on v5e for the ISS scene; override with DSRT_BLOCK_H.
-import os as _os
+# best on v5e for the ISS scene; configured via exec_opts.OPTS.block_h.
+from dsrt_tpu.exec_opts import OPTS as _OPTS
 
-BLOCK_H = int(_os.environ.get("DSRT_BLOCK_H", "32"))
+
+def _block_h() -> int:
+    return _OPTS.block_h
 
 _VMEM_BUDGET_ROWS = 24000  # (Bp + Tp) rows at 512 B/row ~= 12 MB
 
@@ -342,17 +344,18 @@ def _traverse_sun_kernel(box_ref, tri_ref, sun_ref, ox_ref, oy_ref, oz_ref,
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "t_min", "t_max",
-                                   "any_hit", "k", "packed"))
+                                   "any_hit", "k", "packed", "block_h"))
 def _run_traverse(bvh_pack, tri_pack, ox, oy, oz, dx, dy, dz, act,
                   n_nodes: int, max_leaf: int, t_min: float, t_max: float,
-                  any_hit: bool, k: int, packed: bool = False):
+                  any_hit: bool, k: int, packed: bool = False,
+                  block_h: int = 32):
     kern = partial(_traverse_kernel, n_nodes=n_nodes, max_leaf=max_leaf,
                    t_min=t_min, t_max=t_max, any_hit=any_hit, packed=packed)
-    ray_spec = pl.BlockSpec((BLOCK_H, TILE_W), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = (k * TILE_H, TILE_W)
-    n_blocks = (k * TILE_H) // BLOCK_H
+    n_blocks = (k * TILE_H) // block_h
     flops_est = int(n_nodes) * 60 * TILE_H * TILE_W  # rough
     return pl.pallas_call(
         kern,
@@ -372,18 +375,19 @@ def _run_traverse(bvh_pack, tri_pack, ox, oy, oz, dx, dy, dz, act,
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "t_min", "t_max",
-                                   "k", "packed"))
+                                   "k", "packed", "block_h"))
 def _run_traverse_sun(bvh_pack, tri_pack, sun, ox, oy, oz, dx, dy, dz, act,
                       n_nodes: int, max_leaf: int, t_min: float,
-                      t_max: float, k: int, packed: bool = False):
+                      t_max: float, k: int, packed: bool = False,
+                      block_h: int = 32):
     kern = partial(_traverse_sun_kernel, n_nodes=n_nodes, max_leaf=max_leaf,
                    t_min=t_min, t_max=t_max, packed=packed)
-    ray_spec = pl.BlockSpec((BLOCK_H, TILE_W), lambda i: (i, 0),
+    ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     sun_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = (k * TILE_H, TILE_W)
-    n_blocks = (k * TILE_H) // BLOCK_H
+    n_blocks = (k * TILE_H) // block_h
     flops_est = int(n_nodes) * 120 * TILE_H * TILE_W  # rough (2 passes)
     return pl.pallas_call(
         kern,
@@ -411,8 +415,9 @@ def traverse(scene, ro: V3, rd: V3, active, t_min: float, t_max: float,
     """
     K, P = ro.x.shape
     assert P == TILE_H * TILE_W, P
-    # pad the packet axis so K*8 divides BLOCK_H
-    group = BLOCK_H // TILE_H
+    # pad the packet axis so K*8 divides block_h
+    block_h = _block_h()
+    group = block_h // TILE_H
     Kp = ((K + group - 1) // group) * group
     pad = Kp - K
 
@@ -432,7 +437,7 @@ def traverse(scene, ro: V3, rd: V3, active, t_min: float, t_max: float,
         fold(rd.x), fold(rd.y), fold(rd.z), act_f,
         n_nodes=scene.n_nodes, max_leaf=scene.max_leaf,
         t_min=float(t_min), t_max=float(t_max), any_hit=any_hit, k=Kp,
-        packed=packed)
+        packed=packed, block_h=block_h)
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]
@@ -452,7 +457,8 @@ def traverse_with_sun(scene, ro: V3, rd: V3, active, t_min: float,
     """
     K, P = ro.x.shape
     assert P == TILE_H * TILE_W, P
-    group = BLOCK_H // TILE_H
+    block_h = _block_h()
+    group = block_h // TILE_H
     Kp = ((K + group - 1) // group) * group
     pad = Kp - K
 
@@ -473,7 +479,8 @@ def traverse_with_sun(scene, ro: V3, rd: V3, active, t_min: float,
         fold(ro.x), fold(ro.y), fold(ro.z),
         fold(rd.x), fold(rd.y), fold(rd.z), act_f,
         n_nodes=scene.n_nodes, max_leaf=scene.max_leaf,
-        t_min=float(t_min), t_max=float(t_max), k=Kp, packed=packed)
+        t_min=float(t_min), t_max=float(t_max), k=Kp, packed=packed,
+        block_h=block_h)
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

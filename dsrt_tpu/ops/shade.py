@@ -93,17 +93,7 @@ def sample_sphere_light_direction(center: V3, radius, origin: V3, state, mask):
     return wi, pdf, state
 
 
-import os
-
-_DISABLE_PALLAS = os.environ.get("DSRT_DISABLE_PALLAS", "") == "1"
-_FUSED_SUN = os.environ.get("DSRT_FUSED_SUN", "") == "1"
-
-
-def _use_pallas(scene) -> bool:
-    from dsrt_tpu.ops import pallas_trace
-    return (not _DISABLE_PALLAS and scene.n_tris > 0
-            and pallas_trace.fits_vmem_packed(scene)
-            and pallas_trace.backend_is_tpu())
+from dsrt_tpu.exec_opts import OPTS, use_pallas as _use_pallas
 
 
 def _vmapped_scene_hit(scene, ro, rd, t_min, t_max, active, state,
@@ -170,7 +160,7 @@ def bounce_step(scene, cfg, L, thr, ro: V3, rd: V3, state, alive, rr_mask,
         # diffuse receivers) — measured net-negative on the ISS scene
         # (9.4 vs 13.9 Mrays/s), so off by default; kept for scenes where
         # most hits are shadow receivers (DSRT_FUSED_SUN=1).
-        fused_sun = (_FUSED_SUN and sun_on and scene.n_media == 0
+        fused_sun = (OPTS.fused_sun and sun_on and scene.n_media == 0
                      and scene.n_spheres == 0 and _use_pallas(scene))
         if fused_sun:
             # one Pallas launch: closest hit + sun occlusion together

@@ -30,7 +30,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:
+    from jax import shard_map as _shard_map  # jax >= 0.8
+
+    def shard_map(f, **kw):  # new API renamed check_rep -> check_vma
+        kw["check_vma"] = kw.pop("check_rep")
+        return _shard_map(f, **kw)
+except ImportError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
 
 from dsrt_tpu.config import RenderConfig
 from dsrt_tpu.ops import rng as rngmod

@@ -1,32 +1,53 @@
 """Multi-chip sharding: dp-sharded render must be bit-identical to
 single-chip; sp-sharded must be statistically equivalent (SURVEY.md §2.6).
 
-Needs >= 8 devices (virtual CPU devices via conftest env, or run with
-`PYTHONPATH= JAX_PLATFORMS=cpu
- XLA_FLAGS=--xla_force_host_platform_device_count=8 pytest ...`
-in environments whose site hooks pin another platform)."""
+These tests run on the 8-device *virtual CPU mesh*
+(--xla_force_host_platform_device_count, set by conftest before the first
+jax import).  `jax.devices('cpu')` yields the virtual devices even when a
+TPU platform plugin is active, so the tests RUN on TPU hosts instead of
+skipping; the single-chip reference render is pinned to the same CPU
+backend (jax.default_device) so the dp comparison is bit-exact.
+"""
 
 import numpy as np
 import pytest
 import jax
 
 from dsrt_tpu.config import RenderConfig
+from dsrt_tpu.exec_opts import OPTS
 from dsrt_tpu.models.presets import rtiow_smoke_scene
 from dsrt_tpu.ops.camera import make_camera
 
-needs8 = pytest.mark.skipif(len(jax.devices()) < 8,
-                            reason="needs 8 devices (virtual CPU mesh)")
+CPUS = jax.devices("cpu")
+needs8 = pytest.mark.skipif(len(CPUS) < 8,
+                            reason="needs 8 virtual CPU devices")
 
 W, H = 40, 24
 CFG = RenderConfig(width=W, height=H, spp=4, max_depth=6)
 
 
+@pytest.fixture(autouse=True)
+def on_cpu(monkeypatch):
+    """Pin computation to the virtual CPU backend; the Pallas kernel is a
+    TPU path, so force the XLA traversal for backend-identical compares."""
+    monkeypatch.setattr(OPTS, "pallas", "off")
+    with jax.default_device(CPUS[0]):
+        yield
+
+
 @pytest.fixture(scope="module")
 def setup():
-    scene = rtiow_smoke_scene()
-    cam = make_camera((0, 0.4, 1.5), (0, 0, -1), vfov=55, width=W, height=H)
-    from dsrt_tpu.render import render_frame
-    ref = render_frame(scene, cam, CFG)
+    with jax.default_device(CPUS[0]):
+        scene = rtiow_smoke_scene()
+        cam = make_camera((0, 0.4, 1.5), (0, 0, -1), vfov=55,
+                          width=W, height=H)
+        from dsrt_tpu.render import render_frame
+        old = OPTS.pallas
+        OPTS.pallas = "off"
+        try:
+            ref = render_frame(scene, cam, CFG)
+        finally:
+            OPTS.pallas = old
     return scene, cam, ref
 
 
@@ -35,7 +56,8 @@ def test_dp_sharded_bit_identical(setup):
     from dsrt_tpu.parallel.mesh import make_mesh
     from dsrt_tpu.parallel.render import render_frame_sharded
     scene, cam, ref = setup
-    img = render_frame_sharded(scene, cam, CFG, make_mesh(8, sp=1))
+    img = render_frame_sharded(scene, cam, CFG,
+                               make_mesh(8, sp=1, devices=CPUS))
     np.testing.assert_array_equal(img, ref)
 
 
@@ -44,7 +66,8 @@ def test_sp_sharded_statistically_close(setup):
     from dsrt_tpu.parallel.mesh import make_mesh
     from dsrt_tpu.parallel.render import render_frame_sharded
     scene, cam, ref = setup
-    img = render_frame_sharded(scene, cam, CFG, make_mesh(8, sp=2))
+    img = render_frame_sharded(scene, cam, CFG,
+                               make_mesh(8, sp=2, devices=CPUS))
     diff = np.abs(img.astype(int) - ref.astype(int))
     assert diff.mean() < 12.0  # MC noise at 4 spp, not a systematic offset
     assert (img > 0).mean() > 0.3  # actually rendered content
@@ -57,7 +80,8 @@ def test_spp_not_divisible_raises(setup):
     scene, cam, _ = setup
     cfg = RenderConfig(width=W, height=H, spp=3, max_depth=4)
     with pytest.raises(ValueError):
-        render_frame_sharded(scene, cam, cfg, make_mesh(8, sp=2))
+        render_frame_sharded(scene, cam, cfg, make_mesh(8, sp=2,
+                                                        devices=CPUS))
 
 
 def test_graft_entry_single_chip():
