@@ -1,25 +1,26 @@
 """Benchmark: Mrays/sec/chip on the ISS scene (BASELINE.json metric).
 
-Renders the ISS stand-in scene (the NASA OBJ is not in the reference repo;
-see models/mesh_gen.py) at the reference's 800x450 frame size with a
-rendezvous-style camera/sun geometry, in the renderer's throughput mode
-(8 concurrent samples per pixel, decorrelated LCG slots — the rng_mode the
-reference reserved, inc/gpu_scene.h:103; the sequential parity mode is
-validated against the scalar oracle by tests/test_render_golden.py).
+Default (driver contract): renders the ISS stand-in scene at the
+reference's 800x450 frame size through the FUSED persistent path-tracing
+megakernel (ops/pallas_path.py — one Pallas launch per frame, bit-exact
+LCG parity with the oracle-verified renderer) and prints ONE JSON line:
 
-The ray count is measured EXACTLY — every scene-intersection query
-(primary, bounce, shadow) is counted inside the jitted loop — not
-estimated.
-
-Prints ONE JSON line:
     {"metric": "Mrays/sec/chip", "value": N, "unit": "Mrays/s",
      "vs_baseline": N / 50.0}
+
 vs_baseline is against the driver-supplied north-star target of
 50 Mrays/sec/chip on v5e (BASELINE.md; the reference publishes no numbers).
+Ray counts are EXACT — every scene-intersection query (primary, bounce,
+shadow) is counted inside the kernel, not estimated.
+
+`--all` additionally runs the full BASELINE.json config matrix (pose-gen,
+RTiOW smoke, ISS@250spp, 1080p@1000spp sec/frame, volumetric) and prints
+one JSON line per config (also written to benchmarks/BENCH_ALL.json).
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 import time
@@ -30,60 +31,84 @@ import jax.numpy as jnp
 
 from dsrt_tpu.config import RenderConfig
 from dsrt_tpu.models.mesh_gen import iss_standin_scene
-from dsrt_tpu.ops.camera import point_camera_at
-from dsrt_tpu.ops.wavefront import trace_accumulate
-from dsrt_tpu.render import lane_layout
+from dsrt_tpu.ops.camera import point_camera_at, make_camera
+from dsrt_tpu.render import lane_layout, PACKET
 
 NORTH_STAR = 50.0  # Mrays/sec/chip on v5e (BASELINE.md)
 
-import os
-
 WIDTH, HEIGHT = 800, 450
-BATCH = int(os.environ.get("DSRT_BENCH_BATCH", "4"))  # sample slots/pixel
-SPP = 32        # timed samples per pixel
 DETAIL = 4      # ~5.8k-triangle stand-in (ISS OBJ is tens of thousands)
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _run_fused(scene, cfg, cam, px, py, valid):
+    from dsrt_tpu.ops.pallas_path import trace_fused
+    return trace_fused(scene, cfg, cam, px, py, valid)
+
+
+def _fused_mrays(scene, cam, cfg, reps: int = 1):
+    """(mrays, seconds, exact_rays) via the fused kernel."""
+    px, py, valid, _ = lane_layout(cfg.width, cfg.height)
+    px, py, valid = jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid)
+    accum, nr = _run_fused(scene, cfg, cam, px, py, valid)
+    accum.x.block_until_ready()
+    exact = int(jax.device_get(nr))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        accum, nr = _run_fused(scene, cfg, cam, px, py, valid)
+    accum.x.block_until_ready()
+    dt = (time.perf_counter() - t0) / reps
+    return exact / dt / 1e6, dt, exact
+
+
 @partial(jax.jit, static_argnames=("cfg", "spp_local", "count"))
-def run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg, spp_local, count):
+def _run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg, spp_local,
+                   count):
+    from dsrt_tpu.ops.wavefront import trace_accumulate
     return trace_accumulate(scene, cfg, cam, pxb, pyb, validb, slot,
                             spp_local, count_rays=count)
 
 
-def main() -> int:
-    cfg = RenderConfig(width=WIDTH, height=HEIGHT, spp=SPP, max_depth=50)
+def _wavefront_mrays(scene, cam, cfg, batch: int = 4):
+    """Throughput via the split wavefront (scenes the fused kernel does
+    not cover: spheres / media / textures)."""
+    px, py, valid, _ = lane_layout(cfg.width, cfg.height)
+    k = px.shape[0]
+    pxb = jnp.tile(jnp.asarray(px), (batch, 1))
+    pyb = jnp.tile(jnp.asarray(py), (batch, 1))
+    validb = jnp.tile(jnp.asarray(valid), (batch, 1))
+    slot = jnp.broadcast_to(
+        jnp.repeat(jnp.arange(batch, dtype=jnp.uint32), k)[:, None],
+        pxb.shape)
+    spp_local = cfg.resolved_spp() // batch
+    accum, nr = _run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
+                               spp_local, True)
+    exact = int(jax.device_get(nr))
+    accum, _ = _run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
+                              spp_local, False)
+    accum.x.block_until_ready()
+    t0 = time.perf_counter()
+    accum, _ = _run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
+                              spp_local, False)
+    accum.x.block_until_ready()
+    dt = time.perf_counter() - t0
+    return exact / dt / 1e6, dt, exact
+
+
+def headline() -> dict:
+    cfg = RenderConfig(width=WIDTH, height=HEIGHT, spp=32, max_depth=50)
     scene = iss_standin_scene(detail=DETAIL)
     # rendezvous-style viewpoint: ~200 m out, station fills the frame
     cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
                           vfov=cfg.vfov, width=WIDTH, height=HEIGHT)
-    px, py, valid, _ = lane_layout(WIDTH, HEIGHT)
-    k = px.shape[0]
-    pxb = jnp.tile(jnp.asarray(px), (BATCH, 1))
-    pyb = jnp.tile(jnp.asarray(py), (BATCH, 1))
-    validb = jnp.tile(jnp.asarray(valid), (BATCH, 1))
-    slot = jnp.broadcast_to(
-        jnp.repeat(jnp.arange(BATCH, dtype=jnp.uint32), k)[:, None],
-        pxb.shape)
-    spp_local = SPP // BATCH
-
-    # compile + warm both variants; exact ray count from counting variant
-    # (identical RNG schedule => identical ray count in the timed run)
-    accum, nr = run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
-                              spp_local, True)
-    exact = int(jax.device_get(nr))
-    accum, _ = run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
-                             spp_local, False)
-    accum.x.block_until_ready()
-
-    # timed pass
-    t0 = time.perf_counter()
-    accum, _ = run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
-                             spp_local, False)
-    accum.x.block_until_ready()
-    dt = time.perf_counter() - t0
-
-    mrays = exact / dt / 1e6
-    result = {
+    from dsrt_tpu.ops.pallas_path import fused_supported
+    if fused_supported(scene, cfg):
+        mrays, dt, exact = _fused_mrays(scene, cam, cfg)
+        mode = "fused-megakernel"
+    else:  # CPU/debug environments
+        mrays, dt, exact = _wavefront_mrays(scene, cam, cfg)
+        mode = "wavefront-regeneration"
+    return {
         "metric": "Mrays/sec/chip",
         "value": round(mrays, 3),
         "unit": "Mrays/s",
@@ -92,14 +117,90 @@ def main() -> int:
             "scene": f"iss_standin_detail{DETAIL}",
             "n_tris": scene.n_tris,
             "frame": f"{WIDTH}x{HEIGHT}",
-            "spp_timed": SPP,
-            "spp_batch": BATCH,
-            "mode": "wavefront-regeneration",
+            "spp_timed": cfg.spp,
+            "mode": mode,
             "rays": exact,
             "seconds": round(dt, 3),
             "device": str(jax.devices()[0]),
         },
     }
+
+
+def all_configs() -> list[dict]:
+    """The 5 BASELINE.json benchmark configs."""
+    out = []
+
+    # --- configs[0]: lunar polar orbit pose gen (--time 1 --dt 0.01) ----
+    import tempfile
+    import os
+    from dsrt_tpu.orbit.trajectory import generate_pose_file
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "poses.txt")
+        t0 = time.perf_counter()
+        n = generate_pose_file(path, time_s=1.0, dt=0.01)
+        dt = time.perf_counter() - t0
+    out.append({"config": "pose_gen_time1_dt0.01", "metric": "poses/sec",
+                "value": round(n / dt, 1), "n_poses": n,
+                "seconds": round(dt, 4)})
+
+    # --- configs[1]: RTiOW 3-sphere smoke, 400x225 @ 64 spp -------------
+    from dsrt_tpu.models.presets import rtiow_smoke_scene, volumetric_scene
+    cfg = RenderConfig(width=400, height=225, spp=64, max_depth=50)
+    scene = rtiow_smoke_scene()
+    cam = make_camera((0, 0.6, 2.0), (0, 0, -1), vfov=50,
+                      width=400, height=225)
+    mrays, dt, exact = _wavefront_mrays(scene, cam, cfg)
+    out.append({"config": "rtiow_400x225_64spp", "metric": "Mrays/sec/chip",
+                "value": round(mrays, 3), "rays": exact,
+                "sec_per_frame": round(dt, 3)})
+
+    # --- configs[2]: ISS single frame 800x450 @ 250 spp ------------------
+    cfg = RenderConfig(width=800, height=450, spp=250, max_depth=50)
+    scene = iss_standin_scene(detail=DETAIL)
+    cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
+                          vfov=cfg.vfov, width=800, height=450)
+    mrays, dt, exact = _fused_mrays(scene, cam, cfg)
+    out.append({"config": "iss_800x450_250spp", "metric": "Mrays/sec/chip",
+                "value": round(mrays, 3), "rays": exact,
+                "sec_per_frame": round(dt, 3)})
+
+    # --- configs[3]: rendezvous frame at 1080p @ 1000 spp (sec/frame) ---
+    cfg = RenderConfig(width=1920, height=1080, spp=1000, max_depth=50)
+    cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
+                          vfov=cfg.vfov, width=1920, height=1080)
+    mrays, dt, exact = _fused_mrays(scene, cam, cfg)
+    out.append({"config": "iss_1080p_1000spp", "metric": "sec/frame",
+                "value": round(dt, 3), "mrays_per_sec": round(mrays, 3),
+                "rays": exact})
+
+    # --- configs[4]: volumetric + importance-sampled scene ---------------
+    cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
+    scene = volumetric_scene()
+    cam = make_camera((0, 0.6, 2.0), (0, 0, -1), vfov=50,
+                      width=800, height=450)
+    mrays, dt, exact = _wavefront_mrays(scene, cam, cfg)
+    out.append({"config": "volumetric_800x450_32spp",
+                "metric": "Mrays/sec/chip", "value": round(mrays, 3),
+                "rays": exact, "sec_per_frame": round(dt, 3)})
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="run the full BASELINE config matrix")
+    args = ap.parse_args()
+
+    result = headline()
+    if args.all:
+        configs = all_configs()
+        for c in configs:
+            print(json.dumps(c))
+        import os
+        os.makedirs("benchmarks", exist_ok=True)
+        with open("benchmarks/BENCH_ALL.json", "w") as fh:
+            json.dump({"headline": result, "configs": configs}, fh,
+                      indent=1)
     print(json.dumps(result))
     return 0
 

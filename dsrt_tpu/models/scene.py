@@ -31,7 +31,7 @@ MED_BOX = 1
 
 
 def _pack_for_kernel(bvh: BVH, v0: np.ndarray, v1: np.ndarray,
-                     v2: np.ndarray):
+                     v2: np.ndarray, tri_mat: np.ndarray, fn: np.ndarray):
     """Build the Pallas traversal tables.
 
     bvh_pack f32[Bp,16] per node: [minx,miny,minz,maxx,maxy,maxz, skip,
@@ -41,8 +41,21 @@ def _pack_for_kernel(bvh: BVH, v0: np.ndarray, v1: np.ndarray,
     miss/leaf — no stack.  Integer fields are stored as exact small floats.
 
     tri_pack f32[Tp,16] per triangle (in leaf order): [v0(3), e1(3), e2(3),
-    0...] with e = precomputed Moller-Trumbore edges.  Rows padded to a
-    multiple of 8 (sublane tile); padded triangles are degenerate (det 0).
+    mat_id, fn(3), 0...] with e = precomputed Moller-Trumbore edges, mat_id
+    the material row (exact small float), and fn the stored flat face
+    normal (so the fused path kernel shades with bit-identical normals).
+    Rows padded to a multiple of 8 (sublane tile); padded triangles are
+    degenerate (det 0).
+
+    thr_pack f32[Bp,16] per node: the *octant thread table* for front-to-
+    back (ordered) descent — lanes [2o, 2o+1] hold (enter, skip) for ray-
+    direction octant o = (dx<0) + 2(dy<0) + 4(dz<0).  `enter` is the child
+    nearer along the octant's representative direction (sign of
+    (center_R - center_L)·ŝ); `skip` is the next node in that octant's
+    DFS preorder after this node's subtree.  Visiting near children first
+    lets a leaf hit shrink `closest` before far subtrees are slab-tested,
+    restoring the early-out the canonical skip-pointer layout loses
+    (the per-ray ordering of src/gpu_render.cu:433-454, done per packet).
     """
     b = bvh.num_nodes
     size = np.ones(b, np.int64)
@@ -61,6 +74,38 @@ def _pack_for_kernel(bvh: BVH, v0: np.ndarray, v1: np.ndarray,
     pack[:b, 8] = bvh.tri_count.astype(np.float32)
     pack[b:, 6] = float(b)  # padded rows escape immediately (never visited)
 
+    # ---- octant thread table ------------------------------------------
+    end = b
+    enter_t = np.full((8, b), end, np.int64)
+    skip_t = np.full((8, b), end, np.int64)
+    if b and internal.any():
+        li, ri = bvh.left, bvh.right
+        cl = 0.5 * (bvh.bbox_min[np.maximum(li, 0)]
+                    + bvh.bbox_max[np.maximum(li, 0)])
+        cr = 0.5 * (bvh.bbox_min[np.maximum(ri, 0)]
+                    + bvh.bbox_max[np.maximum(ri, 0)])
+        # representative direction per octant: ŝ = (±1, ±1, ±1)
+        s = np.array([[1.0 - 2.0 * ((o >> a) & 1) for a in range(3)]
+                      for o in range(8)], np.float32)        # (8,3)
+        left_first = ((cr - cl) @ s.T) >= 0.0                # (b,8)
+        octs = np.arange(8)
+        # canonical preorder (node index order) guarantees parents are
+        # threaded before their children
+        for n in range(b):
+            if not internal[n]:
+                continue
+            near = np.where(left_first[n], li[n], ri[n])
+            far = np.where(left_first[n], ri[n], li[n])
+            enter_t[octs, n] = near
+            skip_t[octs, near] = far
+            skip_t[octs, far] = skip_t[octs, n]
+    thr = np.zeros((bp, 16), np.float32)
+    thr[:, 0::2] = float(end)
+    thr[:, 1::2] = float(end)
+    if b:
+        thr[:b, 0::2] = enter_t.T.astype(np.float32)
+        thr[:b, 1::2] = skip_t.T.astype(np.float32)
+
     t = len(v0)
     tp = max(((t + 7) // 8) * 8, 8)
     tpack = np.zeros((tp, 16), np.float32)
@@ -68,7 +113,9 @@ def _pack_for_kernel(bvh: BVH, v0: np.ndarray, v1: np.ndarray,
         tpack[:t, 0:3] = v0
         tpack[:t, 3:6] = v1 - v0
         tpack[:t, 6:9] = v2 - v0
-    return pack, tpack
+        tpack[:t, 9] = tri_mat.astype(np.float32)
+        tpack[:t, 10:13] = fn
+    return pack, tpack, thr
 
 
 def _pack8(rows16: np.ndarray) -> np.ndarray:
@@ -96,6 +143,7 @@ def _i32(a):
              "bvh_min", "bvh_max", "bvh_left", "bvh_right",
              "bvh_tri_offset", "bvh_tri_count", "tri_indices",
              "bvh_pack", "tri_pack", "bvh_pk8", "tri_pk8",
+             "thr_pack", "thr_pk8",
              "tri_shade", "mat_pack",
              "sph_center", "sph_radius", "sph_mat", "light_idx",
              "mat_type", "mat_albedo", "mat_emissive", "mat_fuzz",
@@ -143,6 +191,10 @@ class Scene:
     # v0(3) e1(3) e2(3) pad..., triangles in BVH-leaf order.
     bvh_pack: jnp.ndarray
     tri_pack: jnp.ndarray
+    # octant thread table (ordered descent): f32[Bp,16], lanes [2o, 2o+1]
+    # = (enter, skip) pointers for direction octant o (see _pack_for_kernel)
+    thr_pack: jnp.ndarray
+    thr_pk8: jnp.ndarray
     # consolidated shading tables: one row-gather per wave instead of many
     # column gathers (TPU gathers are op-overhead-bound).
     # tri_shade f32[T,16]: n(3) uv0(2) uv1(2) uv2(2) mat tex pad...
@@ -347,10 +399,12 @@ class SceneBuilder:
             tri_indices = np.arange(n_tris, dtype=np.int32)
         else:
             tri_indices = np.zeros(1, np.int32)
-        bvh_pack, tri_pack = _pack_for_kernel(bvh, v0[:n_tris], v1[:n_tris],
-                                              v2[:n_tris])
+        bvh_pack, tri_pack, thr_pack = _pack_for_kernel(
+            bvh, v0[:n_tris], v1[:n_tris], v2[:n_tris], tri_mat[:n_tris],
+            fn[:n_tris])
         bvh_pk8 = _pack8(bvh_pack)
         tri_pk8 = _pack8(tri_pack)
+        thr_pk8 = _pack8(thr_pack)
         tri_shade = np.zeros((max(n_tris, 1), 16), np.float32)
         tri_shade[:, 0:3] = fn[:max(n_tris, 1)]
         tri_shade[:, 3:5] = uv0[:max(n_tris, 1)]
@@ -445,6 +499,7 @@ class SceneBuilder:
             tri_indices=_i32(tri_indices),
             bvh_pack=_f32(bvh_pack), tri_pack=_f32(tri_pack),
             bvh_pk8=_f32(bvh_pk8), tri_pk8=_f32(tri_pk8),
+            thr_pack=_f32(thr_pack), thr_pk8=_f32(thr_pk8),
             tri_shade=_f32(tri_shade), mat_pack=_f32(mat_pack),
             sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
             sph_mat=_i32(sph_mat), light_idx=_i32(light_arr),

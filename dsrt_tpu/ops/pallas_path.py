@@ -1,0 +1,716 @@
+"""Fused persistent path-tracing megakernel (Pallas TPU).
+
+One `pallas_call` renders the whole frame: each grid step owns a block of
+pixels (block_h x 128 lanes, pixel-pinned) and runs the ENTIRE sample loop
+for that block on-core — camera raygen, LCG RNG, BVH traversal, sun-shadow
+any-hit, material shading, Russian roulette, per-lane sample regeneration
+and radiance banking.  This removes the two costs that dominate the split
+wavefront design (ops/wavefront.py + ops/pallas_trace.py):
+
+- the per-wave XLA glue (RNG/raygen/shading between kernel launches,
+  ~10 ms/wave at full width, measured on v5e), and
+- the per-wave kernel launch + full-width occupancy tax: a wave with 5%
+  live lanes still paid every block; here each block only runs waves for
+  its OWN outstanding work (a background block finishes in ~spp waves of
+  one root-miss each).
+
+Functionally this is the reference megakernel (src/gpu_render.cu:973-1031,
+one CUDA thread = one pixel running all spp x bounces) re-shaped for the
+VPU: 1024-lane pixel blocks in lockstep with masked-lane control flow, a
+shared skip-pointer traversal with per-octant ordered descent, and the
+exact per-pixel LCG draw schedule (seed (x + y W) ^ seed, cu:990; draws
+only on the lanes the scalar control flow would draw on), so each pixel's
+sample stream is bit-identical to the parity renderer and the scalar
+oracle.
+
+Scope (see `fused_supported`): triangle scenes with the directional sun
+and lambertian/metal/dielectric/diffuse-light materials — the flagship
+ISS pipeline.  Sphere lights, media, and image/procedural textures fall
+back to the split wavefront path.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.lax as lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from dsrt_tpu.exec_opts import OPTS as _OPTS
+from dsrt_tpu.ops.linalg import V3
+from dsrt_tpu.ops.pallas_trace import (_load_many, fits_vmem,
+                                       fits_vmem_packed, backend_is_tpu,
+                                       TILE_H, TILE_W)
+from dsrt_tpu.models.materials import (DIELECTRIC, DIFFUSE_LIGHT, LAMBERTIAN,
+                                       METAL)
+
+PI_F = 3.14159265358979323846
+# LCG constants as Python ints (Pallas kernels cannot capture traced
+# constants; weak-typed scalars fold into the jaxpr as literals)
+LCG_A = 1664525
+LCG_C = 1013904223
+MANT = 0x00FFFFFF
+INV_2_24 = 1.0 / 16777216.0
+
+
+def fused_supported(scene, cfg) -> bool:
+    """Whether the fused megakernel covers this scene/config."""
+    if _OPTS.pallas == "off":
+        return False
+    return (scene.n_tris > 0 and scene.n_spheres == 0
+            and scene.n_media == 0 and scene.n_lights == 0
+            and not scene.has_image_tex and not scene.has_ptex
+            and cfg.aperture == 0.0
+            and fits_vmem_packed(scene) and backend_is_tpu())
+
+
+# ---------------------------------------------------------------------------
+# in-kernel helpers (masked-lane contract identical to ops/rng.py /
+# ops/shade.py so the per-pixel draw schedule is reproduced exactly)
+# ---------------------------------------------------------------------------
+
+def _draw(state, mask):
+    ns = state * LCG_A + LCG_C
+    ns = jnp.where(mask, ns, state)
+    # Mosaic has no u32->f32 cast; the 24-bit mantissa fits i32 exactly
+    u = (ns & MANT).astype(jnp.int32).astype(jnp.float32) * INV_2_24
+    return u, ns
+
+
+def _rand_in_unit_sphere(state, mask, max_tries: int = 64):
+    """Rejection sampler, 3 draws/attempt (src/gpu_render.cu:82-91);
+    per-lane retry under mask, same draw count as the scalar loop."""
+
+    def attempt(state, need):
+        x, state = _draw(state, need)
+        y, state = _draw(state, need)
+        z, state = _draw(state, need)
+        return (x * 2.0 - 1.0, y * 2.0 - 1.0, z * 2.0 - 1.0), state
+
+    p0, state = attempt(state, mask)
+
+    # masks carried as f32 — i1 vectors in scf loop carries trip a Mosaic
+    # layout bug (same workaround as the shadow pass in pallas_trace.py)
+    def cond(c):
+        i, _, _, _, _, need_f = c
+        return jnp.logical_and(i < max_tries, jnp.any(need_f > 0.5))
+
+    def body(c):
+        i, px, py, pz, state, need_f = c
+        need = need_f > 0.5
+        (cx, cy, cz), state = attempt(state, need)
+        accept = (cx * cx + cy * cy + cz * cz) < 1.0
+        px = jnp.where(need, cx, px)
+        py = jnp.where(need, cy, py)
+        pz = jnp.where(need, cz, pz)
+        need_f = jnp.where(need & ~accept, 1.0, 0.0)
+        return i + 1, px, py, pz, state, need_f
+
+    need0 = jnp.where(
+        jnp.logical_and(
+            mask, (p0[0] * p0[0] + p0[1] * p0[1] + p0[2] * p0[2]) >= 1.0),
+        1.0, 0.0)
+    _, px, py, pz, state, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), p0[0], p0[1], p0[2], state, need0))
+    return (px, py, pz), state
+
+
+def _normalize3(x, y, z):
+    """Reference f3_norm: zero vector for L2 <= 0 (gpu_render.cu:40-46)."""
+    l2 = x * x + y * y + z * z
+    inv = jnp.where(l2 > 0.0, 1.0 / jnp.sqrt(jnp.maximum(l2, 1e-38)), 0.0)
+    return x * inv, y * inv, z * inv
+
+
+def _cosine_hemisphere(nx, ny, nz, state, mask):
+    """sample_cosine_hemisphere of ops/shade.py in scalar-triplet form:
+    2 draws, ONB about n, returns (dir, pdf, state)."""
+    r1, state = _draw(state, mask)
+    r2, state = _draw(state, mask)
+    z = jnp.sqrt(jnp.maximum(0.0, 1.0 - r2))
+    phi = 2.0 * jnp.float32(PI_F) * r1
+    sq = jnp.sqrt(jnp.maximum(r2, 0.0))
+    lx = jnp.cos(phi) * sq
+    ly = jnp.sin(phi) * sq
+    # build_onb (src/gpu_render.cu:112-118)
+    wx, wy, wz = _normalize3(nx, ny, nz)
+    big = jnp.abs(wx) > 0.9
+    ax = jnp.where(big, 0.0, 1.0)
+    ay = jnp.where(big, 1.0, 0.0)
+    # v = normalize(cross(w, a)); a = (ax, ay, 0)
+    cvx = wy * 0.0 - wz * ay
+    cvy = wz * ax - wx * 0.0
+    cvz = wx * ay - wy * ax
+    vx, vy, vz = _normalize3(cvx, cvy, cvz)
+    # u = cross(v, w)
+    ux = vy * wz - vz * wy
+    uy = vz * wx - vx * wz
+    uz = vx * wy - vy * wx
+    dx = ux * lx + vx * ly + wx * z
+    dy = uy * lx + vy * ly + wy * z
+    dz = uz * lx + vz * ly + wz * z
+    dx, dy, dz = _normalize3(dx, dy, dz)
+    cos_t = jnp.maximum(0.0, dx * nx + dy * ny + dz * nz)
+    pdf = jnp.where(cos_t > 0.0, cos_t / jnp.float32(PI_F), 0.0)
+    return (dx, dy, dz), pdf, state
+
+
+# ---------------------------------------------------------------------------
+# the kernel
+# ---------------------------------------------------------------------------
+
+def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
+                 spp_ref, px_ref, py_ref, valid_ref,
+                 acc_r_ref, acc_g_ref, acc_b_ref, nray_ref,
+                 *, n_nodes: int, max_leaf: int, n_mats: int,
+                 max_depth: int, width: int, height: int, seed: int,
+                 rr_start: int, rr_max_p: float, t_min: float, t_max: float,
+                 sun_on: bool, packed: bool):
+    pxf = px_ref[...].astype(jnp.float32)
+    pyf = py_ref[...].astype(jnp.float32)
+    valid = valid_ref[...] > 0
+    shape = pxf.shape
+
+    tmin_f = jnp.float32(t_min)
+    tmax_f = jnp.float32(t_max)
+    inv_w1 = jnp.float32(1.0 / (width - 1))
+    inv_h1 = jnp.float32(1.0 / (height - 1))
+    # spp is a runtime scalar (SMEM) so one compiled kernel serves every
+    # sample count; the jitter uses DIVISION like the parity renderer
+    # (a reciprocal multiply differs in ulp for non-power-of-two spp)
+    spp = spp_ref[0]
+    spp_f = spp.astype(jnp.float32)
+
+    cam_ox = cam_ref[0]
+    cam_oy = cam_ref[1]
+    cam_oz = cam_ref[2]
+    ll = (cam_ref[3], cam_ref[4], cam_ref[5])
+    hz = (cam_ref[6], cam_ref[7], cam_ref[8])
+    vt = (cam_ref[9], cam_ref[10], cam_ref[11])
+    sdx, sdy, sdz = sun_ref[0], sun_ref[1], sun_ref[2]
+    sun_r, sun_g, sun_b = sun_ref[3], sun_ref[4], sun_ref[5]
+    sh_bias = sun_ref[6]
+
+    # per-pixel LCG seed (src/gpu_render.cu:990)
+    state0 = (px_ref[...].astype(jnp.uint32)
+              + py_ref[...].astype(jnp.uint32) * jnp.uint32(width)
+              ) ^ jnp.uint32(seed & 0xFFFFFFFF)
+
+    f0 = jnp.zeros(shape, jnp.float32)
+    f1 = jnp.ones(shape, jnp.float32)
+    i0 = jnp.zeros(shape, jnp.int32)
+
+    # sun-shadow octant (uniform per frame) for the ordered thread table
+    s_oct = ((sdx < 0.0).astype(jnp.int32)
+             + 2 * (sdy < 0.0).astype(jnp.int32)
+             + 4 * (sdz < 0.0).astype(jnp.int32))
+
+    # last valid triangle record (over-read clamp for masked leaf slots)
+    max_tri_row = (tri_ref.shape[0] * 8 - 1) if packed else (
+        tri_ref.shape[0] - 1)
+
+    def _load_thread(node, ent_lane, skp_lane):
+        if packed:
+            row = thr_ref[pl.ds(node // 8, 1), :]
+            base = (node % 8) * 16
+        else:
+            row = thr_ref[pl.ds(node, 1), :]
+            base = 0
+        lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+        ent = jnp.sum(jnp.where(lane == base + ent_lane, row, 0.0))
+        skp = jnp.sum(jnp.where(lane == base + skp_lane, row, 0.0))
+        return ent.astype(jnp.int32), skp.astype(jnp.int32)
+
+    def _closest_hit(ox, oy, oz, dx, dy, dz, act):
+        """Ordered-descent closest hit.  Returns (hitmask f32, t, mat i32,
+        n(3) face-flipped, front f32)."""
+        inv_dx = 1.0 / dx
+        inv_dy = 1.0 / dy
+        inv_dz = 1.0 / dz
+        actf = jnp.where(act, 1.0, 0.0)
+        half = 0.5 * jnp.maximum(jnp.sum(actf), 1.0)
+        bx = jnp.sum(jnp.where(act & (dx < 0.0), 1.0, 0.0)) > half
+        by = jnp.sum(jnp.where(act & (dy < 0.0), 1.0, 0.0)) > half
+        bz = jnp.sum(jnp.where(act & (dz < 0.0), 1.0, 0.0)) > half
+        octant = (bx.astype(jnp.int32) + 2 * by.astype(jnp.int32)
+                  + 4 * bz.astype(jnp.int32))
+        ent_lane = 2 * octant
+        skp_lane = ent_lane + 1
+
+        node0 = jnp.where(jnp.any(act), jnp.int32(0), jnp.int32(n_nodes))
+
+        def cond(c):
+            return c[0] < n_nodes
+
+        def body(c):
+            node, closest, bt, bm, bnx, bny, bnz, bfr = c
+            (minx, miny, minz, maxx, maxy, maxz, off_f,
+             cnt_f) = _load_many(box_ref, node, (0, 1, 2, 3, 4, 5, 7, 8),
+                                 packed)
+            enter_n, skip = _load_thread(node, ent_lane, skp_lane)
+            off = off_f.astype(jnp.int32)
+            cnt = cnt_f.astype(jnp.int32)
+
+            t0 = (minx - ox) * inv_dx
+            t1 = (maxx - ox) * inv_dx
+            lo = jnp.minimum(t0, t1)
+            hi = jnp.maximum(t0, t1)
+            t0 = (miny - oy) * inv_dy
+            t1 = (maxy - oy) * inv_dy
+            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+            t0 = (minz - oz) * inv_dz
+            t1 = (maxz - oz) * inv_dz
+            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+            lo = jnp.maximum(lo, tmin_f)
+            hi = jnp.minimum(hi, closest)
+            boxhit = (hi > lo) & act
+            enter = jnp.any(boxhit)
+            is_leaf = cnt > 0
+
+            def leaf_body(i, lc):
+                # unconditional masked test: loading slot `off + i` past
+                # the leaf's count is safe (same table) and `i < cnt`
+                # masks acceptance — avoids an scf.if per triangle slot
+                closest, bt, bm, bnx, bny, bnz, bfr = lc
+                row = jnp.minimum(off + i, max_tri_row)
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, mat_f,
+                 fnx, fny, fnz) = _load_many(tri_ref, row, range(13),
+                                             packed)
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = jnp.abs(det) >= 1e-8
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                ok = ok & (u >= 0.0) & (u <= 1.0)
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                ok = ok & (v >= 0.0) & (u + v <= 1.0)
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = ok & (t >= tmin_f) & (t <= closest) & act & (i < cnt)
+                closest = jnp.where(ok, t, closest)
+                bt = jnp.where(ok, t, bt)
+                bm = jnp.where(ok, mat_f.astype(jnp.int32), bm)
+                # stored flat normal, face-flipped per lane
+                front = (dx * fnx + dy * fny + dz * fnz) < 0.0
+                sgn = jnp.where(front, 1.0, -1.0)
+                bnx = jnp.where(ok, sgn * fnx, bnx)
+                bny = jnp.where(ok, sgn * fny, bny)
+                bnz = jnp.where(ok, sgn * fnz, bnz)
+                bfr = jnp.where(ok, jnp.where(front, 1.0, 0.0), bfr)
+                return closest, bt, bm, bnx, bny, bnz, bfr
+
+            closest, bt, bm, bnx, bny, bnz, bfr = lax.cond(
+                enter & is_leaf,
+                lambda a: lax.fori_loop(0, max_leaf, leaf_body, a),
+                lambda a: a, (closest, bt, bm, bnx, bny, bnz, bfr))
+
+            descend = enter & jnp.logical_not(is_leaf)
+            node_next = jnp.where(descend, enter_n, skip)
+            return node_next, closest, bt, bm, bnx, bny, bnz, bfr
+
+        closest0 = jnp.where(act, tmax_f, tmin_f)
+        _, closest, bt, bm, bnx, bny, bnz, bfr = lax.while_loop(
+            cond, body,
+            (node0, closest0, jnp.full(shape, tmax_f), i0, f0, f0, f0, f0))
+        hitm = jnp.where(act & (closest < tmax_f), 1.0, 0.0)
+        return hitm, bt, bm, bnx, bny, bnz, bfr
+
+    def _sun_blocked(sox, soy, soz, pot):
+        """Any-hit along the (uniform) sun direction for `pot` lanes.
+        The Moller-Trumbore p-vector and determinant are per-triangle
+        scalars (direction uniform)."""
+        inv_sx = 1.0 / sdx
+        inv_sy = 1.0 / sdy
+        inv_sz = 1.0 / sdz
+        ent_lane = 2 * s_oct
+        skp_lane = ent_lane + 1
+        node0 = jnp.where(jnp.any(pot), jnp.int32(0), jnp.int32(n_nodes))
+        sc0 = jnp.where(pot, tmax_f, tmin_f)
+
+        def cond(c):
+            return c[0] < n_nodes
+
+        def body(c):
+            node, sc, blocked = c
+            (minx, miny, minz, maxx, maxy, maxz, off_f,
+             cnt_f) = _load_many(box_ref, node, (0, 1, 2, 3, 4, 5, 7, 8),
+                                 packed)
+            enter_n, skip = _load_thread(node, ent_lane, skp_lane)
+            off = off_f.astype(jnp.int32)
+            cnt = cnt_f.astype(jnp.int32)
+
+            t0 = (minx - sox) * inv_sx
+            t1 = (maxx - sox) * inv_sx
+            lo = jnp.minimum(t0, t1)
+            hi = jnp.maximum(t0, t1)
+            t0 = (miny - soy) * inv_sy
+            t1 = (maxy - soy) * inv_sy
+            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+            t0 = (minz - soz) * inv_sz
+            t1 = (maxz - soz) * inv_sz
+            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
+            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
+            lo = jnp.maximum(lo, tmin_f)
+            hi = jnp.minimum(hi, sc)
+            enter = jnp.any(hi > lo)
+            is_leaf = cnt > 0
+
+            def leaf_body(i, lc):
+                sc, blocked = lc
+                row = jnp.minimum(off + i, max_tri_row)
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y,
+                 e2z) = _load_many(tri_ref, row, range(9), packed)
+                pvx = sdy * e2z - sdz * e2y   # scalar
+                pvy = sdz * e2x - sdx * e2z
+                pvz = sdx * e2y - sdy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok0 = jnp.abs(det) >= 1e-8
+                inv_det = 1.0 / jnp.where(ok0, det, 1.0)
+                tvx = sox - v0x
+                tvy = soy - v0y
+                tvz = soz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                ok = ok0 & (u >= 0.0) & (u <= 1.0)
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (sdx * qvx + sdy * qvy + sdz * qvz) * inv_det
+                ok = ok & (v >= 0.0) & (u + v <= 1.0)
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = ok & (t >= tmin_f) & (t <= sc) & (i < cnt)
+                sc = jnp.where(ok, tmin_f, sc)  # any-hit collapse
+                blocked = jnp.where(ok, 1.0, blocked)
+                return sc, blocked
+
+            sc, blocked = lax.cond(
+                enter & is_leaf,
+                lambda a: lax.fori_loop(0, max_leaf, leaf_body, a),
+                lambda a: a, (sc, blocked))
+
+            descend = enter & jnp.logical_not(is_leaf)
+            node_next = jnp.where(descend, enter_n, skip)
+            open_lanes = jnp.any(sc > tmin_f)
+            node_next = jnp.where(open_lanes, node_next, n_nodes)
+            return node_next, sc, blocked
+
+        _, _, blocked = lax.while_loop(cond, body, (node0, sc0, f0))
+        return blocked > 0.5
+
+    def _mat_field(bm, col):
+        """Per-lane material scalar via static unroll (n_mats is tiny)."""
+        out = jnp.zeros(shape, jnp.float32)
+        for m in range(n_mats):
+            out = jnp.where(bm == m, mat_ref[m, col], out)
+        return out
+
+    # ---------------- the persistent wave loop -------------------------
+
+    def wave_cond(c):
+        alive = c[7] > 0.5
+        scnt = c[9]
+        return jnp.any(alive) | jnp.any(valid & (scnt < spp))
+
+    def wave_body(c):
+        (acc_r, acc_g, acc_b, Lr, Lg, Lb, thr3, alive_f, state, scnt,
+         depth, ro3, rd3, nrays, _waves) = c
+        thr_r, thr_g, thr_b = thr3
+        rox, roy, roz = ro3
+        rdx, rdy, rdz = rd3
+        alive = alive_f > 0.5
+
+        # ---- regeneration: idle lanes start their next sample ----------
+        need = valid & ~alive & (scnt < spp)
+        jxu, state = _draw(state, need)
+        jyu, state = _draw(state, need)
+        sf = scnt.astype(jnp.float32)
+        jx = (sf + jxu) / spp_f
+        jy = (sf + jyu) / spp_f
+        u = (pxf + jx) * inv_w1
+        v = (pyf + jy) * inv_h1
+        crx = ll[0] + u * hz[0] + v * vt[0] - cam_ox
+        cry = ll[1] + u * hz[1] + v * vt[1] - cam_oy
+        crz = ll[2] + u * hz[2] + v * vt[2] - cam_oz
+        rox = jnp.where(need, cam_ox, rox)
+        roy = jnp.where(need, cam_oy, roy)
+        roz = jnp.where(need, cam_oz, roz)
+        rdx = jnp.where(need, crx, rdx)
+        rdy = jnp.where(need, cry, rdy)
+        rdz = jnp.where(need, crz, rdz)
+        Lr = jnp.where(need, 0.0, Lr)
+        Lg = jnp.where(need, 0.0, Lg)
+        Lb = jnp.where(need, 0.0, Lb)
+        thr_r = jnp.where(need, 1.0, thr_r)
+        thr_g = jnp.where(need, 1.0, thr_g)
+        thr_b = jnp.where(need, 1.0, thr_b)
+        depth = jnp.where(need, 0, depth)
+        scnt = scnt + need.astype(jnp.int32)
+        alive = alive | need
+        alive_in = alive
+
+        # ---- 0. Russian roulette (src/gpu_render.cu:727-738) -----------
+        rr_mask = alive & (depth >= rr_start)
+        u_rr, state = _draw(state, rr_mask)
+        p_rr = jnp.minimum(jnp.maximum(thr_r, jnp.maximum(thr_g, thr_b)),
+                           jnp.float32(rr_max_p))
+        killed = rr_mask & (u_rr > p_rr)
+        alive = alive & ~killed
+        scale = rr_mask & ~killed
+        inv_p = 1.0 / jnp.where(p_rr > 0, p_rr, 1.0)
+        thr_r = jnp.where(scale, thr_r * inv_p, thr_r)
+        thr_g = jnp.where(scale, thr_g * inv_p, thr_g)
+        thr_b = jnp.where(scale, thr_b * inv_p, thr_b)
+
+        # ---- 1. closest hit --------------------------------------------
+        nrays = nrays + jnp.sum(jnp.where(alive, 1, 0))
+        hitm_f, bt, bm, nx, ny, nz, bfr = _closest_hit(
+            rox, roy, roz, rdx, rdy, rdz, alive)
+        hitm = hitm_f > 0.5
+        alive = alive & hitm            # miss -> black background, dies
+        px_ = rox + bt * rdx
+        py_ = roy + bt * rdy
+        pz_ = roz + bt * rdz
+
+        mtype = _mat_field(bm, 0).astype(jnp.int32)
+        surf = alive
+
+        # ---- 2. emission -------------------------------------------------
+        emis = surf & (mtype == DIFFUSE_LIGHT)
+        Lr = jnp.where(emis, Lr + thr_r * _mat_field(bm, 4), Lr)
+        Lg = jnp.where(emis, Lg + thr_g * _mat_field(bm, 5), Lg)
+        Lb = jnp.where(emis, Lb + thr_b * _mat_field(bm, 6), Lb)
+        alive = alive & ~emis
+        surf = surf & ~emis
+
+        # ---- 3. albedo ---------------------------------------------------
+        alb_r = _mat_field(bm, 1)
+        alb_g = _mat_field(bm, 2)
+        alb_b = _mat_field(bm, 3)
+
+        # ---- 4. specular -------------------------------------------------
+        metal_m = surf & (mtype == METAL)
+        diel_m = surf & (mtype == DIELECTRIC)
+        uix, uiy, uiz = _normalize3(rdx, rdy, rdz)
+        din = uix * nx + uiy * ny + uiz * nz
+        rfx = uix - 2.0 * din * nx
+        rfy = uiy - 2.0 * din * ny
+        rfz = uiz - 2.0 * din * nz
+        fuzz = jnp.clip(_mat_field(bm, 7), 0.0, 1.0)
+        (fzx, fzy, fzz), state = _rand_in_unit_sphere(state, metal_m)
+        mdx = rfx + fzx * fuzz
+        mdy = rfy + fzy * fuzz
+        mdz = rfz + fzz * fuzz
+        metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
+        alive = alive & ~(metal_m & ~metal_ok)
+
+        eta = _mat_field(bm, 8)
+        eta = jnp.where((eta <= 0.0) | ~jnp.isfinite(eta), 1.5, eta)
+        front = bfr > 0.5
+        ratio = jnp.where(front, 1.0 / eta, eta)
+        cos_t = jnp.minimum(-(uix * nx + uiy * ny + uiz * nz), 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+        cannot = ratio * sin_t > 1.0
+        r0 = (1.0 - ratio) / (1.0 + ratio)
+        r0 = r0 * r0
+        om = 1.0 - cos_t
+        om2 = om * om
+        refl_prob = r0 + (1.0 - r0) * (om2 * om2 * om)
+        u_d, state = _draw(state, diel_m)
+        use_refl = cannot | (refl_prob > u_d)
+        # refract (inc/vec3.h:141-147)
+        rpx = (uix + nx * cos_t) * ratio
+        rpy = (uiy + ny * cos_t) * ratio
+        rpz = (uiz + nz * cos_t) * ratio
+        rpar = -jnp.sqrt(jnp.abs(1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)))
+        rrx = rpx + nx * rpar
+        rry = rpy + ny * rpar
+        rrz = rpz + nz * rpar
+        ddx = jnp.where(use_refl, rfx, rrx)
+        ddy = jnp.where(use_refl, rfy, rry)
+        ddz = jnp.where(use_refl, rfz, rrz)
+
+        spec = metal_m | diel_m
+        sdx_ = jnp.where(metal_m, mdx, ddx)
+        sdy_ = jnp.where(metal_m, mdy, ddy)
+        sdz_ = jnp.where(metal_m, mdz, ddz)
+        sar = jnp.where(metal_m, alb_r, 1.0)
+        sag = jnp.where(metal_m, alb_g, 1.0)
+        sab = jnp.where(metal_m, alb_b, 1.0)
+        mv = spec & alive
+        thr_r = jnp.where(mv, thr_r * sar, thr_r)
+        thr_g = jnp.where(mv, thr_g * sag, thr_g)
+        thr_b = jnp.where(mv, thr_b * sab, thr_b)
+        rox = jnp.where(mv, px_, rox)
+        roy = jnp.where(mv, py_, roy)
+        roz = jnp.where(mv, pz_, roz)
+        rdx = jnp.where(mv, sdx_, rdx)
+        rdy = jnp.where(mv, sdy_, rdy)
+        rdz = jnp.where(mv, sdz_, rdz)
+
+        # ---- 5. sun MIS at diffuse hits (src/gpu_render.cu:800-836) ----
+        diff = surf & (mtype == LAMBERTIAN) & alive
+        if sun_on:
+            cos_sun = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)
+            pot = diff & (cos_sun > 0.0)
+            nrays = nrays + jnp.sum(jnp.where(pot, 1, 0))
+            sox = px_ + sh_bias * nx
+            soy = py_ + sh_bias * ny
+            soz = pz_ + sh_bias * nz
+            blocked = _sun_blocked(sox, soy, soz, pot)
+            unb = pot & ~blocked
+            pdf_b = cos_sun / jnp.float32(PI_F)
+            w_sun = pdf_b / (0.5 + 0.5 * pdf_b)
+            Lr = jnp.where(unb, Lr + thr_r * alb_r * sun_r * w_sun, Lr)
+            Lg = jnp.where(unb, Lg + thr_g * alb_g * sun_g * w_sun, Lg)
+            Lb = jnp.where(unb, Lb + thr_b * alb_b * sun_b * w_sun, Lb)
+
+        # ---- 6-7. cosine BRDF sampling (no sphere lights in fused scope,
+        # src/gpu_render.cu:850-866; ratio scattering_pdf/pdf == 1) -------
+        (bdx, bdy, bdz), pdf_b2, state = _cosine_hemisphere(
+            nx, ny, nz, state, diff)
+        ok_b = pdf_b2 > 0.0
+        alive = alive & ~(diff & ~ok_b)
+        mv2 = diff & ok_b
+        thr_r = jnp.where(mv2, thr_r * alb_r, thr_r)
+        thr_g = jnp.where(mv2, thr_g * alb_g, thr_g)
+        thr_b = jnp.where(mv2, thr_b * alb_b, thr_b)
+        rox = jnp.where(mv2, px_, rox)
+        roy = jnp.where(mv2, py_, roy)
+        roz = jnp.where(mv2, pz_, roz)
+        rdx = jnp.where(mv2, bdx, rdx)
+        rdy = jnp.where(mv2, bdy, rdy)
+        rdz = jnp.where(mv2, bdz, rdz)
+
+        # ---- termination bookkeeping ------------------------------------
+        depth = depth + alive_in.astype(jnp.int32)
+        alive = alive & (depth < max_depth)
+        died = alive_in & ~alive
+        acc_r = jnp.where(died, acc_r + jnp.clip(Lr, 0.0, 1.0), acc_r)
+        acc_g = jnp.where(died, acc_g + jnp.clip(Lg, 0.0, 1.0), acc_g)
+        acc_b = jnp.where(died, acc_b + jnp.clip(Lb, 0.0, 1.0), acc_b)
+
+        return (acc_r, acc_g, acc_b, Lr, Lg, Lb,
+                (thr_r, thr_g, thr_b),
+                jnp.where(alive, 1.0, 0.0), state, scnt, depth,
+                (rox, roy, roz), (rdx, rdy, rdz), nrays, c[14] + 1)
+
+    init = (f0, f0, f0, f0, f0, f0, (f1, f1, f1), f0, state0, i0, i0,
+            (f0, f0, f0), (f0, f0, f1), jnp.int32(0), jnp.int32(0))
+    out = lax.while_loop(wave_cond, wave_body, init)
+    acc_r_ref[...] = out[0]
+    acc_g_ref[...] = out[1]
+    acc_b_ref[...] = out[2]
+    nray_ref[pl.program_id(0), 0] = out[13]
+    nray_ref[pl.program_id(0), 1] = out[14]
+
+
+@partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "n_mats",
+                                   "max_depth", "width", "height", "seed",
+                                   "rr_start", "rr_max_p", "t_min", "t_max",
+                                   "sun_on", "packed", "k", "block_h"))
+def _run_path(box_tab, tri_tab, thr_tab, mat_pack, cam_vec, sun_vec, spp_vec,
+              px, py, valid,
+              n_nodes: int, max_leaf: int, n_mats: int,
+              max_depth: int, width: int, height: int, seed: int,
+              rr_start: int, rr_max_p: float, t_min: float, t_max: float,
+              sun_on: bool, packed: bool, k: int, block_h: int):
+    kern = partial(_path_kernel, n_nodes=n_nodes, max_leaf=max_leaf,
+                   n_mats=n_mats, max_depth=max_depth, width=width,
+                   height=height, seed=seed, rr_start=rr_start,
+                   rr_max_p=rr_max_p, t_min=t_min, t_max=t_max,
+                   sun_on=sun_on, packed=packed)
+    ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = (k * TILE_H, TILE_W)
+    n_blocks = (k * TILE_H) // block_h
+    flops_est = int(n_nodes) * 60 * out_shape[0] * TILE_W // block_h * 64
+    return pl.pallas_call(
+        kern,
+        grid=(n_blocks,),
+        in_specs=[full, full, full, smem, smem, smem, smem] + [ray_spec] * 3,
+        out_specs=(ray_spec, ray_spec, ray_spec,
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        out_shape=(
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct(out_shape, jnp.float32),
+            jax.ShapeDtypeStruct((n_blocks, 2), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(flops=flops_est,
+                                      bytes_accessed=out_shape[0] * 128 * 24,
+                                      transcendentals=out_shape[0] * 128 * 4),
+    )(box_tab, tri_tab, thr_tab, mat_pack, cam_vec, sun_vec, spp_vec,
+      px, py, valid)
+
+
+def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
+    """Render `spp` samples for every (K, P) lane pixel in one kernel.
+
+    Returns (accum V3 (K, P) — sum over samples of clamp01(L) — and the
+    exact scene-intersection ray count); with `return_stats` also the
+    per-block (nrays, waves) i32 table.
+    """
+    K, P = px.shape
+    assert P == TILE_H * TILE_W, P
+    block_h = _OPTS.block_h
+    group = block_h // TILE_H
+    Kp = ((K + group - 1) // group) * group
+    pad = Kp - K
+
+    def fold(a, fill=0):
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
+        return a.reshape(Kp * TILE_H, TILE_W)
+
+    packed = not fits_vmem(scene)
+    box_tab = scene.bvh_pk8 if packed else scene.bvh_pack
+    tri_tab = scene.tri_pk8 if packed else scene.tri_pack
+    thr_tab = scene.thr_pk8 if packed else scene.thr_pack
+
+    # Ldir = normalize(-sun_dir): the verbatim negation quirk
+    # (src/gpu_render.cu:802-806)
+    sd = -scene.sun_dir
+    sd = sd / jnp.maximum(jnp.linalg.norm(sd), 1e-30)
+    sun_vec = jnp.concatenate([
+        sd.astype(jnp.float32), scene.sun_radiance.astype(jnp.float32),
+        jnp.array([cfg.shadow_bias, 0.0], jnp.float32)])
+    cam_vec = jnp.concatenate([
+        cam.origin, cam.lower_left, cam.horizontal, cam.vertical
+    ]).astype(jnp.float32)
+
+    spp_vec = jnp.array([cfg.resolved_spp()], jnp.int32)
+    acc_r, acc_g, acc_b, stats = _run_path(
+        box_tab, tri_tab, thr_tab, scene.mat_pack, cam_vec, sun_vec,
+        spp_vec,
+        fold(px.astype(jnp.int32)), fold(py.astype(jnp.int32)),
+        fold(valid.astype(jnp.int32)),
+        n_nodes=scene.n_nodes, max_leaf=scene.max_leaf,
+        n_mats=scene.mat_pack.shape[0],
+        max_depth=cfg.resolved_max_depth(), width=cam.width,
+        height=cam.height, seed=scene.seed, rr_start=cfg.rr_start_depth,
+        rr_max_p=float(cfg.rr_max_p), t_min=float(cfg.hit_eps),
+        t_max=float(cfg.hit_tmax), sun_on=bool(scene.sun_enabled),
+        packed=packed, k=Kp, block_h=block_h)
+
+    def unfold(a):
+        return a.reshape(Kp, P)[:K]
+
+    accum = V3(unfold(acc_r), unfold(acc_g), unfold(acc_b))
+    if return_stats:
+        return accum, jnp.sum(stats[:, 0]), stats
+    return accum, jnp.sum(stats[:, 0])

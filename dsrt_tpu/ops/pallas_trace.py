@@ -89,8 +89,8 @@ def _load_many(tab_ref, rec, cols, packed: bool):
     return [jnp.sum(jnp.where(lane == base + c, row, 0.0)) for c in cols]
 
 
-def _kernel_common(box_ref, tri_ref, sun_ref, ox_ref, oy_ref, oz_ref,
-                   dx_ref, dy_ref, dz_ref, act_ref,
+def _kernel_common(box_ref, tri_ref, thr_ref, sun_ref, ox_ref, oy_ref,
+                   oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
                    t_ref, u_ref, v_ref, id_ref, sh_ref,
                    *, n_nodes: int, max_leaf: int, t_min: float,
                    t_max: float, any_hit: bool, packed: bool,
@@ -114,14 +114,44 @@ def _kernel_common(box_ref, tri_ref, sun_ref, ox_ref, oy_ref, oz_ref,
     best_i0 = jnp.full(shape, -1, jnp.int32)
     zero = jnp.zeros(shape, jnp.float32)
 
+    # ---- block direction octant (majority vote of active lanes) -------
+    # selects the thread-table column pair for front-to-back descent;
+    # any octant is CORRECT (the table only changes visit order), the
+    # majority octant just maximizes the early-out benefit.
+    actf = jnp.where(act, 1.0, 0.0)
+    half = 0.5 * jnp.maximum(jnp.sum(actf), 1.0)
+    bx = jnp.sum(jnp.where(act & (dx < 0.0), 1.0, 0.0)) > half
+    by = jnp.sum(jnp.where(act & (dy < 0.0), 1.0, 0.0)) > half
+    bz = jnp.sum(jnp.where(act & (dz < 0.0), 1.0, 0.0)) > half
+    octant = (bx.astype(jnp.int32) + 2 * by.astype(jnp.int32)
+              + 4 * bz.astype(jnp.int32))
+    ent_lane = 2 * octant
+    skp_lane = 2 * octant + 1
+
+    def _load_thread(node):
+        """(enter, skip) i32 scalars for `node` in the block's octant.
+        The lane index is dynamic (octant-dependent), so both modes
+        extract via a static-iota mask reduction over the node's row."""
+        if packed:
+            row = thr_ref[pl.ds(node // 8, 1), :]
+            base = (node % 8) * 16
+        else:
+            row = thr_ref[pl.ds(node, 1), :]
+            base = 0
+        lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
+        ent = jnp.sum(jnp.where(lane == base + ent_lane, row, 0.0))
+        skp = jnp.sum(jnp.where(lane == base + skp_lane, row, 0.0))
+        return ent.astype(jnp.int32), skp.astype(jnp.int32)
+
     def cond(c):
         return c[0] < n_nodes
 
     def body(c):
         node, closest, bt, bu, bv, bi, bn = c
-        (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
-         cnt_f) = _load_many(box_ref, node, range(9), packed)
-        skip = skip_f.astype(jnp.int32)
+        (minx, miny, minz, maxx, maxy, maxz, off_f,
+         cnt_f) = _load_many(box_ref, node, (0, 1, 2, 3, 4, 5, 7, 8),
+                             packed)
+        enter_n, skip = _load_thread(node)
         off = off_f.astype(jnp.int32)
         cnt = cnt_f.astype(jnp.int32)
 
@@ -205,7 +235,7 @@ def _kernel_common(box_ref, tri_ref, sun_ref, ox_ref, oy_ref, oz_ref,
             (closest, bt, bu, bv, bi, bn))
 
         descend = enter & jnp.logical_not(is_leaf)
-        node_next = jnp.where(descend, node + 1, skip)
+        node_next = jnp.where(descend, enter_n, skip)
         if any_hit:
             # all active lanes occluded -> escape
             alive = jnp.any(closest > tmin_f)
@@ -317,12 +347,12 @@ def _kernel_common(box_ref, tri_ref, sun_ref, ox_ref, oy_ref, oz_ref,
         sh_ref[...] = blocked
 
 
-def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
+def _traverse_kernel(box_ref, tri_ref, thr_ref, ox_ref, oy_ref, oz_ref,
                      dx_ref, dy_ref, dz_ref, act_ref,
                      t_ref, u_ref, v_ref, id_ref,
                      *, n_nodes: int, max_leaf: int, t_min: float,
                      t_max: float, any_hit: bool, packed: bool = False):
-    _kernel_common(box_ref, tri_ref, None, ox_ref, oy_ref, oz_ref,
+    _kernel_common(box_ref, tri_ref, thr_ref, None, ox_ref, oy_ref, oz_ref,
                    dx_ref, dy_ref, dz_ref, act_ref,
                    t_ref, u_ref, v_ref, id_ref, None,
                    n_nodes=n_nodes, max_leaf=max_leaf, t_min=t_min,
@@ -330,13 +360,13 @@ def _traverse_kernel(box_ref, tri_ref, ox_ref, oy_ref, oz_ref,
                    with_shadow=False)
 
 
-def _traverse_sun_kernel(box_ref, tri_ref, sun_ref, ox_ref, oy_ref, oz_ref,
-                         dx_ref, dy_ref, dz_ref, act_ref,
+def _traverse_sun_kernel(box_ref, tri_ref, thr_ref, sun_ref, ox_ref, oy_ref,
+                         oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
                          t_ref, u_ref, v_ref, id_ref, sh_ref,
                          *, n_nodes: int, max_leaf: int, t_min: float,
                          t_max: float, packed: bool = False):
-    _kernel_common(box_ref, tri_ref, sun_ref, ox_ref, oy_ref, oz_ref,
-                   dx_ref, dy_ref, dz_ref, act_ref,
+    _kernel_common(box_ref, tri_ref, thr_ref, sun_ref, ox_ref, oy_ref,
+                   oz_ref, dx_ref, dy_ref, dz_ref, act_ref,
                    t_ref, u_ref, v_ref, id_ref, sh_ref,
                    n_nodes=n_nodes, max_leaf=max_leaf, t_min=t_min,
                    t_max=t_max, any_hit=False, packed=packed,
@@ -345,7 +375,7 @@ def _traverse_sun_kernel(box_ref, tri_ref, sun_ref, ox_ref, oy_ref, oz_ref,
 
 @partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "t_min", "t_max",
                                    "any_hit", "k", "packed", "block_h"))
-def _run_traverse(bvh_pack, tri_pack, ox, oy, oz, dx, dy, dz, act,
+def _run_traverse(bvh_pack, tri_pack, thr_pack, ox, oy, oz, dx, dy, dz, act,
                   n_nodes: int, max_leaf: int, t_min: float, t_max: float,
                   any_hit: bool, k: int, packed: bool = False,
                   block_h: int = 32):
@@ -360,7 +390,7 @@ def _run_traverse(bvh_pack, tri_pack, ox, oy, oz, dx, dy, dz, act,
     return pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[full, full] + [ray_spec] * 7,
+        in_specs=[full, full, full] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
@@ -371,13 +401,13 @@ def _run_traverse(bvh_pack, tri_pack, ox, oy, oz, dx, dy, dz, act,
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=out_shape[0] * 128 * 44,
                                       transcendentals=0),
-    )(bvh_pack, tri_pack, ox, oy, oz, dx, dy, dz, act)
+    )(bvh_pack, tri_pack, thr_pack, ox, oy, oz, dx, dy, dz, act)
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "t_min", "t_max",
                                    "k", "packed", "block_h"))
-def _run_traverse_sun(bvh_pack, tri_pack, sun, ox, oy, oz, dx, dy, dz, act,
-                      n_nodes: int, max_leaf: int, t_min: float,
+def _run_traverse_sun(bvh_pack, tri_pack, thr_pack, sun, ox, oy, oz, dx, dy,
+                      dz, act, n_nodes: int, max_leaf: int, t_min: float,
                       t_max: float, k: int, packed: bool = False,
                       block_h: int = 32):
     kern = partial(_traverse_sun_kernel, n_nodes=n_nodes, max_leaf=max_leaf,
@@ -392,7 +422,7 @@ def _run_traverse_sun(bvh_pack, tri_pack, sun, ox, oy, oz, dx, dy, dz, act,
     return pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[full, full, sun_spec] + [ray_spec] * 7,
+        in_specs=[full, full, full, sun_spec] + [ray_spec] * 7,
         out_specs=(ray_spec, ray_spec, ray_spec, ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
@@ -404,7 +434,7 @@ def _run_traverse_sun(bvh_pack, tri_pack, sun, ox, oy, oz, dx, dy, dz, act,
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=out_shape[0] * 128 * 48,
                                       transcendentals=0),
-    )(bvh_pack, tri_pack, sun, ox, oy, oz, dx, dy, dz, act)
+    )(bvh_pack, tri_pack, thr_pack, sun, ox, oy, oz, dx, dy, dz, act)
 
 
 def traverse(scene, ro: V3, rd: V3, active, t_min: float, t_max: float,
@@ -412,9 +442,37 @@ def traverse(scene, ro: V3, rd: V3, active, t_min: float, t_max: float,
     """Traverse for (K, P) lane grids (P = 1024).
 
     Returns (t, u, v, tri) arrays of shape (K, P); tri == -1 means miss.
+
+    When exec_opts.OPTS.sort_rays is on, rays are stably sorted by
+    direction octant before the kernel (and results unsorted after): each
+    kernel block then traverses with a single coherent octant — a much
+    tighter node-set union per block and an unambiguous front-to-back
+    order for the ordered-descent thread table.  Stability preserves the
+    caller's pixel-tile coherence within each octant bucket.  Pure
+    reordering: results are exactly the per-ray results either way.
     """
     K, P = ro.x.shape
     assert P == TILE_H * TILE_W, P
+
+    sort = bool(_OPTS.sort_rays) and not any_hit and K * P >= 4096
+    if sort:
+        n = K * P
+        fx, fy, fz = ro.x.reshape(n), ro.y.reshape(n), ro.z.reshape(n)
+        gx, gy, gz = rd.x.reshape(n), rd.y.reshape(n), rd.z.reshape(n)
+        af = active.reshape(n)
+        key = ((gx < 0).astype(jnp.int32)
+               + 2 * (gy < 0).astype(jnp.int32)
+               + 4 * (gz < 0).astype(jnp.int32))
+        key = jnp.where(af, key, 8)  # park inactive lanes at the end
+        order = jnp.argsort(key)     # stable -> keeps tile coherence
+        inv = jnp.zeros(n, jnp.int32).at[order].set(
+            jnp.arange(n, dtype=jnp.int32))
+        ro = V3(fx[order].reshape(K, P), fy[order].reshape(K, P),
+                fz[order].reshape(K, P))
+        rd = V3(gx[order].reshape(K, P), gy[order].reshape(K, P),
+                gz[order].reshape(K, P))
+        active = af[order].reshape(K, P)
+
     # pad the packet axis so K*8 divides block_h
     block_h = _block_h()
     group = block_h // TILE_H
@@ -431,8 +489,9 @@ def traverse(scene, ro: V3, rd: V3, active, t_min: float, t_max: float,
     packed = not fits_vmem(scene)
     box_tab = scene.bvh_pk8 if packed else scene.bvh_pack
     tri_tab = scene.tri_pk8 if packed else scene.tri_pack
+    thr_tab = scene.thr_pk8 if packed else scene.thr_pack
     t, u, v, tri = _run_traverse(
-        box_tab, tri_tab,
+        box_tab, tri_tab, thr_tab,
         fold(ro.x), fold(ro.y), fold(ro.z),
         fold(rd.x), fold(rd.y), fold(rd.z), act_f,
         n_nodes=scene.n_nodes, max_leaf=scene.max_leaf,
@@ -442,7 +501,14 @@ def traverse(scene, ro: V3, rd: V3, active, t_min: float, t_max: float,
     def unfold(a):
         return a.reshape(Kp, P)[:K]
 
-    return unfold(t), unfold(u), unfold(v), unfold(tri)
+    t, u, v, tri = unfold(t), unfold(u), unfold(v), unfold(tri)
+    if sort:
+        n = K * P
+        t = t.reshape(n)[inv].reshape(K, P)
+        u = u.reshape(n)[inv].reshape(K, P)
+        v = v.reshape(n)[inv].reshape(K, P)
+        tri = tri.reshape(n)[inv].reshape(K, P)
+    return t, u, v, tri
 
 
 def traverse_with_sun(scene, ro: V3, rd: V3, active, t_min: float,
@@ -472,10 +538,11 @@ def traverse_with_sun(scene, ro: V3, rd: V3, active, t_min: float,
     packed = not fits_vmem(scene)
     box_tab = scene.bvh_pk8 if packed else scene.bvh_pack
     tri_tab = scene.tri_pk8 if packed else scene.tri_pack
+    thr_tab = scene.thr_pk8 if packed else scene.thr_pack
     sun = jnp.stack([sun_ldir.x, sun_ldir.y, sun_ldir.z,
                      jnp.float32(shadow_bias)]).astype(jnp.float32)
     t, u, v, tri, sh = _run_traverse_sun(
-        box_tab, tri_tab, sun,
+        box_tab, tri_tab, thr_tab, sun,
         fold(ro.x), fold(ro.y), fold(ro.z),
         fold(rd.x), fold(rd.y), fold(rd.z), act_f,
         n_nodes=scene.n_nodes, max_leaf=scene.max_leaf,

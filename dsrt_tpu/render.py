@@ -152,6 +152,39 @@ def render_frame_wavefront(scene, cam: Camera, cfg: RenderConfig,
     return np.asarray(jax.device_get(img))
 
 
+def render_frame_fused(scene, cam: Camera, cfg: RenderConfig) -> np.ndarray:
+    """Fastest mode on supported scenes (ops/pallas_path.py): the whole
+    sample loop runs in ONE persistent Pallas kernel per frame, with the
+    exact per-pixel LCG schedule of the parity renderer (bit-identical
+    streams).  Falls back is the caller's job: check
+    `pallas_path.fused_supported(scene, cfg)` first."""
+    px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
+    img = _render_fused(scene, cam, jnp.asarray(px), jnp.asarray(py),
+                        jnp.asarray(valid), cfg, ty, tx)
+    return np.asarray(jax.device_get(img))
+
+
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
+def _render_fused(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
+                  ty: int, tx: int):
+    from dsrt_tpu.ops.pallas_path import trace_fused
+    accum, _ = trace_fused(scene, cfg, cam, px, py, valid)
+    inv_spp = jnp.float32(1.0 / cfg.resolved_spp())
+    inv_gamma = jnp.float32(1.0 / cfg.gamma)
+
+    def tonemap(c):
+        c = c * inv_spp
+        c = jnp.maximum(c, 0.0)
+        c = jnp.minimum(c, cfg.firefly_clamp)
+        c = jnp.power(c, inv_gamma)
+        c = jnp.clip(c, 0.0, 1.0)
+        return (255.99 * c).astype(jnp.uint8)
+
+    chans = [tonemap(accum.x), tonemap(accum.y), tonemap(accum.z)]
+    padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
+    return padded[:cfg.height, :cfg.width][::-1]
+
+
 def render_frame_queue(scene, cam: Camera, cfg: RenderConfig,
                        pool_packets: int = 0) -> np.ndarray:
     """Fastest mode: global-work-queue wavefront (ops/wavefront.trace_queue).

@@ -1,0 +1,69 @@
+"""Fused persistent path-tracing megakernel (ops/pallas_path.py):
+must be BIT-IDENTICAL to the parity renderer (same per-pixel LCG streams,
+same draw schedule), which is itself u8-exact vs the scalar oracle."""
+
+import numpy as np
+import pytest
+
+from dsrt_tpu.config import RenderConfig
+from dsrt_tpu.models.mesh_gen import iss_standin_scene
+from dsrt_tpu.models.presets import random_tri_soup_scene
+from dsrt_tpu.ops.camera import make_camera, point_camera_at
+from dsrt_tpu.ops import pallas_path
+
+W, H = 96, 56
+CFG = RenderConfig(width=W, height=H, spp=4, max_depth=12)
+
+
+def _require_fused(scene, cfg):
+    if not pallas_path.fused_supported(scene, cfg):
+        pytest.skip("fused path needs a TPU backend")
+
+
+def test_fused_matches_parity_renderer_iss():
+    scene = iss_standin_scene(detail=2)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = point_camera_at((20.0, 30.0, 95.0), (0.0, 0.0, 0.0),
+                          vfov=CFG.vfov, width=W, height=H)
+    ref = render_frame(scene, cam, CFG)
+    img = render_frame_fused(scene, cam, CFG)
+    assert (img > 0).any(), "scene not in frame"
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_matches_parity_renderer_soup():
+    # tri soup exercises metal + dielectric + emissive-triangle paths
+    scene = random_tri_soup_scene(n=60)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0, 2.0), (0, 0, -3), vfov=55, width=W, height=H)
+    ref = render_frame(scene, cam, CFG)
+    img = render_frame_fused(scene, cam, CFG)
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_ray_count_matches_split_pipeline():
+    scene = iss_standin_scene(detail=1)
+    _require_fused(scene, CFG)
+    import jax
+    import jax.numpy as jnp
+    from dsrt_tpu.render import lane_layout
+    from dsrt_tpu.ops.pallas_path import trace_fused
+    cam = point_camera_at((20.0, 30.0, 95.0), (0.0, 0.0, 0.0),
+                          vfov=CFG.vfov, width=W, height=H)
+    px, py, valid, _ = lane_layout(W, H)
+    _, nrays = jax.jit(
+        lambda s, c, a, b, v: trace_fused(s, CFG, c, a, b, v)
+    )(scene, cam, jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid))
+    n = int(nrays)
+    # every (pixel, sample) costs at least one primary ray
+    assert n >= W * H * CFG.spp
+    # and bounded by (max_depth extensions + shadows) per sample
+    assert n <= W * H * CFG.spp * 2 * CFG.max_depth
+
+
+def test_fused_gate_rejects_unsupported():
+    from dsrt_tpu.models.presets import rtiow_smoke_scene
+    scene = rtiow_smoke_scene()  # spheres -> unsupported
+    assert not pallas_path.fused_supported(scene, CFG)
