@@ -65,13 +65,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--standin_detail", type=int, default=2,
                    help="procedural ISS stand-in detail when no --obj")
     p.add_argument("--bvh", choices=["median", "sah"], default="sah")
-    p.add_argument("--mode", choices=["parity", "wavefront"],
-                   default="wavefront",
-                   help="parity: sequential per-pixel LCG (bit-identical to "
-                        "the CUDA reference); wavefront: regeneration "
-                        "renderer (faster, statistically equivalent)")
+    p.add_argument("--mode",
+                   choices=["auto", "fused", "parity", "wavefront", "queue"],
+                   default="auto",
+                   help="auto: fused megakernel when the scene supports it, "
+                        "else wavefront. fused: one persistent Pallas "
+                        "kernel/frame, bit-identical LCG streams (fastest). "
+                        "parity: sequential per-pixel sample loop. "
+                        "wavefront: per-lane regeneration. queue: global "
+                        "work-queue (auto-bands huge frames).")
     p.add_argument("--spp_batch", type=int, default=8,
                    help="concurrent sample slots per pixel (wavefront mode)")
+    # TPU execution knobs (exec_opts; SURVEY §5 config promotion)
+    p.add_argument("--block_h", type=int, default=32,
+                   help="rays per Pallas grid step = block_h x 128 lanes")
+    p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto",
+                   help="Pallas kernel gating (off = pure-XLA traversal)")
     p.add_argument("--shard", action="store_true",
                    help="shard the render across all visible devices "
                         "(Mesh('sp','dp') + psum; dp-only sharding is "
@@ -117,6 +126,10 @@ def build_scene(args, timer: StageTimer):
 
 
 def run(args) -> int:
+    from dsrt_tpu.exec_opts import OPTS
+    OPTS.block_h = args.block_h
+    OPTS.pallas = args.pallas
+
     timer = StageTimer()
     os.makedirs(args.output_dir, exist_ok=True)
     if args.wipe:
@@ -177,29 +190,55 @@ def run(args) -> int:
             import jax
             jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
+        nrays = None  # exact in-loop count when the mode provides one
         if args.shard:
             import jax as _jax
             from dsrt_tpu.parallel.mesh import make_mesh
             from dsrt_tpu.parallel.render import render_frame_sharded
             mesh = make_mesh(len(_jax.devices()), sp=args.shard_sp)
             img = render_frame_sharded(frame_scene, cam, cfg, mesh)
-        elif args.mode == "wavefront":
-            batch = args.spp_batch
-            while args.spp % batch != 0:
-                batch //= 2
-            img = render_frame_wavefront(frame_scene, cam, cfg,
-                                         spp_batch=max(batch, 1))
         else:
-            img = render_frame(frame_scene, cam, cfg)
+            mode = args.mode
+            if mode in ("auto", "fused"):
+                from dsrt_tpu.ops.pallas_path import fused_supported
+                if fused_supported(frame_scene, cfg):
+                    mode = "fused"
+                elif mode == "fused":
+                    print("  fused mode unsupported for this scene; "
+                          "falling back to wavefront")
+                    mode = "wavefront"
+                else:
+                    mode = "wavefront"
+            if mode == "fused":
+                from dsrt_tpu.render import render_frame_fused
+                img, nrays = render_frame_fused(frame_scene, cam, cfg,
+                                                with_count=True)
+            elif mode == "queue":
+                from dsrt_tpu.render import render_frame_queue
+                img = render_frame_queue(frame_scene, cam, cfg)
+            elif mode == "wavefront":
+                batch = args.spp_batch
+                while args.spp % batch != 0:
+                    batch //= 2
+                img, nrays = render_frame_wavefront(
+                    frame_scene, cam, cfg, spp_batch=max(batch, 1),
+                    with_count=True)
+            else:
+                img = render_frame(frame_scene, cam, cfg)
         dt = time.perf_counter() - t0
         if profiling:
             import jax
             jax.profiler.stop_trace()
             print(f"  profiler trace written to {args.profile}")
         timer.log("render", dt)
-        nrays = estimate_rays(args.width, args.height, args.spp)
-        print(f"  render: {dt*1e3:.0f} ms  (~{mrays_per_sec(nrays, dt):.1f} "
-              f"Mrays/s est.)")
+        if nrays is not None:
+            print(f"  render: {dt*1e3:.0f} ms  "
+                  f"({mrays_per_sec(nrays, dt):.1f} Mrays/s, "
+                  f"{nrays} rays exact)")
+        else:
+            est = estimate_rays(args.width, args.height, args.spp)
+            print(f"  render: {dt*1e3:.0f} ms  "
+                  f"(~{mrays_per_sec(est, dt):.1f} Mrays/s est.)")
 
         with timer.stage("encode"):
             write_png(png, img)

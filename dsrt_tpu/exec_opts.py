@@ -28,8 +28,11 @@ class ExecOptions:
     # amortize the per-grid-step pipeline overhead at the cost of a larger
     # traversal union per block; 32 measured best on v5e for the ISS scene.
     block_h: int = 32
-    # Sort bounce rays by direction octant between waves (coherence).
-    sort_rays: bool = True
+    # Sort rays by direction octant before the split-pipeline traversal
+    # kernel.  Off by default: XLA's gather/scatter lowering makes the
+    # global reorder cost (~25 ms/wave at 1.6M lanes) exceed the
+    # coherence win on every scene measured; kept for experimentation.
+    sort_rays: bool = False
 
 
 OPTS = ExecOptions()

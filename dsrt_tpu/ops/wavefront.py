@@ -161,7 +161,7 @@ def trace_accumulate(scene, cfg, cam: Camera, px, py, valid, slot,
 
 
 def trace_queue(scene, cfg, cam: Camera, width: int, height: int,
-                pool_shape, count_rays: bool = False):
+                pool_shape, count_rays: bool = False, y0: int = 0):
     """Global-work-queue wavefront: true load balancing.
 
     Per-lane regeneration (`trace_accumulate`) binds each lane to one
@@ -192,7 +192,8 @@ def trace_queue(scene, cfg, cam: Camera, width: int, height: int,
     if total + pool >= 2 ** 31:
         raise ValueError(
             f"work-queue id space {total} + pool {pool} overflows int32; "
-            "split the frame into horizontal bands")
+            "render.render_frame_queue auto-bands the frame — pass a "
+            "band height such that width*band_h*spp fits int32")
     max_depth = cfg.max_depth if cfg.max_depth > 0 else 12
 
     def cond(c):
@@ -218,7 +219,7 @@ def trace_queue(scene, cfg, cam: Camera, width: int, height: int,
         base = jnp.minimum(base + jnp.sum(deadf), total)
 
         pxl = pix % width
-        pyl = pix // width
+        pyl = pix // width + y0   # y0: horizontal-band offset (auto-banding)
         seed = rngmod.seed_pixels(pxl, pyl, cam.width, scene.seed)
         fresh = seed ^ (s_idx.astype(jnp.uint32) * jnp.uint32(SLOT_SEED_MIX))
         state = jnp.where(assign, fresh, state)

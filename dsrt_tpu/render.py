@@ -132,11 +132,12 @@ SLOT_SEED_MIX = 0x9E3779B9  # golden-ratio mix for per-slot decorrelation
 
 
 def render_frame_wavefront(scene, cam: Camera, cfg: RenderConfig,
-                           spp_batch: int = 8) -> np.ndarray:
+                           spp_batch: int = 8, with_count: bool = False):
     """Throughput-mode render via the persistent wavefront with per-lane
     sample regeneration (ops/wavefront.py).  `spp_batch` concurrent sample
     slots per pixel; must divide spp.  Statistically equivalent to the
-    parity renderer (decorrelated RNG slots)."""
+    parity renderer (decorrelated RNG slots).  with_count=True also
+    returns the exact in-loop ray count."""
     spp = cfg.resolved_spp()
     if spp % spp_batch != 0:
         raise ValueError(f"spp_batch={spp_batch} must divide spp={spp}")
@@ -147,28 +148,39 @@ def render_frame_wavefront(scene, cam: Camera, cfg: RenderConfig,
     validb = jnp.tile(jnp.asarray(valid), (spp_batch, 1))
     slot = jnp.repeat(jnp.arange(spp_batch, dtype=jnp.uint32), k)[:, None]
     slot = jnp.broadcast_to(slot, pxb.shape)
-    img = _render_wavefront(scene, cam, pxb, pyb, validb, slot, cfg, ty, tx,
-                            spp_batch)
-    return np.asarray(jax.device_get(img))
+    img, nrays = _render_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
+                                   ty, tx, spp_batch, with_count)
+    img = np.asarray(jax.device_get(img))
+    if with_count:
+        return img, int(jax.device_get(nrays))
+    return img
 
 
-def render_frame_fused(scene, cam: Camera, cfg: RenderConfig) -> np.ndarray:
+def render_frame_fused(scene, cam: Camera, cfg: RenderConfig,
+                       with_count: bool = False):
     """Fastest mode on supported scenes (ops/pallas_path.py): the whole
     sample loop runs in ONE persistent Pallas kernel per frame, with the
     exact per-pixel LCG schedule of the parity renderer (bit-identical
-    streams).  Falls back is the caller's job: check
-    `pallas_path.fused_supported(scene, cfg)` first."""
+    streams).  Fallback is the caller's job: check
+    `pallas_path.fused_supported(scene, cfg)` first.
+
+    with_count=True also returns the exact in-kernel ray count (every
+    scene-intersection query) for honest Mrays telemetry — free, the
+    kernel always counts."""
     px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
-    img = _render_fused(scene, cam, jnp.asarray(px), jnp.asarray(py),
-                        jnp.asarray(valid), cfg, ty, tx)
-    return np.asarray(jax.device_get(img))
+    img, nrays = _render_fused(scene, cam, jnp.asarray(px), jnp.asarray(py),
+                               jnp.asarray(valid), cfg, ty, tx)
+    img = np.asarray(jax.device_get(img))
+    if with_count:
+        return img, int(jax.device_get(nrays))
+    return img
 
 
 @partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
 def _render_fused(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
                   ty: int, tx: int):
     from dsrt_tpu.ops.pallas_path import trace_fused
-    accum, _ = trace_fused(scene, cfg, cam, px, py, valid)
+    accum, nrays = trace_fused(scene, cfg, cam, px, py, valid)
     inv_spp = jnp.float32(1.0 / cfg.resolved_spp())
     inv_gamma = jnp.float32(1.0 / cfg.gamma)
 
@@ -182,25 +194,47 @@ def _render_fused(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
 
     chans = [tonemap(accum.x), tonemap(accum.y), tonemap(accum.z)]
     padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
-    return padded[:cfg.height, :cfg.width][::-1]
+    return padded[:cfg.height, :cfg.width][::-1], nrays
 
 
 def render_frame_queue(scene, cam: Camera, cfg: RenderConfig,
                        pool_packets: int = 0) -> np.ndarray:
-    """Fastest mode: global-work-queue wavefront (ops/wavefront.trace_queue).
+    """Global-work-queue wavefront (ops/wavefront.trace_queue).
     Load-balanced across all (pixel, sample) units; occupancy ~100%.
-    `pool_packets` = lanes/1024 in flight (0 = auto: one frame's packets)."""
+    `pool_packets` = lanes/1024 in flight (0 = auto: one frame's packets).
+
+    Frames whose (pixel, sample) id space would overflow int32 (e.g.
+    4k @ 1000 spp) are AUTO-BANDED: split into horizontal bands rendered
+    through the same queue, each with a band-local id space (per-pixel
+    LCG seeds use true frame coordinates, so output is identical)."""
     px, _, _, (ty, tx) = lane_layout(cfg.width, cfg.height)
     k = pool_packets or px.shape[0]
-    img = _render_queue(scene, cam, cfg, k)
-    return np.asarray(jax.device_get(img))
+    spp = cfg.resolved_spp()
+    pool = k * PACKET
+    band_h = cfg.height
+    while cfg.width * band_h * spp + pool >= 2 ** 31 - 1:
+        band_h = (band_h + 1) // 2
+    if band_h == cfg.height:
+        img = _render_queue(scene, cam, cfg, k, 0, cfg.height)
+        return np.asarray(jax.device_get(img))
+    bands = []
+    y0 = 0
+    while y0 < cfg.height:
+        bh = min(band_h, cfg.height - y0)
+        bands.append(np.asarray(jax.device_get(
+            _render_queue(scene, cam, cfg, k, y0, bh))))
+        y0 += bh
+    # bands are already vertically flipped internally; frame row 0 = top =
+    # highest y -> concatenate in reverse band order
+    return np.concatenate(bands[::-1], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "k"))
-def _render_queue(scene, cam: Camera, cfg: RenderConfig, k: int):
+@partial(jax.jit, static_argnames=("cfg", "k", "y0", "band_h"))
+def _render_queue(scene, cam: Camera, cfg: RenderConfig, k: int, y0: int,
+                  band_h: int):
     from dsrt_tpu.ops.wavefront import trace_queue
-    accum, _ = trace_queue(scene, cfg, cam, cfg.width, cfg.height,
-                           (k, PACKET))
+    accum, _ = trace_queue(scene, cfg, cam, cfg.width, band_h,
+                           (k, PACKET), y0=y0)
     inv_spp = jnp.float32(1.0 / cfg.resolved_spp())
     inv_gamma = jnp.float32(1.0 / cfg.gamma)
     c = accum * inv_spp
@@ -208,18 +242,19 @@ def _render_queue(scene, cam: Camera, cfg: RenderConfig, k: int):
     c = jnp.minimum(c, cfg.firefly_clamp)
     c = jnp.power(c, inv_gamma)
     c = jnp.clip(c, 0.0, 1.0)
-    img = (255.99 * c).astype(jnp.uint8).reshape(cfg.height, cfg.width, 3)
+    img = (255.99 * c).astype(jnp.uint8).reshape(band_h, cfg.width, 3)
     return img[::-1]  # vertical flip (cu:1027)
 
 
-@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "batch"))
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "batch", "count"))
 def _render_wavefront(scene, cam: Camera, pxb, pyb, validb, slot,
-                      cfg: RenderConfig, ty: int, tx: int, batch: int):
+                      cfg: RenderConfig, ty: int, tx: int, batch: int,
+                      count: bool = False):
     from dsrt_tpu.ops.wavefront import trace_accumulate
     spp = cfg.resolved_spp()
     k = pxb.shape[0] // batch
-    accum, _ = trace_accumulate(scene, cfg, cam, pxb, pyb, validb, slot,
-                                spp // batch)
+    accum, nrays = trace_accumulate(scene, cfg, cam, pxb, pyb, validb, slot,
+                                    spp // batch, count_rays=count)
 
     def fold(c):
         return c.reshape(batch, k, PACKET).sum(axis=0)
@@ -237,7 +272,7 @@ def _render_wavefront(scene, cam: Camera, pxb, pyb, validb, slot,
 
     chans = [tonemap(accum.x), tonemap(accum.y), tonemap(accum.z)]
     padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
-    return padded[:cfg.height, :cfg.width][::-1]
+    return padded[:cfg.height, :cfg.width][::-1], nrays
 
 
 @partial(jax.jit, static_argnames=("cfg", "ty", "tx", "batch"))
