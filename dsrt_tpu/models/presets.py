@@ -96,3 +96,27 @@ def random_tri_soup_scene(n: int = 256, sun: bool = True,
         e2 = rng.normal(0, 0.12, 3)
         b.add_triangle(c, c + e1, c + e2, mats[i % len(mats)])
     return b.build()
+
+
+def cornell_box_scene(seed: int = 1337) -> Scene:
+    """Cornell-box-style scene from the reference's vestigial quad/box
+    geometry (inc/qaud.h:31-123): 5 wall quads, a quad area light in the
+    ceiling, and two boxes — the classic MIS stress test for the
+    light/BRDF mixture pdf.  Sun off (interior scene)."""
+    from dsrt_tpu.models.materials import Material
+    b = SceneBuilder(sun_enabled=False, seed=seed)
+    red = Material.lambertian((0.65, 0.05, 0.05))
+    white = Material.lambertian((0.73, 0.73, 0.73))
+    green = Material.lambertian((0.12, 0.45, 0.15))
+    light = Material.diffuse_light((15.0, 15.0, 15.0))
+    s = 1.0  # unit box
+    b.add_quad((s, 0, 0), (0, s, 0), (0, 0, s), green)     # left wall
+    b.add_quad((0, 0, 0), (0, s, 0), (0, 0, s), red)       # right wall
+    b.add_quad((0.35 * s, s - 1e-3, 0.35 * s),
+               (0.3 * s, 0, 0), (0, 0, 0.3 * s), light)    # ceiling light
+    b.add_quad((0, 0, 0), (s, 0, 0), (0, 0, s), white)     # floor
+    b.add_quad((0, s, 0), (s, 0, 0), (0, 0, s), white)     # ceiling
+    b.add_quad((0, 0, s), (s, 0, 0), (0, s, 0), white)     # back wall
+    b.add_box((0.15, 0.0, 0.10), (0.45, 0.55, 0.40), white)
+    b.add_box((0.55, 0.0, 0.50), (0.85, 0.30, 0.80), white)
+    return b.build()

@@ -145,7 +145,10 @@ def _i32(a):
              "bvh_pack", "tri_pack", "bvh_pk8", "tri_pk8",
              "thr_pack", "thr_pk8",
              "tri_shade", "mat_pack",
-             "sph_center", "sph_radius", "sph_mat", "light_idx",
+             "sph_center", "sph_radius", "sph_mat",
+             "quad_q", "quad_u", "quad_v", "quad_n", "quad_w", "quad_d",
+             "quad_area", "quad_mat",
+             "light_idx", "light_kind",
              "mat_type", "mat_albedo", "mat_emissive", "mat_fuzz",
              "mat_ref_idx", "mat_ptex_kind", "mat_ptex_scale",
              "mat_ptex_color2",
@@ -156,7 +159,8 @@ def _i32(a):
              "sun_dir", "sun_radiance",
          ],
          meta_fields=[
-             "n_tris", "n_spheres", "n_nodes", "n_lights", "n_media",
+             "n_tris", "n_spheres", "n_quads", "n_nodes", "n_lights",
+             "n_media",
              "max_leaf", "n_textures", "sun_enabled", "has_image_tex",
              "has_ptex", "seed",
          ])
@@ -211,7 +215,21 @@ class Scene:
     sph_center: jnp.ndarray
     sph_radius: jnp.ndarray
     sph_mat: jnp.ndarray
-    light_idx: jnp.ndarray  # emissive-sphere indices in sphere order
+    # quads (the reference's vestigial inc/qaud.h:31-123 resurrected):
+    # plane corner Q + edge vectors u, v; n = unit normal, d = n.Q,
+    # w = cross(u,v)/|cross(u,v)|^2 (interior test), area = |cross(u,v)|
+    quad_q: jnp.ndarray
+    quad_u: jnp.ndarray
+    quad_v: jnp.ndarray
+    quad_n: jnp.ndarray
+    quad_w: jnp.ndarray
+    quad_d: jnp.ndarray
+    quad_area: jnp.ndarray
+    quad_mat: jnp.ndarray
+    # area lights for the mixture pdf: kind 0 = sphere, 1 = quad
+    # (spheres first, quads after — inc/qaud.h:74-88 pdf_value/random)
+    light_idx: jnp.ndarray
+    light_kind: jnp.ndarray
     # materials (inc/gpu_scene.h:34-45)
     mat_type: jnp.ndarray
     mat_albedo: jnp.ndarray
@@ -246,6 +264,7 @@ class Scene:
     # ---- static metadata (pytree aux; jit specializes on these) ----
     n_tris: int
     n_spheres: int
+    n_quads: int
     n_nodes: int
     n_lights: int
     n_media: int
@@ -281,6 +300,7 @@ class SceneBuilder:
                  bvh_method: str = "median"):
         self._meshes: List[_MeshEntry] = []
         self._spheres: List[tuple] = []
+        self._quads: List[tuple] = []
         self._media: List[tuple] = []
         self.sun_enabled = sun_enabled
         self.sun_dir = np.asarray(sun_dir, np.float64)
@@ -308,6 +328,29 @@ class SceneBuilder:
         self._meshes.append(_MeshEntry(
             mesh.v0, mesh.v1, mesh.v2, mesh.uv0, mesh.uv1, mesh.uv2,
             list(mesh.materials), list(mesh.tex_paths)))
+
+    def add_quad(self, q, u, v, material: Material) -> None:
+        """Planar quad: corner Q + edge vectors u, v (inc/qaud.h:9-20)."""
+        self._quads.append((np.asarray(q, np.float32),
+                            np.asarray(u, np.float32),
+                            np.asarray(v, np.float32), material))
+
+    def add_box(self, a, b, material: Material) -> None:
+        """Axis-aligned box as 6 quads, the reference's box() builder
+        verbatim (inc/qaud.h:101-123)."""
+        a = np.asarray(a, np.float64)
+        b = np.asarray(b, np.float64)
+        mn = np.minimum(a, b)
+        mx = np.maximum(a, b)
+        dx = np.array([mx[0] - mn[0], 0, 0])
+        dy = np.array([0, mx[1] - mn[1], 0])
+        dz = np.array([0, 0, mx[2] - mn[2]])
+        self.add_quad((mn[0], mn[1], mx[2]), dx, dy, material)   # front
+        self.add_quad((mx[0], mn[1], mx[2]), -dz, dy, material)  # right
+        self.add_quad((mx[0], mn[1], mn[2]), -dx, dy, material)  # back
+        self.add_quad((mn[0], mn[1], mn[2]), dz, dy, material)   # left
+        self.add_quad((mn[0], mx[1], mx[2]), dx, -dz, material)  # top
+        self.add_quad((mn[0], mn[1], mn[2]), dx, dz, material)   # bottom
 
     def add_constant_medium_sphere(self, center, radius: float,
                                    density: float, albedo) -> None:
@@ -426,6 +469,29 @@ class SceneBuilder:
         sph_radius = np.asarray(sr, np.float32)
         sph_mat = np.asarray(sm, np.int32)
 
+        # --- quads (inc/qaud.h:9-28 derived quantities, computed in f64
+        # then demoted like the reference's double ctor)
+        n_quads = len(self._quads)
+        if n_quads:
+            qq = np.asarray([q[0] for q in self._quads], np.float64)
+            qu = np.asarray([q[1] for q in self._quads], np.float64)
+            qv = np.asarray([q[2] for q in self._quads], np.float64)
+            qm = np.asarray([upsert(q[3]) for q in self._quads], np.int32)
+            cr = np.cross(qu, qv)
+            n2 = (cr * cr).sum(axis=1, keepdims=True)
+            n2 = np.maximum(n2, 1e-30)
+            qn = cr / np.sqrt(n2)
+            qw = cr / n2
+            qd = (qn * qq).sum(axis=1)
+            qarea = np.sqrt(n2[:, 0])
+        else:
+            qq = qu = qv = np.zeros((1, 3), np.float64)
+            qn = np.array([[0.0, 0.0, 1.0]])
+            qw = np.zeros((1, 3))
+            qd = np.zeros(1)
+            qarea = np.zeros(1)
+            qm = np.zeros(1, np.int32)
+
         # --- media
         n_media = len(self._media)
         if n_media:
@@ -469,14 +535,21 @@ class SceneBuilder:
         mat_pack[:, 10] = mat_pts
         mat_pack[:, 11:14] = mat_ptc
 
-        # --- emissive sphere lights, in sphere order
+        # --- emissive area lights, spheres then quads
         # (the per-bounce scan of src/gpu_render.cu:841-847, hoisted to
-        # build time — the result is scene-constant)
-        light_idx = [i for i in range(n_spheres)
-                     if mat_type[sph_mat[i]] == DIFFUSE_LIGHT
-                     and mat_emissive[sph_mat[i]].max() > 0]
-        n_lights = len(light_idx)
-        light_arr = np.asarray(light_idx if n_lights else [0], np.int32)
+        # build time — the result is scene-constant; quad lights resurrect
+        # the book's quad pdf_value/random, inc/qaud.h:74-88)
+        lights = [(0, i) for i in range(n_spheres)
+                  if mat_type[sph_mat[i]] == DIFFUSE_LIGHT
+                  and mat_emissive[sph_mat[i]].max() > 0]
+        lights += [(1, j) for j in range(n_quads)
+                   if mat_type[qm[j]] == DIFFUSE_LIGHT
+                   and mat_emissive[qm[j]].max() > 0]
+        n_lights = len(lights)
+        light_arr = np.asarray([l[1] for l in lights] if n_lights else [0],
+                               np.int32)
+        light_kind = np.asarray([l[0] for l in lights] if n_lights else [0],
+                                np.int32)
 
         # --- texture pool
         pool, tex_w, tex_h, tex_off, n_tex = texreg.build_pool()
@@ -502,7 +575,11 @@ class SceneBuilder:
             thr_pack=_f32(thr_pack), thr_pk8=_f32(thr_pk8),
             tri_shade=_f32(tri_shade), mat_pack=_f32(mat_pack),
             sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
-            sph_mat=_i32(sph_mat), light_idx=_i32(light_arr),
+            sph_mat=_i32(sph_mat),
+            quad_q=_f32(qq), quad_u=_f32(qu), quad_v=_f32(qv),
+            quad_n=_f32(qn), quad_w=_f32(qw), quad_d=_f32(qd),
+            quad_area=_f32(qarea), quad_mat=_i32(qm),
+            light_idx=_i32(light_arr), light_kind=_i32(light_kind),
             mat_type=_i32(mat_type), mat_albedo=_f32(mat_albedo),
             mat_emissive=_f32(mat_emissive), mat_fuzz=_f32(mat_fuzz),
             mat_ref_idx=_f32(mat_ref_idx), mat_ptex_kind=_i32(mat_ptk),
@@ -516,7 +593,8 @@ class SceneBuilder:
             med_max=_f32(med_max), med_neg_inv_density=_f32(med_nid),
             med_albedo=_f32(med_albedo),
             sun_dir=_f32(sun_dir), sun_radiance=_f32(self.sun_radiance),
-            n_tris=n_tris, n_spheres=n_spheres, n_nodes=bvh.num_nodes,
+            n_tris=n_tris, n_spheres=n_spheres, n_quads=n_quads,
+            n_nodes=bvh.num_nodes,
             n_lights=n_lights, n_media=n_media,
             max_leaf=max(bvh.max_leaf_size, 1), n_textures=n_tex,
             sun_enabled=bool(self.sun_enabled),

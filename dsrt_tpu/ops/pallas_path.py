@@ -61,6 +61,7 @@ def fused_supported(scene, cfg) -> bool:
     if _OPTS.pallas == "off":
         return False
     return (scene.n_tris > 0 and scene.n_spheres == 0
+            and scene.n_quads == 0
             and scene.n_media == 0 and scene.n_lights == 0
             and not scene.has_image_tex and not scene.has_ptex
             and cfg.aperture == 0.0

@@ -73,6 +73,12 @@ def sample_sphere_light_direction(center: V3, radius, origin: V3, state, mask):
     dist^2 / (cos_theta_light * 4 pi r^2) (src/gpu_render.cu:145-189);
     2 draws on masked lanes."""
     uz, uphi, state = rngmod.draw2(state, mask)
+    wi, pdf = sphere_light_from_uniforms(center, radius, origin, uz, uphi)
+    return wi, pdf, state
+
+
+def sphere_light_from_uniforms(center: V3, radius, origin: V3, uz, uphi):
+    """The sphere-light sample given its two uniforms (pure)."""
     z = 2.0 * uz - 1.0
     phi = 2.0 * PI_F * uphi
     r = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
@@ -90,7 +96,28 @@ def sample_sphere_light_direction(center: V3, radius, origin: V3, state, mask):
     ok = ok & (cos_l > 0.0)
     area = 4.0 * PI_F * radius * radius
     pdf = jnp.where(ok, dist2 / jnp.where(ok, cos_l * area, 1.0), 0.0)
-    return wi, pdf, state
+    return wi, pdf
+
+
+def quad_light_from_uniforms(q: V3, eu: V3, ev: V3, qn: V3, area,
+                             origin: V3, u1, u2):
+    """Quad area-light sample (inc/qaud.h:74-88): point = Q + r1 u + r2 v;
+    pdf_value = dist^2 / (|dir . n| * area), 0 when the sampled point is
+    closer than the book's 0.001 hit epsilon or grazing."""
+    p_l = V3(q.x + u1 * eu.x + u2 * ev.x,
+             q.y + u1 * eu.y + u2 * ev.y,
+             q.z + u1 * eu.z + u2 * ev.z)
+    to_light = p_l - origin
+    dist2 = dot(to_light, to_light)
+    dist = jnp.sqrt(dist2)
+    ok = dist > 1e-3
+    wi = vwhere(ok, to_light * (1.0 / jnp.where(ok, dist, 1.0)),
+                V3(jnp.zeros_like(dist), jnp.zeros_like(dist),
+                   jnp.ones_like(dist)))
+    cos_l = jnp.abs(dot(wi, qn))
+    ok = ok & (cos_l > 1e-8) & (area > 0.0)
+    pdf = jnp.where(ok, dist2 / jnp.where(ok, cos_l * area, 1.0), 0.0)
+    return wi, pdf
 
 
 from dsrt_tpu.exec_opts import OPTS, use_pallas as _use_pallas
@@ -289,16 +316,36 @@ def bounce_step(scene, cfg, L, thr, ro: V3, rd: V3, state, alive, rr_mask,
             light_m = diff_mask & (choose < 0.5)
             brdf_m = diff_mask & ~(choose < 0.5)
 
-            # light branch (src/gpu_render.cu:875-908)
+            # light branch (src/gpu_render.cu:875-908); the light list
+            # mixes sphere and quad area lights (kind 0/1) — both consume
+            # exactly two uniforms so the per-pixel draw schedule is
+            # kind-independent
             uk, state = rngmod.draw(state, light_m)
             k = jnp.minimum((uk * scene.n_lights).astype(jnp.int32),
                             scene.n_lights - 1)
-            sph = scene.light_idx[jnp.clip(k, 0, scene.light_idx.shape[0] - 1)]
+            kc = jnp.clip(k, 0, scene.light_idx.shape[0] - 1)
+            li = scene.light_idx[kc]
+            u1, u2, state = rngmod.draw2(state, light_m)
+            sph = jnp.clip(li, 0, scene.sph_center.shape[0] - 1)
             c = V3(scene.sph_center[sph, 0], scene.sph_center[sph, 1],
                    scene.sph_center[sph, 2])
             rad = scene.sph_radius[sph]
-            dir_l, pdf_lc, state = sample_sphere_light_direction(
-                c, rad, p, state, light_m)
+            dir_l, pdf_lc = sphere_light_from_uniforms(c, rad, p, u1, u2)
+            if scene.n_quads > 0:
+                qi = jnp.clip(li, 0, scene.quad_q.shape[0] - 1)
+                qq = V3(scene.quad_q[qi, 0], scene.quad_q[qi, 1],
+                        scene.quad_q[qi, 2])
+                qu = V3(scene.quad_u[qi, 0], scene.quad_u[qi, 1],
+                        scene.quad_u[qi, 2])
+                qv = V3(scene.quad_v[qi, 0], scene.quad_v[qi, 1],
+                        scene.quad_v[qi, 2])
+                qn = V3(scene.quad_n[qi, 0], scene.quad_n[qi, 1],
+                        scene.quad_n[qi, 2])
+                dir_q, pdf_q = quad_light_from_uniforms(
+                    qq, qu, qv, qn, scene.quad_area[qi], p, u1, u2)
+                is_q = scene.light_kind[kc] == 1
+                dir_l = vwhere(is_q, dir_q, dir_l)
+                pdf_lc = jnp.where(is_q, pdf_q, pdf_lc)
             cos_l = jnp.maximum(0.0, dot(dir_l, n))
             l_ok = (pdf_lc > 0.0) & (cos_l > 0.0)
             pdf_light = pdf_lc / jnp.float32(scene.n_lights)

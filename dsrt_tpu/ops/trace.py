@@ -311,6 +311,67 @@ def sphere_pass(scene, ro: V3, rd: V3, t_min, hit: Hit, active) -> Hit:
     return hit
 
 
+def quad_pass(scene, ro: V3, rd: V3, t_min, hit: Hit, active) -> Hit:
+    """Sequential quad loop after the sphere pass: the reference's
+    vestigial quad.hit resurrected (inc/qaud.h:31-72) — plane hit with
+    |denom| < 1e-8 parallel reject, then the interior test via the
+    precomputed w vector; alpha/beta land in u/v (and tu/tv) exactly like
+    the book sets rec.u/rec.v.  `<=` tie acceptance like the sphere loop
+    (later primitive wins ties)."""
+    if scene.n_quads == 0:
+        return hit
+
+    def body(i, carry):
+        hit, closest = carry
+        qn = scene.quad_n[i]
+        denom = rd.x * qn[0] + rd.y * qn[1] + rd.z * qn[2]
+        ok = jnp.abs(denom) >= 1e-8
+        t = (scene.quad_d[i]
+             - (ro.x * qn[0] + ro.y * qn[1] + ro.z * qn[2])) / jnp.where(
+                 ok, denom, 1.0)
+        ok = ok & (t >= t_min) & (t <= closest) & active
+        q = scene.quad_q[i]
+        px = ro.x + t * rd.x - q[0]
+        py = ro.y + t * rd.y - q[1]
+        pz = ro.z + t * rd.z - q[2]
+        u_e = scene.quad_u[i]
+        v_e = scene.quad_v[i]
+        w = scene.quad_w[i]
+        # alpha = w . (p x v), beta = w . (u x p)
+        cx = py * v_e[2] - pz * v_e[1]
+        cy = pz * v_e[0] - px * v_e[2]
+        cz = px * v_e[1] - py * v_e[0]
+        alpha = w[0] * cx + w[1] * cy + w[2] * cz
+        cx = u_e[1] * pz - u_e[2] * py
+        cy = u_e[2] * px - u_e[0] * pz
+        cz = u_e[0] * py - u_e[1] * px
+        beta = w[0] * cx + w[1] * cy + w[2] * cz
+        ok = ok & (alpha >= 0.0) & (alpha <= 1.0) & (beta >= 0.0) & (beta <= 1.0)
+        front = denom < 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        new = Hit(
+            hit=hit.hit | ok,
+            t=jnp.where(ok, t, hit.t),
+            nx=jnp.where(ok, sgn * qn[0], hit.nx),
+            ny=jnp.where(ok, sgn * qn[1], hit.ny),
+            nz=jnp.where(ok, sgn * qn[2], hit.nz),
+            front=jnp.where(ok, front, hit.front),
+            mat=jnp.where(ok, scene.quad_mat[i], hit.mat),
+            tex=jnp.where(ok, -1, hit.tex),
+            tri=jnp.where(ok, -1, hit.tri),
+            u=jnp.where(ok, alpha, hit.u),
+            v=jnp.where(ok, beta, hit.v),
+            tu=jnp.where(ok, alpha, hit.tu),
+            tv=jnp.where(ok, beta, hit.tv),
+            medium=jnp.where(ok, -1, hit.medium),
+        )
+        closest = jnp.where(ok, t, closest)
+        return new, closest
+
+    hit, _ = lax.fori_loop(0, scene.n_quads, body, (hit, hit.t))
+    return hit
+
+
 def _boundary_interval(scene, m, ro: V3, rd: V3):
     """Entry/exit params of medium m's boundary along the ray, as the book's
     double-hit with universe intervals (inc/constant_medium.h:20-41).
@@ -399,6 +460,7 @@ def scene_hit(scene, ro: V3, rd: V3, t_min, t_max, active, state=None,
     then media.  Returns (Hit, state); `state` unchanged when no media."""
     hit = packet_traverse(scene, ro, rd, t_min, t_max, active, any_hit=any_hit)
     hit = sphere_pass(scene, ro, rd, t_min, hit, active)
+    hit = quad_pass(scene, ro, rd, t_min, hit, active)
     if scene.n_media > 0:
         assert state is not None, "media require an RNG state"
         hit, state = media_pass(scene, ro, rd, t_min, hit, active, state)
@@ -474,6 +536,7 @@ def scene_hit_flat(scene, ro: V3, rd: V3, t_min, t_max, active, state=None,
                   tu=f0, tv=f0,
                   medium=jnp.full(shape, -1, jnp.int32))
     hit = sphere_pass(scene, ro, rd, t_min, hit, active)
+    hit = quad_pass(scene, ro, rd, t_min, hit, active)
     if scene.n_media > 0:
         assert state is not None, "media require an RNG state"
         hit, state = media_pass(scene, ro, rd, t_min, hit, active, state)

@@ -91,6 +91,24 @@ def _sample_cosine_hemisphere(normal, rng: LCG):
     return world, F(pdf)
 
 
+def _sample_quad_light(sc, j, origin, rng: LCG):
+    """Quad light sample + pdf_value (inc/qaud.h:74-88); 2 draws."""
+    r1 = rng.rand()
+    r2 = rng.rand()
+    p_l = (sc.quad_q[j] + r1 * sc.quad_u[j] + r2 * sc.quad_v[j]).astype(F)
+    to_light = (p_l - origin).astype(F)
+    dist2 = F(to_light @ to_light)
+    dist = F(np.sqrt(dist2))
+    if dist <= 1e-3:
+        return np.array([0, 0, 1], F), F(0.0)
+    wi = (to_light / dist).astype(F)
+    cos_l = abs(F(wi @ sc.quad_n[j]))
+    area = F(sc.quad_area[j])
+    if cos_l <= 1e-8 or area <= 0.0:
+        return wi, F(0.0)
+    return wi, F(dist2 / (cos_l * area))
+
+
 def _sample_sphere_light(center, radius, origin, rng: LCG):
     z = F(2.0) * rng.rand() - F(1.0)
     phi = F(2.0) * PI * rng.rand()
@@ -126,6 +144,13 @@ class OracleScene:
         self.sph_center = g(scene.sph_center)
         self.sph_radius = g(scene.sph_radius)
         self.sph_mat = g(scene.sph_mat)
+        self.quad_q = g(scene.quad_q); self.quad_u = g(scene.quad_u)
+        self.quad_v = g(scene.quad_v); self.quad_n = g(scene.quad_n)
+        self.quad_w = g(scene.quad_w); self.quad_d = g(scene.quad_d)
+        self.quad_area = g(scene.quad_area)
+        self.quad_mat = g(scene.quad_mat)
+        self.n_quads = scene.n_quads
+        self.light_kind = g(scene.light_kind)
         self.mat_type = g(scene.mat_type)
         self.mat_albedo = g(scene.mat_albedo)
         self.mat_emissive = g(scene.mat_emissive)
@@ -214,6 +239,26 @@ def scene_hit(sc: OracleScene, ro, rd, t_min, t_max):
                     normal=n if front else (-n).astype(F), front=front,
                     mat=int(sc.sph_mat[i]), tex=-1, tri=-1)
         closest = F(root)
+    for i in range(sc.n_quads):
+        # quad.hit (inc/qaud.h:31-72)
+        qn = sc.quad_n[i]
+        denom = F(rd @ qn)
+        if abs(denom) < 1e-8:
+            continue
+        t = F((sc.quad_d[i] - F(ro @ qn)) / denom)
+        if t < t_min or t > closest:
+            continue
+        p = (ro + t * rd).astype(F)
+        pl = (p - sc.quad_q[i]).astype(F)
+        alpha = F(sc.quad_w[i] @ np.cross(pl, sc.quad_v[i]).astype(F))
+        beta = F(sc.quad_w[i] @ np.cross(sc.quad_u[i], pl).astype(F))
+        if alpha < 0.0 or alpha > 1.0 or beta < 0.0 or beta > 1.0:
+            continue
+        front = denom < 0.0
+        best = dict(t=t, u=F(alpha), v=F(beta),
+                    normal=qn.astype(F) if front else (-qn).astype(F),
+                    front=front, mat=int(sc.quad_mat[i]), tex=-1, tri=-1)
+        closest = t
     return best
 
 
@@ -384,8 +429,11 @@ def ray_color(sc: OracleScene, ro, rd, rng: LCG, max_depth: int,
             if k >= sc.n_lights:
                 k = sc.n_lights - 1
             si = int(sc.light_idx[k])
-            d, pdf_lc = _sample_sphere_light(
-                sc.sph_center[si], F(sc.sph_radius[si]), p, rng)
+            if int(sc.light_kind[k]) == 1:
+                d, pdf_lc = _sample_quad_light(sc, si, p, rng)
+            else:
+                d, pdf_lc = _sample_sphere_light(
+                    sc.sph_center[si], F(sc.sph_radius[si]), p, rng)
             if pdf_lc <= 0:
                 break
             cos_t = max(F(0.0), F(d @ n))
