@@ -52,7 +52,8 @@ def _fused_mrays(scene, cam, cfg, reps: int = 1):
     px, py, valid = jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid)
     accum, nr = _run_fused(scene, cfg, cam, px, py, valid)
     accum.x.block_until_ready()
-    exact = int(jax.device_get(nr))
+    import numpy as np
+    exact = int(np.asarray(jax.device_get(nr), np.int64).sum())
     t0 = time.perf_counter()
     for _ in range(reps):
         accum, nr = _run_fused(scene, cfg, cam, px, py, valid)

@@ -63,6 +63,15 @@ class RenderConfig:
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     sun: SunConfig = dataclasses.field(default_factory=SunConfig)
 
+    # Debug/flat-shade sky (the reference's SkyType enum, inc/gpu_scene.h:
+    # 90-94, consumed only by ray_color_debug, src/gpu_render.cu:663-710;
+    # the path tracer always uses the black `background`).  The builder
+    # hardcodes solid black (src/gpu_scene_builder.cpp:562-568).
+    sky_type: str = "solid"          # "solid" | "gradient"
+    sky_solid: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    sky_top: Tuple[float, float, float] = (0.5, 0.7, 1.0)
+    sky_bottom: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+
     # TPU execution knobs (no reference analogue).
     packet_size: int = 1024     # rays per traversal packet (8x128 VPU tile)
     spp_chunk: int = 0          # 0 = auto; samples evaluated per device pass

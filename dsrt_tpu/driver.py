@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "work-queue (auto-bands huge frames).")
     p.add_argument("--spp_batch", type=int, default=8,
                    help="concurrent sample slots per pixel (wavefront mode)")
+    p.add_argument("--debug_shade", action="store_true",
+                   help="flat-shade debug render (ray_color_debug, "
+                        "src/gpu_render.cu:663-710): albedo x texture, "
+                        "lights white, sky on miss — a visual smoke test")
+    p.add_argument("--sky", choices=["solid", "gradient"], default="solid",
+                   help="debug-shade sky type (SkyType, inc/gpu_scene.h:90)")
     # TPU execution knobs (exec_opts; SURVEY §5 config promotion)
     p.add_argument("--block_h", type=int, default=32,
                    help="rays per Pallas grid step = block_h x 128 lanes")
@@ -158,7 +164,7 @@ def run(args) -> int:
 
     cfg = RenderConfig(width=args.width, height=args.height, spp=args.spp,
                        max_depth=args.max_depth, vfov=args.vfov,
-                       gamma=args.gamma, seed=args.seed)
+                       gamma=args.gamma, seed=args.seed, sky_type=args.sky)
 
     total_start = time.perf_counter()
     rendered = 0
@@ -191,7 +197,10 @@ def run(args) -> int:
             jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
         nrays = None  # exact in-loop count when the mode provides one
-        if args.shard:
+        if args.debug_shade:
+            from dsrt_tpu.render import render_frame_debug
+            img = render_frame_debug(frame_scene, cam, cfg)
+        elif args.shard:
             import jax as _jax
             from dsrt_tpu.parallel.mesh import make_mesh
             from dsrt_tpu.parallel.render import render_frame_sharded

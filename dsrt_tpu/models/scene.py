@@ -323,14 +323,49 @@ class SceneBuilder:
             np.asarray([uv0], np.float32), np.asarray([uv1], np.float32),
             np.asarray([uv2], np.float32), [material], [tex_path]))
 
-    def add_mesh(self, mesh) -> None:
-        """Add a loaded mesh (models.obj.MeshData or _MeshEntry-compatible)."""
+    def add_mesh(self, mesh, translate=None, rotate_y_deg: float = 0.0,
+                 flip_face: bool = False) -> None:
+        """Add a loaded mesh (models.obj.MeshData or _MeshEntry-compatible).
+
+        The reference's instancing wrappers (inc/hittable.h:61-233) become
+        build-time transforms — the TPU-native equivalent, since geometry
+        is flattened to device arrays anyway:
+        - rotate_y_deg: rotation about +Y, the wrapper's object-space map
+          x' = cos t x + sin t z, z' = -sin t x + cos t z (hittable.h:99-102)
+        - translate: vertex offset (hittable.h:35-57)
+        - flip_face: reverses triangle winding, flipping the geometric
+          normal (hittable.h:61-88)
+        Applied rotate-then-translate, like nesting translate(rotate_y(o)).
+        """
+        v0, v1, v2 = mesh.v0, mesh.v1, mesh.v2
+        if rotate_y_deg:
+            t = np.deg2rad(float(rotate_y_deg))
+            c, s = np.cos(t), np.sin(t)
+            R = np.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]],
+                         np.float64)
+            v0 = (v0.astype(np.float64) @ R.T).astype(np.float32)
+            v1 = (v1.astype(np.float64) @ R.T).astype(np.float32)
+            v2 = (v2.astype(np.float64) @ R.T).astype(np.float32)
+        if translate is not None:
+            off = np.asarray(translate, np.float32)
+            v0 = v0 + off
+            v1 = v1 + off
+            v2 = v2 + off
+        uv0, uv1, uv2 = mesh.uv0, mesh.uv1, mesh.uv2
+        if flip_face:
+            v1, v2 = v2, v1
+            uv1, uv2 = uv2, uv1
         self._meshes.append(_MeshEntry(
-            mesh.v0, mesh.v1, mesh.v2, mesh.uv0, mesh.uv1, mesh.uv2,
+            v0, v1, v2, uv0, uv1, uv2,
             list(mesh.materials), list(mesh.tex_paths)))
 
-    def add_quad(self, q, u, v, material: Material) -> None:
-        """Planar quad: corner Q + edge vectors u, v (inc/qaud.h:9-20)."""
+    def add_quad(self, q, u, v, material: Material,
+                 flip_face: bool = False) -> None:
+        """Planar quad: corner Q + edge vectors u, v (inc/qaud.h:9-20).
+        flip_face swaps the edges, negating the geometric normal
+        (inc/hittable.h:61-88 semantics at build time)."""
+        if flip_face:
+            u, v = v, u
         self._quads.append((np.asarray(q, np.float32),
                             np.asarray(u, np.float32),
                             np.asarray(v, np.float32), material))

@@ -662,7 +662,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
     """Render `spp` samples for every (K, P) lane pixel in one kernel.
 
     Returns (accum V3 (K, P) — sum over samples of clamp01(L) — and the
-    exact scene-intersection ray count); with `return_stats` also the
+    exact PER-BLOCK scene-intersection ray counts, an i32 vector to be
+    summed in int64 host-side); with `return_stats` also the full
     per-block (nrays, waves) i32 table.
     """
     K, P = px.shape
@@ -712,6 +713,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         return a.reshape(Kp, P)[:K]
 
     accum = V3(unfold(acc_r), unfold(acc_g), unfold(acc_b))
+    # per-BLOCK ray counts (i32, < 2^31 each); callers sum in int64 on the
+    # host — a device-side i32 sum overflows at 1080p @ 1000 spp (2.3e9)
     if return_stats:
-        return accum, jnp.sum(stats[:, 0]), stats
-    return accum, jnp.sum(stats[:, 0])
+        return accum, stats[:, 0], stats
+    return accum, stats[:, 0]

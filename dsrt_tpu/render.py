@@ -172,7 +172,10 @@ def render_frame_fused(scene, cam: Camera, cfg: RenderConfig,
                                jnp.asarray(valid), cfg, ty, tx)
     img = np.asarray(jax.device_get(img))
     if with_count:
-        return img, int(jax.device_get(nrays))
+        # per-block i32 counts summed in int64 (device i32 sum would
+        # overflow at 1080p @ 1000 spp)
+        return img, int(np.asarray(jax.device_get(nrays),
+                                   np.int64).sum())
     return img
 
 
@@ -360,5 +363,82 @@ def _render_lanes_radiance(scene, cam, px, py, valid, cfg: RenderConfig,
         0, spp, sample_body, (V3(zero, zero, zero), state))
     inv_spp = jnp.float32(1.0 / spp)
     chans = [accum.x * inv_spp, accum.y * inv_spp, accum.z * inv_spp]
+    padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
+    return padded[:cfg.height, :cfg.width][::-1]
+
+
+def render_frame_debug(scene, cam: Camera, cfg: RenderConfig) -> np.ndarray:
+    """Flat-shade debug render (ray_color_debug, src/gpu_render.cu:663-710,
+    unreferenced by the reference kernel — productized here as the visual
+    smoke test SURVEY.md §4 recommends): one scene intersection per sample;
+    lights render white, surfaces render albedo x texture (clamped), misses
+    render the sky (solid color or the gradient 0.5(y+1) lerp).  Jittered
+    like the path tracer for anti-aliasing; same tonemap chain."""
+    px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
+    img = _render_debug(scene, cam, jnp.asarray(px), jnp.asarray(py),
+                        jnp.asarray(valid), cfg, ty, tx)
+    return np.asarray(jax.device_get(img))
+
+
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
+def _render_debug(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
+                  ty: int, tx: int):
+    from dsrt_tpu.models.materials import DIFFUSE_LIGHT
+    from dsrt_tpu.ops import textures as texmod
+    from dsrt_tpu.ops.linalg import normalize, where as vwhere
+    from dsrt_tpu.ops.shade import _vmapped_scene_hit
+
+    spp = cfg.resolved_spp()
+    state = rngmod.seed_pixels(px, py, cam.width, scene.seed)
+    zero = jnp.zeros(px.shape, jnp.float32)
+
+    def sample_body(s, carry):
+        accum, state = carry
+        jxu, state = rngmod.draw(state, valid)
+        jyu, state = rngmod.draw(state, valid)
+        sf = s.astype(jnp.float32)
+        jx = (sf + jxu) / jnp.float32(spp)
+        jy = (sf + jyu) / jnp.float32(spp)
+        ro, rd, state = camera_rays(cam, px, py, jx, jy, state, valid,
+                                    cfg.aperture > 0)
+        hit, state = _vmapped_scene_hit(scene, ro, rd, float(cfg.hit_eps),
+                                        1e30, valid, state)
+        # sky for misses (SkyType semantics, gpu_render.cu:691-706)
+        if cfg.sky_type == "gradient":
+            ud = normalize(rd)
+            t = 0.5 * (ud.y + 1.0)
+            sky = V3(cfg.sky_bottom[0] * (1.0 - t) + cfg.sky_top[0] * t,
+                     cfg.sky_bottom[1] * (1.0 - t) + cfg.sky_top[1] * t,
+                     cfg.sky_bottom[2] * (1.0 - t) + cfg.sky_top[2] * t)
+        else:
+            sky = V3(jnp.full_like(zero, cfg.sky_solid[0]),
+                     jnp.full_like(zero, cfg.sky_solid[1]),
+                     jnp.full_like(zero, cfg.sky_solid[2]))
+        mp = scene.mat_pack[hit.mat]
+        base = V3(mp[..., 1], mp[..., 2], mp[..., 3])
+        if scene.has_image_tex:
+            tex_rgb = texmod.sample_image(scene, hit.tex, hit.tu, hit.tv)
+            base = vwhere(hit.tex >= 0, base * tex_rgb, base)
+        is_light = mp[..., 0].astype(jnp.int32) == DIFFUSE_LIGHT
+        one = jnp.ones_like(zero)
+        base = vwhere(is_light, V3(one, one, one), base)
+        from dsrt_tpu.ops.linalg import clamp01
+        col = vwhere(hit.hit, clamp01(base), sky)
+        return (accum + col, state)
+
+    accum, _ = jax.lax.fori_loop(0, spp, sample_body,
+                                 (V3(zero, zero, zero), state))
+    inv_spp = jnp.float32(1.0 / spp)
+    inv_gamma = jnp.float32(1.0 / cfg.gamma)
+
+    def tonemap(c):
+        c = c * inv_spp
+        c = jnp.maximum(c, 0.0)
+        c = jnp.minimum(c, cfg.firefly_clamp)
+        c = jnp.power(c, inv_gamma)
+        c = jnp.clip(c, 0.0, 1.0)
+        return (255.99 * c).astype(jnp.uint8)
+
+    chans = [tonemap(accum.x), tonemap(accum.y), tonemap(accum.z)]
     padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
     return padded[:cfg.height, :cfg.width][::-1]

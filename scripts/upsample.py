@@ -23,17 +23,60 @@ import os
 import sys
 
 
+# Official Real-ESRGAN release weights (the URLs the reference
+# auto-downloads from, scripts/upsample.py:29-39) + published SHA256.
+WEIGHT_URLS = {
+    2: ("https://github.com/xinntao/Real-ESRGAN/releases/download/"
+        "v0.2.1/RealESRGAN_x2plus.pth",
+        "49fafd45f8fd7aa8d31ab2a22d14d91b536c34494a5cfe31eb5d89c2fa266abb"),
+    4: ("https://github.com/xinntao/Real-ESRGAN/releases/download/"
+        "v0.1.0/RealESRGAN_x4plus.pth",
+        "4fa0d38905f75ac06eb49a7951b426670021be3018265fd191d2125df9d682f1"),
+}
+
+
+def fetch_weights(scale: int, allow_download: bool = True) -> str:
+    """Return the cached weight path, auto-downloading (with a SHA256
+    check) when absent and the network permits — reference parity with
+    scripts/upsample.py:29-39, plus integrity verification."""
+    import hashlib
+    import urllib.request
+
+    name = f"RealESRGAN_x{scale}plus"
+    weights = os.path.expanduser(f"~/.cache/realesrgan/{name}.pth")
+    if os.path.exists(weights):
+        return weights
+    if not allow_download:
+        raise FileNotFoundError(f"weights not cached at {weights}")
+    url, sha = WEIGHT_URLS[scale]
+    os.makedirs(os.path.dirname(weights), exist_ok=True)
+    tmp = weights + ".part"
+    print(f"[+] downloading {url}", file=sys.stderr)
+    try:
+        urllib.request.urlretrieve(url, tmp)
+    except Exception as e:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise FileNotFoundError(
+            f"weights not cached at {weights} and download failed ({e}); "
+            f"fetch {url} manually") from e
+    digest = hashlib.sha256(open(tmp, "rb").read()).hexdigest()
+    if digest != sha:
+        os.unlink(tmp)
+        raise ValueError(f"weight download hash mismatch for {name}: "
+                         f"{digest} != {sha}")
+    os.replace(tmp, weights)
+    return weights
+
+
 def build_realesrgan(scale: int):
     from basicsr.archs.rrdbnet_arch import RRDBNet
     from realesrgan import RealESRGANer
     import torch
 
-    name = f"RealESRGAN_x{scale}plus"
     model = RRDBNet(num_in_ch=3, num_out_ch=3, num_feat=64, num_block=23,
                     num_grow_ch=32, scale=scale)
-    weights = os.path.expanduser(f"~/.cache/realesrgan/{name}.pth")
-    if not os.path.exists(weights):
-        raise FileNotFoundError(f"weights not cached at {weights}")
+    weights = fetch_weights(scale)
     half = torch.cuda.is_available()
     return RealESRGANer(scale=scale, model_path=weights, model=model,
                         half=half)

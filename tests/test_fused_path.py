@@ -56,7 +56,7 @@ def test_fused_ray_count_matches_split_pipeline():
     _, nrays = jax.jit(
         lambda s, c, a, b, v: trace_fused(s, CFG, c, a, b, v)
     )(scene, cam, jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid))
-    n = int(nrays)
+    n = int(np.asarray(nrays, np.int64).sum())
     # every (pixel, sample) costs at least one primary ray
     assert n >= W * H * CFG.spp
     # and bounded by (max_depth extensions + shadows) per sample
