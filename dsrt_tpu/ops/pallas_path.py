@@ -247,7 +247,7 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
             return c[0] < n_nodes
 
         def body(c):
-            node, closest, bt, bm, bnx, bny, bnz, bfr = c
+            node, closest, bm, bnx, bny, bnz = c
             (minx, miny, minz, maxx, maxy, maxz, off_f,
              cnt_f) = _load_many(box_ref, node, (0, 1, 2, 3, 4, 5, 7, 8),
                                  packed)
@@ -276,8 +276,12 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
             def leaf_body(i, lc):
                 # unconditional masked test: loading slot `off + i` past
                 # the leaf's count is safe (same table) and `i < cnt`
-                # masks acceptance — avoids an scf.if per triangle slot
-                closest, bt, bm, bnx, bny, bnz, bfr = lc
+                # masks acceptance — avoids an scf.if per triangle slot.
+                # Tracks the RAW stored normal + mat; the face flip and
+                # front flag are derived once per wave after the loop, and
+                # closest doubles as best-t (no any_hit in this kernel) —
+                # two fewer loop-carried vectors and ~6 fewer ops per slot.
+                closest, bm, bnx, bny, bnz = lc
                 row = jnp.minimum(off + i, max_tri_row)
                 (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, mat_f,
                  fnx, fny, fnz) = _load_many(tri_ref, row, range(13),
@@ -301,32 +305,30 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
                 t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
                 ok = ok & (t >= tmin_f) & (t <= closest) & act & (i < cnt)
                 closest = jnp.where(ok, t, closest)
-                bt = jnp.where(ok, t, bt)
                 bm = jnp.where(ok, mat_f.astype(jnp.int32), bm)
-                # stored flat normal, face-flipped per lane
-                front = (dx * fnx + dy * fny + dz * fnz) < 0.0
-                sgn = jnp.where(front, 1.0, -1.0)
-                bnx = jnp.where(ok, sgn * fnx, bnx)
-                bny = jnp.where(ok, sgn * fny, bny)
-                bnz = jnp.where(ok, sgn * fnz, bnz)
-                bfr = jnp.where(ok, jnp.where(front, 1.0, 0.0), bfr)
-                return closest, bt, bm, bnx, bny, bnz, bfr
+                bnx = jnp.where(ok, fnx, bnx)
+                bny = jnp.where(ok, fny, bny)
+                bnz = jnp.where(ok, fnz, bnz)
+                return closest, bm, bnx, bny, bnz
 
-            closest, bt, bm, bnx, bny, bnz, bfr = lax.cond(
+            closest, bm, bnx, bny, bnz = lax.cond(
                 enter & is_leaf,
                 lambda a: lax.fori_loop(0, max_leaf, leaf_body, a),
-                lambda a: a, (closest, bt, bm, bnx, bny, bnz, bfr))
+                lambda a: a, (closest, bm, bnx, bny, bnz))
 
             descend = enter & jnp.logical_not(is_leaf)
             node_next = jnp.where(descend, enter_n, skip)
-            return node_next, closest, bt, bm, bnx, bny, bnz, bfr
+            return node_next, closest, bm, bnx, bny, bnz
 
         closest0 = jnp.where(act, tmax_f, tmin_f)
-        _, closest, bt, bm, bnx, bny, bnz, bfr = lax.while_loop(
-            cond, body,
-            (node0, closest0, jnp.full(shape, tmax_f), i0, f0, f0, f0, f0))
+        _, closest, bm, bnx, bny, bnz = lax.while_loop(
+            cond, body, (node0, closest0, i0, f0, f0, f0))
         hitm = jnp.where(act & (closest < tmax_f), 1.0, 0.0)
-        return hitm, bt, bm, bnx, bny, bnz, bfr
+        # face flip + front flag once per wave (raw normal tracked in-loop)
+        front_b = (dx * bnx + dy * bny + dz * bnz) < 0.0
+        sgn = jnp.where(front_b, 1.0, -1.0)
+        return (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
+                jnp.where(front_b, 1.0, 0.0))
 
     def _sun_blocked(sox, soy, soz, pot):
         """Any-hit along the (uniform) sun direction for `pot` lanes.
