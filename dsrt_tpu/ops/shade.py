@@ -237,7 +237,8 @@ def bounce_step(scene, cfg, L, thr, ro: V3, rd: V3, state, alive, rr_mask,
             has_tex = hit.tex >= 0
             albedo = vwhere(surf & has_tex, albedo * tex_rgb, albedo)
         if scene.has_ptex:
-            albedo = texmod.sample_procedural(scene, hit.mat, albedo, p)
+            albedo = texmod.sample_procedural(scene, hit.mat, albedo, p,
+                                              mask=surf)
 
         # ---- 4. specular branch --------------------------------------
         metal_mask = surf & (mtype == METAL)

@@ -42,9 +42,38 @@ def sample_image(scene, tex_id, u, v) -> V3:
     return V3(r, g, b)
 
 
+def _hash3(i, j, k):
+    """Integer lattice hash (xorshift-multiply mix): the TPU-native
+    replacement for the book's ranvec[perm_x^perm_y^perm_z] table walk
+    (inc/perlin.h:39-66).  Pure vector arithmetic — a single (N,) gather
+    from a 256-entry table costs ~150 ms per 1.4M lanes under XLA's TPU
+    lowering (measured), which made table-Perlin ~1000x slower than this."""
+    h = (i.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+         ^ j.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+         ^ k.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0x27D4EB2F)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _grad_dot(h, x, y, z):
+    """Ken Perlin's improved-noise gradient set: 12 edge directions
+    selected by 4 hash bits, evaluated with selects (no table)."""
+    hh = (h & jnp.uint32(15)).astype(jnp.int32)
+    u = jnp.where(hh < 8, x, y)
+    v = jnp.where(hh < 4, y, jnp.where((hh == 12) | (hh == 14), x, z))
+    return (jnp.where((hh & 1) == 0, u, -u)
+            + jnp.where((hh & 2) == 0, v, -v))
+
+
 def perlin_noise(scene, p: V3):
-    """Classic gradient Perlin with Hermite-smoothed trilinear interpolation
-    (inc/perlin.h:39-66, 96-119), vectorized over lanes."""
+    """Gradient Perlin with Hermite-smoothed trilinear interpolation
+    (the structure of inc/perlin.h:96-119) over hash-derived lattice
+    gradients.  `scene` is accepted for API symmetry (the hash replaces
+    the scene's permutation tables on device; the tables remain in the
+    schema for the host-side reference implementation)."""
+    del scene
     u = p.x - jnp.floor(p.x)
     v = p.y - jnp.floor(p.y)
     w = p.z - jnp.floor(p.z)
@@ -60,16 +89,14 @@ def perlin_noise(scene, p: V3):
     for di in (0, 1):
         for dj in (0, 1):
             for dk in (0, 1):
-                idx = (scene.perlin_px[(i + di) & 255]
-                       ^ scene.perlin_py[(j + dj) & 255]
-                       ^ scene.perlin_pz[(k + dk) & 255])
-                g = scene.perlin_vec[idx]  # lanes x 3 gather
-                dotv = (g[..., 0] * (u - di) + g[..., 1] * (v - dj)
-                        + g[..., 2] * (w - dk))
+                h = _hash3(i + di, j + dj, k + dk)
+                dotv = _grad_dot(h, u - di, v - dj, w - dk)
                 wt = ((uu if di else 1.0 - uu) * (vv if dj else 1.0 - vv)
                       * (ww if dk else 1.0 - ww))
                 accum = accum + wt * dotv
-    return accum
+    # improved-noise gradients have |dot| <= 2; scale into the classic
+    # unit-gradient range so marble/noise mappings keep their look
+    return accum * 0.5
 
 
 def perlin_turb(scene, p: V3, depth: int = 7):
@@ -84,9 +111,11 @@ def perlin_turb(scene, p: V3, depth: int = 7):
     return jnp.abs(accum)
 
 
-def sample_procedural(scene, mat_id, base: V3, p: V3) -> V3:
+def sample_procedural(scene, mat_id, base: V3, p: V3, mask=None) -> V3:
     """Apply the material's procedural texture (if any) at world point p.
-    Returns the effective albedo given the solid `base` color."""
+    Returns the effective albedo given the solid `base` color.  `mask`
+    limits the (expensive) Perlin branch to waves where a lane that
+    actually shades a noise/marble material exists."""
     kind = scene.mat_ptex_kind[mat_id]
     scale = scene.mat_ptex_scale[mat_id]
     if not scene.has_ptex:
@@ -100,7 +129,10 @@ def sample_procedural(scene, mat_id, base: V3, p: V3) -> V3:
                  jnp.where(sines < 0, c2[..., 1], base.y),
                  jnp.where(sines < 0, c2[..., 2], base.z))
 
-    need_noise = jnp.any((kind == PTEX_NOISE) | (kind == PTEX_MARBLE))
+    need_noise = (kind == PTEX_NOISE) | (kind == PTEX_MARBLE)
+    if mask is not None:
+        need_noise = need_noise & mask
+    need_noise = jnp.any(need_noise)
     turb = lax.cond(need_noise,
                     lambda: perlin_turb(scene, p),
                     lambda: jnp.zeros_like(p.x))
