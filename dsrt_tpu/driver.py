@@ -76,6 +76,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "work-queue (auto-bands huge frames).")
     p.add_argument("--spp_batch", type=int, default=8,
                    help="concurrent sample slots per pixel (wavefront mode)")
+    p.add_argument("--no_pipeline", action="store_true",
+                   help="disable the frame pipeline (render of frame n+1 "
+                        "overlapped with PNG encode of frame n; the "
+                        "reference's loop is fully serial, main.cpp:310-431)")
     p.add_argument("--debug_shade", action="store_true",
                    help="flat-shade debug render (ray_color_debug, "
                         "src/gpu_render.cu:663-710): albedo x texture, "
@@ -131,6 +135,24 @@ def build_scene(args, timer: StageTimer):
     return scene
 
 
+def _finish_frame(pending, timer: StageTimer, args) -> None:
+    """Materialize + encode an in-flight pipelined frame."""
+    import jax
+
+    idx, png, dev_img, dev_counts, t0 = pending
+    img = np.asarray(jax.device_get(dev_img))
+    dt = time.perf_counter() - t0  # dispatch -> materialized
+    timer.log("render", dt)
+    nrays = int(np.asarray(jax.device_get(dev_counts), np.int64).sum())
+    print(f"  [frame {idx}] render+wait: {dt*1e3:.0f} ms  "
+          f"({mrays_per_sec(nrays, dt):.1f} Mrays/s, {nrays} rays exact)")
+    with timer.stage("encode"):
+        write_png(png, img)
+        if args.save_ppm:
+            write_ppm(png[:-4] + ".ppm", img)
+    print(f"Saved {png}")
+
+
 def run(args) -> int:
     from dsrt_tpu.exec_opts import OPTS
     OPTS.block_h = args.block_h
@@ -168,6 +190,7 @@ def run(args) -> int:
 
     total_start = time.perf_counter()
     rendered = 0
+    pending = None  # in-flight frame when the pipeline is active
     for i, pose in enumerate(poses):
         if i < args.start_frame:
             continue
@@ -197,6 +220,7 @@ def run(args) -> int:
             jax.profiler.start_trace(args.profile)
         t0 = time.perf_counter()
         nrays = None  # exact in-loop count when the mode provides one
+        pending_new = None  # (device_img, device_counts) when pipelining
         if args.debug_shade:
             from dsrt_tpu.render import render_frame_debug
             img = render_frame_debug(frame_scene, cam, cfg)
@@ -218,7 +242,14 @@ def run(args) -> int:
                     mode = "wavefront"
                 else:
                     mode = "wavefront"
-            if mode == "fused":
+            if mode in ("fused", "wavefront") and not args.no_pipeline:
+                # frame pipeline: dispatch is async — encode of the
+                # PREVIOUS frame below overlaps this render on device
+                from dsrt_tpu.render import render_frame_async
+                pending_new = render_frame_async(
+                    frame_scene, cam, cfg, mode=mode,
+                    spp_batch=args.spp_batch)
+            elif mode == "fused":
                 from dsrt_tpu.render import render_frame_fused
                 img, nrays = render_frame_fused(frame_scene, cam, cfg,
                                                 with_count=True)
@@ -234,6 +265,20 @@ def run(args) -> int:
                     with_count=True)
             else:
                 img = render_frame(frame_scene, cam, cfg)
+
+        if pending_new is not None:
+            # finish the previous frame's host work while this one renders
+            if pending is not None:
+                _finish_frame(pending, timer, args)
+                rendered += 1
+            pending = (i, png, pending_new[0], pending_new[1], t0)
+            if profiling:
+                import jax
+                np.asarray(jax.device_get(pending_new[0]))
+                jax.profiler.stop_trace()
+                print(f"  profiler trace written to {args.profile}")
+            continue
+
         dt = time.perf_counter() - t0
         if profiling:
             import jax
@@ -254,6 +299,10 @@ def run(args) -> int:
             if args.save_ppm:
                 write_ppm(png[:-4] + ".ppm", img)
         print(f"Saved {png}")
+        rendered += 1
+
+    if pending is not None:
+        _finish_frame(pending, timer, args)
         rendered += 1
 
     total = time.perf_counter() - total_start

@@ -442,3 +442,35 @@ def _render_debug(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
     chans = [tonemap(accum.x), tonemap(accum.y), tonemap(accum.z)]
     padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
     return padded[:cfg.height, :cfg.width][::-1]
+
+
+def render_frame_async(scene, cam: Camera, cfg: RenderConfig,
+                       mode: str = "fused", spp_batch: int = 8):
+    """Dispatch one frame WITHOUT materializing it: returns
+    (device_img, device_counts_or_None).  JAX dispatch is asynchronous, so
+    the caller can overlap host work (PNG encode of the previous frame,
+    pose transforms) with the device render — the frame-pipeline overlap
+    SURVEY.md §2.6 lists as the PP analogue (the reference's frame loop is
+    fully serial, src/main.cpp:310-431).  Materialize with
+    np.asarray(jax.device_get(img))."""
+    px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
+    if mode == "fused":
+        img, nrays = _render_fused(scene, cam, jnp.asarray(px),
+                                   jnp.asarray(py), jnp.asarray(valid),
+                                   cfg, ty, tx)
+        return img, nrays
+    # wavefront
+    spp = cfg.resolved_spp()
+    batch = spp_batch
+    while spp % batch != 0:
+        batch //= 2
+    batch = max(batch, 1)
+    k = px.shape[0]
+    pxb = jnp.tile(jnp.asarray(px), (batch, 1))
+    pyb = jnp.tile(jnp.asarray(py), (batch, 1))
+    validb = jnp.tile(jnp.asarray(valid), (batch, 1))
+    slot = jnp.repeat(jnp.arange(batch, dtype=jnp.uint32), k)[:, None]
+    slot = jnp.broadcast_to(slot, pxb.shape)
+    img, nrays = _render_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
+                                   ty, tx, batch, True)
+    return img, nrays
