@@ -62,6 +62,10 @@ def build_parser() -> argparse.ArgumentParser:
     # scene source
     p.add_argument("--obj", default="", help="OBJ mesh path (model frame)")
     p.add_argument("--scale", type=float, default=1.0)
+    p.add_argument("--smooth", action="store_true",
+                   help="honor OBJ vn normals (smooth shading; the "
+                        "reference parses and discards vn, "
+                        "triangle_mesh.h:227-234 — default stays flat)")
     p.add_argument("--standin_detail", type=int, default=2,
                    help="procedural ISS stand-in detail when no --obj")
     p.add_argument("--bvh", choices=["median", "sah"], default="sah")
@@ -99,6 +103,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sample-parallel axis size (must divide devices & spp)")
     # frame control
     p.add_argument("--start_frame", type=int, default=0)
+    p.add_argument("--hosts", type=int, default=1,
+                   help="multi-host frame distribution: total host count "
+                        "(frames are independent, so hosts round-robin "
+                        "over DCN with no collectives — SURVEY.md §2.6)")
+    p.add_argument("--host_id", type=int, default=0,
+                   help="this host's index in [0, --hosts)")
     p.add_argument("--resume", action="store_true",
                    help="skip frames whose PNG already exists")
     p.add_argument("--wipe", action="store_true",
@@ -120,7 +130,8 @@ def build_scene(args, timer: StageTimer):
         if args.obj:
             from dsrt_tpu.models.obj import load_obj
             fallback = Material.lambertian((0.73, 0.73, 0.73))
-            mesh = load_obj(args.obj, fallback, args.scale)
+            mesh = load_obj(args.obj, fallback, args.scale,
+                            smooth=args.smooth)
         else:
             from dsrt_tpu.models.mesh_gen import iss_standin_mesh
             mesh = iss_standin_mesh(args.standin_detail)
@@ -194,6 +205,8 @@ def run(args) -> int:
     for i, pose in enumerate(poses):
         if i < args.start_frame:
             continue
+        if args.hosts > 1 and i % args.hosts != args.host_id:
+            continue  # another host renders this frame
         png = os.path.join(args.output_dir, f"frame_{i:04d}.png")
         if args.resume and os.path.exists(png):
             continue

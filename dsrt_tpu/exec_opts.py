@@ -44,6 +44,10 @@ def use_pallas(scene) -> bool:
 
     if OPTS.pallas == "off":
         return False
+    if getattr(scene, "has_smooth", False):
+        # the Pallas kernels shade with the stored flat normal; smooth
+        # (vn) scenes need the interpolating XLA traversal
+        return False
     if OPTS.pallas == "on":
         return True
     return (scene.n_tris > 0

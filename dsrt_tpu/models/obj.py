@@ -45,6 +45,11 @@ class MeshData:
     uv2: np.ndarray
     materials: List[Material]
     tex_paths: List[str]
+    # per-vertex shading normals (smooth shading opt-in); None = flat
+    # (the reference ignores `vn`, triangle_mesh.h:227-234 — flat is parity)
+    n0: Optional[np.ndarray] = None
+    n1: Optional[np.ndarray] = None
+    n2: Optional[np.ndarray] = None
 
     @property
     def num_triangles(self) -> int:
@@ -107,20 +112,27 @@ def _parse_face_token(tok: str):
 
 
 def load_obj(path: str, fallback: Optional[Material] = None,
-             scale: float = 1.0) -> MeshData:
+             scale: float = 1.0, smooth: bool = False) -> MeshData:
+    """smooth=True honors `vn` per-corner normal indices (standard OBJ
+    smooth shading) — an opt-in EXTENSION; the reference parses and
+    discards them (triangle_mesh.h:227-234), so the default stays flat."""
     fallback = fallback or DEFAULT_MATERIAL
     base_dir = os.path.dirname(path)
 
     verts: List[np.ndarray] = []
     uvs: List[np.ndarray] = []
+    norms: List[np.ndarray] = []
     mtl: Dict[str, MtlProps] = {}
     mat_cache: Dict[str, Material] = {}
     cur_mtl = ""
 
     tv0, tv1, tv2 = [], [], []
     tu0, tu1, tu2 = [], [], []
+    tn0, tn1, tn2 = [], [], []
+    any_vn = False
     tri_mats: List[Material] = []
     tri_tex: List[str] = []
+    zero3 = np.zeros(3, np.float32)
 
     def resolve(idx: int, n: int) -> int:
         """1-based; negative = relative from end (extension)."""
@@ -151,6 +163,14 @@ def load_obj(path: str, fallback: Optional[Material] = None,
                                          1.0 - float(parts[2])], np.float32))
                 except ValueError:
                     pass
+            elif smooth and tag == "vn" and len(parts) >= 4:
+                try:
+                    n = np.array([float(parts[1]), float(parts[2]),
+                                  float(parts[3])], np.float32)
+                    ln = float(np.linalg.norm(n))
+                    norms.append(n / ln if ln > 0 else n)
+                except ValueError:
+                    pass
             elif tag == "f" and len(parts) >= 4:
                 toks = parts[1:]
                 use_mat = fallback
@@ -161,7 +181,7 @@ def load_obj(path: str, fallback: Optional[Material] = None,
                         use_mat = material_from_mtl(mtl[cur_mtl], base_dir)
                         mat_cache[cur_mtl] = use_mat
 
-                i0, it0, _ = _parse_face_token(toks[0])
+                i0, it0, in0 = _parse_face_token(toks[0])
                 if i0 == 0:
                     continue
                 vi0 = resolve(i0, len(verts))
@@ -172,13 +192,21 @@ def load_obj(path: str, fallback: Optional[Material] = None,
                        if it0 != 0 and 0 <= resolve(it0, len(uvs)) < len(uvs)
                        else np.zeros(2, np.float32))
 
+                def vnorm(ix):
+                    if not smooth or ix == 0:
+                        return zero3
+                    r = resolve(ix, len(norms))
+                    return norms[r] if 0 <= r < len(norms) else zero3
+
+                n0 = vnorm(in0)
+
                 tex_path = ""
                 if cur_mtl and cur_mtl in mtl and mtl[cur_mtl].map_Kd:
                     tex_path = os.path.join(base_dir, mtl[cur_mtl].map_Kd)
 
                 for k in range(1, len(toks) - 1):
-                    i1, it1, _ = _parse_face_token(toks[k])
-                    i2, it2, _ = _parse_face_token(toks[k + 1])
+                    i1, it1, in1 = _parse_face_token(toks[k])
+                    i2, it2, in2 = _parse_face_token(toks[k + 1])
                     if i1 == 0 or i2 == 0:
                         continue
                     vi1 = resolve(i1, len(verts))
@@ -195,12 +223,21 @@ def load_obj(path: str, fallback: Optional[Material] = None,
                     tu2.append(uvs[resolve(it2, len(uvs))]
                                if it2 != 0 and 0 <= resolve(it2, len(uvs)) < len(uvs)
                                else np.zeros(2, np.float32))
+                    if smooth:
+                        n1v, n2v = vnorm(in1), vnorm(in2)
+                        any_vn = any_vn or (n0 is not zero3
+                                            or n1v is not zero3
+                                            or n2v is not zero3)
+                        tn0.append(n0)
+                        tn1.append(n1v)
+                        tn2.append(n2v)
                     tri_mats.append(use_mat)
                     tri_tex.append(tex_path)
 
     n = len(tv0)
     shape3 = (n, 3) if n else (0, 3)
     shape2 = (n, 2) if n else (0, 2)
+    use_vn = smooth and any_vn
     return MeshData(
         v0=np.asarray(tv0, np.float32).reshape(shape3),
         v1=np.asarray(tv1, np.float32).reshape(shape3),
@@ -208,4 +245,7 @@ def load_obj(path: str, fallback: Optional[Material] = None,
         uv0=np.asarray(tu0, np.float32).reshape(shape2),
         uv1=np.asarray(tu1, np.float32).reshape(shape2),
         uv2=np.asarray(tu2, np.float32).reshape(shape2),
-        materials=tri_mats, tex_paths=tri_tex)
+        materials=tri_mats, tex_paths=tri_tex,
+        n0=np.asarray(tn0, np.float32).reshape(shape3) if use_vn else None,
+        n1=np.asarray(tn1, np.float32).reshape(shape3) if use_vn else None,
+        n2=np.asarray(tn2, np.float32).reshape(shape3) if use_vn else None)

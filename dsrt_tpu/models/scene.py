@@ -162,7 +162,7 @@ def _i32(a):
              "n_tris", "n_spheres", "n_quads", "n_nodes", "n_lights",
              "n_media",
              "max_leaf", "n_textures", "sun_enabled", "has_image_tex",
-             "has_ptex", "seed",
+             "has_ptex", "has_smooth", "seed",
          ])
 @dataclasses.dataclass(frozen=True)
 class Scene:
@@ -273,6 +273,9 @@ class Scene:
     sun_enabled: bool
     has_image_tex: bool
     has_ptex: bool
+    # per-vertex (vn) shading normals present: smooth shading runs on the
+    # interpolating XLA path (the Pallas kernels shade with flat normals)
+    has_smooth: bool
     seed: int
 
 
@@ -286,6 +289,10 @@ class _MeshEntry:
     uv2: np.ndarray
     materials: List[Material]       # per-triangle material object
     tex_paths: List[str]            # per-triangle map_Kd path ("" if none)
+    # optional per-vertex shading normals (smooth opt-in); None = flat
+    n0: Optional[np.ndarray] = None
+    n1: Optional[np.ndarray] = None
+    n2: Optional[np.ndarray] = None
 
 
 class SceneBuilder:
@@ -338,6 +345,9 @@ class SceneBuilder:
         Applied rotate-then-translate, like nesting translate(rotate_y(o)).
         """
         v0, v1, v2 = mesh.v0, mesh.v1, mesh.v2
+        n0 = getattr(mesh, "n0", None)
+        n1 = getattr(mesh, "n1", None)
+        n2 = getattr(mesh, "n2", None)
         if rotate_y_deg:
             t = np.deg2rad(float(rotate_y_deg))
             c, s = np.cos(t), np.sin(t)
@@ -346,6 +356,10 @@ class SceneBuilder:
             v0 = (v0.astype(np.float64) @ R.T).astype(np.float32)
             v1 = (v1.astype(np.float64) @ R.T).astype(np.float32)
             v2 = (v2.astype(np.float64) @ R.T).astype(np.float32)
+            if n0 is not None:
+                n0 = (n0.astype(np.float64) @ R.T).astype(np.float32)
+                n1 = (n1.astype(np.float64) @ R.T).astype(np.float32)
+                n2 = (n2.astype(np.float64) @ R.T).astype(np.float32)
         if translate is not None:
             off = np.asarray(translate, np.float32)
             v0 = v0 + off
@@ -355,9 +369,12 @@ class SceneBuilder:
         if flip_face:
             v1, v2 = v2, v1
             uv1, uv2 = uv2, uv1
+            if n0 is not None:
+                n0, n1, n2 = -n0, -n2, -n1
         self._meshes.append(_MeshEntry(
             v0, v1, v2, uv0, uv1, uv2,
-            list(mesh.materials), list(mesh.tex_paths)))
+            list(mesh.materials), list(mesh.tex_paths), n0=n0, n1=n1,
+            n2=n2))
 
     def add_quad(self, q, u, v, material: Material,
                  flip_face: bool = False) -> None:
@@ -427,9 +444,13 @@ class SceneBuilder:
 
         # --- triangles
         tv0, tv1, tv2, tuv0, tuv1, tuv2 = [], [], [], [], [], []
+        tn0, tn1, tn2 = [], [], []
         tmat, ttex = [], []
+        has_smooth = False
+        zero3 = np.zeros(3, np.float32)
         textured_mat_ids = set()
         for mesh in self._meshes:
+            mn0 = getattr(mesh, "n0", None)
             for i in range(len(mesh.v0)):
                 mid = upsert(mesh.materials[i])
                 path = mesh.tex_paths[i] if i < len(mesh.tex_paths) else ""
@@ -441,6 +462,12 @@ class SceneBuilder:
                 tv0.append(mesh.v0[i]); tv1.append(mesh.v1[i]); tv2.append(mesh.v2[i])
                 tuv0.append(mesh.uv0[i][:2]); tuv1.append(mesh.uv1[i][:2])
                 tuv2.append(mesh.uv2[i][:2])
+                if mn0 is not None:
+                    tn0.append(mesh.n0[i]); tn1.append(mesh.n1[i])
+                    tn2.append(mesh.n2[i])
+                    has_smooth = True
+                else:
+                    tn0.append(zero3); tn1.append(zero3); tn2.append(zero3)
                 tmat.append(mid); ttex.append(tex_id)
 
         n_tris = len(tv0)
@@ -458,8 +485,25 @@ class SceneBuilder:
             uv2 = np.asarray(tuv2, np.float32)
             tri_mat = np.asarray(tmat, np.int32)
             tri_tex = np.asarray(ttex, np.int32)
+            if has_smooth:
+                # smooth opt-in: per-vertex vn where supplied, flat where a
+                # corner had none (zero vector marks 'absent')
+                sn0 = np.asarray(tn0, np.float32)
+                sn1 = np.asarray(tn1, np.float32)
+                sn2 = np.asarray(tn2, np.float32)
+                miss = (np.linalg.norm(sn0, axis=1, keepdims=True) < 1e-6)
+                vn0 = np.where(miss, fn, sn0).astype(np.float32)
+                vn1 = np.where(
+                    np.linalg.norm(sn1, axis=1, keepdims=True) < 1e-6,
+                    fn, sn1).astype(np.float32)
+                vn2 = np.where(
+                    np.linalg.norm(sn2, axis=1, keepdims=True) < 1e-6,
+                    fn, sn2).astype(np.float32)
+            else:
+                vn0 = vn1 = vn2 = fn
         else:
             v0 = v1 = v2 = fn = np.zeros((1, 3), np.float32)
+            vn0 = vn1 = vn2 = fn
             uv0 = uv1 = uv2 = np.zeros((1, 2), np.float32)
             tri_mat = np.zeros(1, np.int32)
             tri_tex = -np.ones(1, np.int32)
@@ -472,6 +516,7 @@ class SceneBuilder:
             # indirection of gpu_scene.h tri_indices, pre-applied)
             perm = bvh.tri_indices
             v0, v1, v2, fn = v0[perm], v1[perm], v2[perm], fn[perm]
+            vn0, vn1, vn2 = vn0[perm], vn1[perm], vn2[perm]
             uv0, uv1, uv2 = uv0[perm], uv1[perm], uv2[perm]
             tri_mat, tri_tex = tri_mat[perm], tri_tex[perm]
             tri_indices = np.arange(n_tris, dtype=np.int32)
@@ -597,7 +642,7 @@ class SceneBuilder:
 
         return Scene(
             tri_v0=_f32(v0), tri_v1=_f32(v1), tri_v2=_f32(v2),
-            tri_n0=_f32(fn), tri_n1=_f32(fn), tri_n2=_f32(fn),
+            tri_n0=_f32(vn0), tri_n1=_f32(vn1), tri_n2=_f32(vn2),
             tri_uv0=_f32(uv0), tri_uv1=_f32(uv1), tri_uv2=_f32(uv2),
             tri_mat=_i32(tri_mat), tri_tex=_i32(tri_tex),
             bvh_min=_f32(bvh.bbox_min), bvh_max=_f32(bvh.bbox_max),
@@ -635,5 +680,6 @@ class SceneBuilder:
             sun_enabled=bool(self.sun_enabled),
             has_image_tex=bool(n_tex > 0),
             has_ptex=bool((mat_ptk != 0).any()),
+            has_smooth=bool(has_smooth),
             seed=int(self.seed),
         )

@@ -64,6 +64,7 @@ def fused_supported(scene, cfg) -> bool:
             and scene.n_quads == 0
             and scene.n_media == 0 and scene.n_lights == 0
             and not scene.has_image_tex and not scene.has_ptex
+            and not scene.has_smooth
             and cfg.aperture == 0.0
             and fits_vmem_packed(scene) and backend_is_tpu())
 

@@ -40,9 +40,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--moon_centered", action="store_true",
                    help="skip the Sun-centered shift (debug)")
     p.add_argument("--sun_view", action="store_true",
-                   help="matplotlib 3D Sun-view animation")
+                   help="matplotlib 3D Sun-view plot (+ --animate for the "
+                        "reference's FuncAnimation, saved as GIF)")
     p.add_argument("--moon_view", action="store_true",
                    help="matplotlib Moon-centered orbit plot")
+    p.add_argument("--animate", action="store_true",
+                   help="save the sun view as an animated GIF "
+                        "(lunar_polar_orbit_sim.py:445-579 FuncAnimation)")
     p.add_argument("--jax", action="store_true",
                    help="vmapped JAX Kepler solve instead of NumPy")
     return p
@@ -82,10 +86,32 @@ def main(argv=None) -> int:
                                   R * np.outer(np.ones_like(u), np.cos(v)),
                                   alpha=0.2)
             ax.legend()
-            out = os.path.splitext(args.txt)[0] + (
-                "_sun_view.png" if args.sun_view else "_moon_view.png")
-            fig.savefig(out, dpi=110)
-            print(f"[+] view saved to {out}")
+            if args.sun_view and args.animate:
+                # the reference's FuncAnimation sun view
+                # (lunar_polar_orbit_sim.py:445-579), saved headlessly
+                from matplotlib.animation import FuncAnimation, PillowWriter
+                import numpy as np
+                step = max(1, len(r_chs) // 120)  # <= ~120 frames
+                pts = r_chs[::step]
+                dot = ax.plot([pts[0, 0]], [pts[0, 1]], [pts[0, 2]], "o",
+                              c="tab:orange", label="chaser (t)")[0]
+
+                def update(k):
+                    dot.set_data([pts[k, 0]], [pts[k, 1]])
+                    dot.set_3d_properties([pts[k, 2]])
+                    ax.set_title(f"t = {t[::step][k]:.1f} s")
+                    return (dot,)
+
+                anim = FuncAnimation(fig, update, frames=len(pts),
+                                     interval=50, blit=False)
+                out = os.path.splitext(args.txt)[0] + "_sun_view.gif"
+                anim.save(out, writer=PillowWriter(fps=20))
+                print(f"[+] animation saved to {out}")
+            else:
+                out = os.path.splitext(args.txt)[0] + (
+                    "_sun_view.png" if args.sun_view else "_moon_view.png")
+                fig.savefig(out, dpi=110)
+                print(f"[+] view saved to {out}")
         except Exception as e:
             print(f"view unavailable: {e}", file=sys.stderr)
     return 0
