@@ -304,7 +304,7 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
                 v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
                 ok = ok & (v >= 0.0) & (u + v <= 1.0)
                 t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                ok = ok & (t >= tmin_f) & (t <= closest) & act & (i < cnt)
+                ok = ok & (t >= tmin_f) & (t <= closest) & act
                 closest = jnp.where(ok, t, closest)
                 bm = jnp.where(ok, mat_f.astype(jnp.int32), bm)
                 bnx = jnp.where(ok, fnx, bnx)
@@ -312,9 +312,11 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
                 bnz = jnp.where(ok, fnz, bnz)
                 return closest, bm, bnx, bny, bnz
 
+            # dynamic bound: SAH leaves average < max_leaf triangles, so
+            # iterating the actual count beats max_leaf masked slots
             closest, bm, bnx, bny, bnz = lax.cond(
                 enter & is_leaf,
-                lambda a: lax.fori_loop(0, max_leaf, leaf_body, a),
+                lambda a: lax.fori_loop(0, cnt, leaf_body, a),
                 lambda a: a, (closest, bm, bnx, bny, bnz))
 
             descend = enter & jnp.logical_not(is_leaf)
@@ -394,14 +396,14 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
                 v = (sdx * qvx + sdy * qvy + sdz * qvz) * inv_det
                 ok = ok & (v >= 0.0) & (u + v <= 1.0)
                 t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                ok = ok & (t >= tmin_f) & (t <= sc) & (i < cnt)
+                ok = ok & (t >= tmin_f) & (t <= sc)
                 sc = jnp.where(ok, tmin_f, sc)  # any-hit collapse
                 blocked = jnp.where(ok, 1.0, blocked)
                 return sc, blocked
 
             sc, blocked = lax.cond(
                 enter & is_leaf,
-                lambda a: lax.fori_loop(0, max_leaf, leaf_body, a),
+                lambda a: lax.fori_loop(0, cnt, leaf_body, a),
                 lambda a: a, (sc, blocked))
 
             descend = enter & jnp.logical_not(is_leaf)

@@ -224,11 +224,11 @@ def _kernel_common(box_ref, tri_ref, thr_ref, sun_ref, ox_ref, oy_ref,
                           jnp.where(ok, sgn * gz, bn[2]))
                 return closest, bt, bu, bv, bi, bn
 
-            return lax.cond(i < cnt, hit_tri, lambda a: a,
-                            (closest, bt, bu, bv, bi, bn))
+            return hit_tri((closest, bt, bu, bv, bi, bn))
 
         def do_leaf(args):
-            return lax.fori_loop(0, max_leaf, leaf_body, args)
+            # dynamic bound: SAH leaves average < max_leaf triangles
+            return lax.fori_loop(0, cnt, leaf_body, args)
 
         closest, bt, bu, bv, bi, bn = lax.cond(
             enter & is_leaf, do_leaf, lambda a: a,
@@ -328,11 +328,11 @@ def _kernel_common(box_ref, tri_ref, thr_ref, sun_ref, ox_ref, oy_ref,
                     blocked = jnp.where(ok, 1.0, blocked)
                     return sc, blocked
 
-                return lax.cond(i < cnt, hit_tri, lambda a: a, (sc, blocked))
+                return hit_tri((sc, blocked))
 
             sc, blocked = lax.cond(
                 enter & is_leaf,
-                lambda a: lax.fori_loop(0, max_leaf, leaf_body, a),
+                lambda a: lax.fori_loop(0, cnt, leaf_body, a),
                 lambda a: a, (sc, blocked))
 
             descend = enter & jnp.logical_not(is_leaf)
