@@ -28,6 +28,13 @@ class ExecOptions:
     # amortize the per-grid-step pipeline overhead at the cost of a larger
     # traversal union per block; 32 measured best on v5e for the ISS scene.
     block_h: int = 32
+    # Front-to-back (per-octant thread table) descent in the fused kernel;
+    # False = canonical preorder skip pointers.  Measured net-neutral on
+    # the ISS scene (the two thread-pointer mask-reduces per visit cost
+    # about what the early-out saves); canonical is marginally faster so
+    # it is the default.  The thread tables stay in the scene schema for
+    # scenes where ordering wins (hit-dominated close-ups).
+    ordered: bool = False
     # Sort rays by direction octant before the split-pipeline traversal
     # kernel.  Off by default: XLA's gather/scatter lowering makes the
     # global reorder cost (~25 ms/wave at 1.6M lanes) exceed the

@@ -170,7 +170,7 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
                  *, n_nodes: int, max_leaf: int, n_mats: int,
                  max_depth: int, width: int, height: int, seed: int,
                  rr_start: int, rr_max_p: float, t_min: float, t_max: float,
-                 sun_on: bool, packed: bool):
+                 sun_on: bool, packed: bool, ordered: bool = True):
     pxf = px_ref[...].astype(jnp.float32)
     pyf = py_ref[...].astype(jnp.float32)
     valid = valid_ref[...] > 0
@@ -232,15 +232,18 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
         inv_dx = 1.0 / dx
         inv_dy = 1.0 / dy
         inv_dz = 1.0 / dz
-        actf = jnp.where(act, 1.0, 0.0)
-        half = 0.5 * jnp.maximum(jnp.sum(actf), 1.0)
-        bx = jnp.sum(jnp.where(act & (dx < 0.0), 1.0, 0.0)) > half
-        by = jnp.sum(jnp.where(act & (dy < 0.0), 1.0, 0.0)) > half
-        bz = jnp.sum(jnp.where(act & (dz < 0.0), 1.0, 0.0)) > half
-        octant = (bx.astype(jnp.int32) + 2 * by.astype(jnp.int32)
-                  + 4 * bz.astype(jnp.int32))
-        ent_lane = 2 * octant
-        skp_lane = ent_lane + 1
+        if ordered:
+            actf = jnp.where(act, 1.0, 0.0)
+            half = 0.5 * jnp.maximum(jnp.sum(actf), 1.0)
+            bx = jnp.sum(jnp.where(act & (dx < 0.0), 1.0, 0.0)) > half
+            by = jnp.sum(jnp.where(act & (dy < 0.0), 1.0, 0.0)) > half
+            bz = jnp.sum(jnp.where(act & (dz < 0.0), 1.0, 0.0)) > half
+            octant = (bx.astype(jnp.int32) + 2 * by.astype(jnp.int32)
+                      + 4 * bz.astype(jnp.int32))
+            ent_lane = 2 * octant
+            skp_lane = ent_lane + 1
+        else:
+            ent_lane = skp_lane = None
 
         node0 = jnp.where(jnp.any(act), jnp.int32(0), jnp.int32(n_nodes))
 
@@ -249,10 +252,18 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
 
         def body(c):
             node, closest, bm, bnx, bny, bnz = c
-            (minx, miny, minz, maxx, maxy, maxz, off_f,
-             cnt_f) = _load_many(box_ref, node, (0, 1, 2, 3, 4, 5, 7, 8),
-                                 packed)
-            enter_n, skip = _load_thread(node, ent_lane, skp_lane)
+            if ordered:
+                (minx, miny, minz, maxx, maxy, maxz, off_f,
+                 cnt_f) = _load_many(box_ref, node,
+                                     (0, 1, 2, 3, 4, 5, 7, 8), packed)
+                enter_n, skip = _load_thread(node, ent_lane, skp_lane)
+            else:
+                # canonical preorder: skip pointer from the node row, no
+                # thread-table reduces (A/B knob exec_opts.OPTS.ordered)
+                (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
+                 cnt_f) = _load_many(box_ref, node, range(9), packed)
+                skip = skip_f.astype(jnp.int32)
+                enter_n = node + 1
             off = off_f.astype(jnp.int32)
             cnt = cnt_f.astype(jnp.int32)
 
@@ -350,10 +361,16 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
 
         def body(c):
             node, sc, blocked = c
-            (minx, miny, minz, maxx, maxy, maxz, off_f,
-             cnt_f) = _load_many(box_ref, node, (0, 1, 2, 3, 4, 5, 7, 8),
-                                 packed)
-            enter_n, skip = _load_thread(node, ent_lane, skp_lane)
+            if ordered:
+                (minx, miny, minz, maxx, maxy, maxz, off_f,
+                 cnt_f) = _load_many(box_ref, node,
+                                     (0, 1, 2, 3, 4, 5, 7, 8), packed)
+                enter_n, skip = _load_thread(node, ent_lane, skp_lane)
+            else:
+                (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
+                 cnt_f) = _load_many(box_ref, node, range(9), packed)
+                skip = skip_f.astype(jnp.int32)
+                enter_n = node + 1
             off = off_f.astype(jnp.int32)
             cnt = cnt_f.astype(jnp.int32)
 
@@ -625,18 +642,20 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
 @partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "n_mats",
                                    "max_depth", "width", "height", "seed",
                                    "rr_start", "rr_max_p", "t_min", "t_max",
-                                   "sun_on", "packed", "k", "block_h"))
+                                   "sun_on", "packed", "k", "block_h",
+                                   "ordered"))
 def _run_path(box_tab, tri_tab, thr_tab, mat_pack, cam_vec, sun_vec, spp_vec,
               px, py, valid,
               n_nodes: int, max_leaf: int, n_mats: int,
               max_depth: int, width: int, height: int, seed: int,
               rr_start: int, rr_max_p: float, t_min: float, t_max: float,
-              sun_on: bool, packed: bool, k: int, block_h: int):
+              sun_on: bool, packed: bool, k: int, block_h: int,
+              ordered: bool = True):
     kern = partial(_path_kernel, n_nodes=n_nodes, max_leaf=max_leaf,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
                    rr_max_p=rr_max_p, t_min=t_min, t_max=t_max,
-                   sun_on=sun_on, packed=packed)
+                   sun_on=sun_on, packed=packed, ordered=ordered)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -712,7 +731,7 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         height=cam.height, seed=scene.seed, rr_start=cfg.rr_start_depth,
         rr_max_p=float(cfg.rr_max_p), t_min=float(cfg.hit_eps),
         t_max=float(cfg.hit_tmax), sun_on=bool(scene.sun_enabled),
-        packed=packed, k=Kp, block_h=block_h)
+        packed=packed, k=Kp, block_h=block_h, ordered=bool(_OPTS.ordered))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]
