@@ -35,6 +35,12 @@ class ExecOptions:
     # it is the default.  The thread tables stay in the scene schema for
     # scenes where ordering wins (hit-dominated close-ups).
     ordered: bool = False
+    # Independent traversal cursors per fused-kernel block (one per
+    # (8,128) row group).  Measured on v5e: the traversal loop is bound by
+    # the per-iteration serial chain (~300 ns: scalar loads + any() reduce
+    # + branch), and Mosaic does NOT overlap multiple cursor chains in one
+    # body — so 1 is fastest; the knob remains for future hardware.
+    cursors: int = 1
     # Sort rays by direction octant before the split-pipeline traversal
     # kernel.  Off by default: XLA's gather/scatter lowering makes the
     # global reorder cost (~25 ms/wave at 1.6M lanes) exceed the

@@ -226,211 +226,305 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
         skp = jnp.sum(jnp.where(lane == base + skp_lane, row, 0.0))
         return ent.astype(jnp.int32), skp.astype(jnp.int32)
 
+    # Number of independent traversal cursors per kernel block: one per
+    # (8, 128) row group.  The traversal loop is LATENCY-bound, not
+    # throughput-bound (measured: frame time is invariant to block_h while
+    # vector work varies 4x): each visit's scalar loads -> slab test ->
+    # any() reduce -> next-node select is one serial dependency chain
+    # through the loop-carried cursor.  G independent cursors interleave G
+    # chains in one loop body so the VLIW scheduler overlaps them, and
+    # each cursor's (8,128) sub-block traverses only its OWN node-set
+    # union (tighter than the whole block's).
+    n_groups = max(1, min(shape[0] // 8, int(_OPTS.cursors)))
+    g_rows = shape[0] // n_groups
+
+    def _grp(a, g):
+        return a[g * g_rows:(g + 1) * g_rows, :]
+
+    def _slab(lo_t, hi_t, minv, maxv, o, inv):
+        t0 = (minv - o) * inv
+        t1 = (maxv - o) * inv
+        return (jnp.maximum(lo_t, jnp.minimum(t0, t1)),
+                jnp.minimum(hi_t, jnp.maximum(t0, t1)))
+
     def _closest_hit(ox, oy, oz, dx, dy, dz, act):
-        """Ordered-descent closest hit.  Returns (hitmask f32, t, mat i32,
-        n(3) face-flipped, front f32)."""
+        """Multi-cursor closest hit.  Returns (hitmask f32, t, mat i32,
+        n(3) face-flipped, front f32, cursor-visit count, tri-test count).
+
+        The loop body is phased so the G cursors' serial dependency
+        chains interleave: phase A computes every group's node fetch +
+        slab test + any() reduce branch-free (the VLIW scheduler overlaps
+        the G independent chains), phase B takes the rare per-group leaf
+        branch (cond + dynamic-count Moller-Trumbore loop, ~quarter of
+        visits), phase C advances the cursors."""
         inv_dx = 1.0 / dx
         inv_dy = 1.0 / dy
         inv_dz = 1.0 / dz
-        if ordered:
-            actf = jnp.where(act, 1.0, 0.0)
-            half = 0.5 * jnp.maximum(jnp.sum(actf), 1.0)
-            bx = jnp.sum(jnp.where(act & (dx < 0.0), 1.0, 0.0)) > half
-            by = jnp.sum(jnp.where(act & (dy < 0.0), 1.0, 0.0)) > half
-            bz = jnp.sum(jnp.where(act & (dz < 0.0), 1.0, 0.0)) > half
-            octant = (bx.astype(jnp.int32) + 2 * by.astype(jnp.int32)
-                      + 4 * bz.astype(jnp.int32))
-            ent_lane = 2 * octant
-            skp_lane = ent_lane + 1
-        else:
-            ent_lane = skp_lane = None
 
-        node0 = jnp.where(jnp.any(act), jnp.int32(0), jnp.int32(n_nodes))
+        g_state, g_lanes = [], []
+        for g in range(n_groups):
+            act_g = _grp(act, g)
+            if ordered:
+                dgx, dgy, dgz = _grp(dx, g), _grp(dy, g), _grp(dz, g)
+                actf = jnp.where(act_g, 1.0, 0.0)
+                half = 0.5 * jnp.maximum(jnp.sum(actf), 1.0)
+                bx = jnp.sum(jnp.where(act_g & (dgx < 0.0), 1.0, 0.0)) > half
+                by = jnp.sum(jnp.where(act_g & (dgy < 0.0), 1.0, 0.0)) > half
+                bz = jnp.sum(jnp.where(act_g & (dgz < 0.0), 1.0, 0.0)) > half
+                octant = (bx.astype(jnp.int32) + 2 * by.astype(jnp.int32)
+                          + 4 * bz.astype(jnp.int32))
+                g_lanes.append((2 * octant, 2 * octant + 1))
+            else:
+                g_lanes.append(None)
+            gshape = (g_rows, TILE_W)
+            g_state.append((
+                jnp.where(jnp.any(act_g), jnp.int32(0), jnp.int32(n_nodes)),
+                jnp.where(act_g, tmax_f, tmin_f),        # closest
+                jnp.zeros(gshape, jnp.int32),            # best mat
+                jnp.zeros(gshape, jnp.float32),          # bn x
+                jnp.zeros(gshape, jnp.float32),          # bn y
+                jnp.zeros(gshape, jnp.float32),          # bn z
+            ))
 
         def cond(c):
-            return c[0] < n_nodes
+            states, _, _ = c
+            open_ = states[0][0] < n_nodes
+            for g in range(1, n_groups):
+                open_ = open_ | (states[g][0] < n_nodes)
+            return open_
 
         def body(c):
-            node, closest, bm, bnx, bny, bnz = c
-            if ordered:
-                (minx, miny, minz, maxx, maxy, maxz, off_f,
-                 cnt_f) = _load_many(box_ref, node,
-                                     (0, 1, 2, 3, 4, 5, 7, 8), packed)
-                enter_n, skip = _load_thread(node, ent_lane, skp_lane)
-            else:
-                # canonical preorder: skip pointer from the node row, no
-                # thread-table reduces (A/B knob exec_opts.OPTS.ordered)
-                (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
-                 cnt_f) = _load_many(box_ref, node, range(9), packed)
-                skip = skip_f.astype(jnp.int32)
-                enter_n = node + 1
-            off = off_f.astype(jnp.int32)
-            cnt = cnt_f.astype(jnp.int32)
+            states, nv, nt = c
 
-            t0 = (minx - ox) * inv_dx
-            t1 = (maxx - ox) * inv_dx
-            lo = jnp.minimum(t0, t1)
-            hi = jnp.maximum(t0, t1)
-            t0 = (miny - oy) * inv_dy
-            t1 = (maxy - oy) * inv_dy
-            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
-            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
-            t0 = (minz - oz) * inv_dz
-            t1 = (maxz - oz) * inv_dz
-            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
-            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
-            lo = jnp.maximum(lo, tmin_f)
-            hi = jnp.minimum(hi, closest)
-            boxhit = (hi > lo) & act
-            enter = jnp.any(boxhit)
-            is_leaf = cnt > 0
+            # ---- phase A: branch-free node fetch + slab + reduce -------
+            infos = []
+            for g in range(n_groups):
+                node, closest = states[g][0], states[g][1]
+                act_g = _grp(act, g)
+                live = node < n_nodes
+                nd = jnp.where(live, node, 0)
+                if ordered:
+                    (minx, miny, minz, maxx, maxy, maxz, off_f,
+                     cnt_f) = _load_many(box_ref, nd,
+                                         (0, 1, 2, 3, 4, 5, 7, 8), packed)
+                    enter_n, skip = _load_thread(nd, g_lanes[g][0],
+                                                 g_lanes[g][1])
+                else:
+                    (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
+                     cnt_f) = _load_many(box_ref, nd, range(9), packed)
+                    skip = skip_f.astype(jnp.int32)
+                    enter_n = nd + 1
+                off = off_f.astype(jnp.int32)
+                cnt = cnt_f.astype(jnp.int32)
+                ogx, ogy, ogz = _grp(ox, g), _grp(oy, g), _grp(oz, g)
+                # per-axis slabs as independent chains, merged in a tree
+                tx0 = (minx - ogx) * _grp(inv_dx, g)
+                tx1 = (maxx - ogx) * _grp(inv_dx, g)
+                ty0 = (miny - ogy) * _grp(inv_dy, g)
+                ty1 = (maxy - ogy) * _grp(inv_dy, g)
+                tz0 = (minz - ogz) * _grp(inv_dz, g)
+                tz1 = (maxz - ogz) * _grp(inv_dz, g)
+                lo = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
+                hi = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), closest))
+                boxhit = (hi > lo) & act_g & live
+                enter = jnp.any(boxhit)
+                is_leaf = cnt > 0
+                infos.append((off, cnt, enter, is_leaf, skip, enter_n,
+                              live))
 
-            def leaf_body(i, lc):
-                # unconditional masked test: loading slot `off + i` past
-                # the leaf's count is safe (same table) and `i < cnt`
-                # masks acceptance — avoids an scf.if per triangle slot.
-                # Tracks the RAW stored normal + mat; the face flip and
-                # front flag are derived once per wave after the loop, and
-                # closest doubles as best-t (no any_hit in this kernel) —
-                # two fewer loop-carried vectors and ~6 fewer ops per slot.
-                closest, bm, bnx, bny, bnz = lc
-                row = jnp.minimum(off + i, max_tri_row)
-                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, mat_f,
-                 fnx, fny, fnz) = _load_many(tri_ref, row, range(13),
-                                             packed)
-                pvx = dy * e2z - dz * e2y
-                pvy = dz * e2x - dx * e2z
-                pvz = dx * e2y - dy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                ok = jnp.abs(det) >= 1e-8
-                inv_det = 1.0 / jnp.where(ok, det, 1.0)
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                ok = ok & (u >= 0.0) & (u <= 1.0)
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                ok = ok & (v >= 0.0) & (u + v <= 1.0)
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                ok = ok & (t >= tmin_f) & (t <= closest) & act
-                closest = jnp.where(ok, t, closest)
-                bm = jnp.where(ok, mat_f.astype(jnp.int32), bm)
-                bnx = jnp.where(ok, fnx, bnx)
-                bny = jnp.where(ok, fny, bny)
-                bnz = jnp.where(ok, fnz, bnz)
-                return closest, bm, bnx, bny, bnz
+            # ---- phase B: rare leaf branches, one per group ------------
+            new_states = []
+            for g in range(n_groups):
+                node, closest, bm, bnx, bny, bnz = states[g]
+                off, cnt, enter, is_leaf, skip, enter_n, live = infos[g]
+                act_g = _grp(act, g)
+                ogx, ogy, ogz = _grp(ox, g), _grp(oy, g), _grp(oz, g)
+                dgx, dgy, dgz = _grp(dx, g), _grp(dy, g), _grp(dz, g)
 
-            # dynamic bound: SAH leaves average < max_leaf triangles, so
-            # iterating the actual count beats max_leaf masked slots
-            closest, bm, bnx, bny, bnz = lax.cond(
-                enter & is_leaf,
-                lambda a: lax.fori_loop(0, cnt, leaf_body, a),
-                lambda a: a, (closest, bm, bnx, bny, bnz))
+                def leaf_body(i, lc, off=off, act_g=act_g, ogx=ogx, ogy=ogy,
+                              ogz=ogz, dgx=dgx, dgy=dgy, dgz=dgz):
+                    closest, bm, bnx, bny, bnz = lc
+                    row = jnp.minimum(off + i, max_tri_row)
+                    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, mat_f,
+                     fnx, fny, fnz) = _load_many(tri_ref, row, range(13),
+                                                 packed)
+                    pvx = dgy * e2z - dgz * e2y
+                    pvy = dgz * e2x - dgx * e2z
+                    pvz = dgx * e2y - dgy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = jnp.abs(det) >= 1e-8
+                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    tvx = ogx - v0x
+                    tvy = ogy - v0y
+                    tvz = ogz - v0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    ok = ok & (u >= 0.0) & (u <= 1.0)
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dgx * qvx + dgy * qvy + dgz * qvz) * inv_det
+                    ok = ok & (v >= 0.0) & (u + v <= 1.0)
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    ok = ok & (t >= tmin_f) & (t <= closest) & act_g
+                    closest = jnp.where(ok, t, closest)
+                    bm = jnp.where(ok, mat_f.astype(jnp.int32), bm)
+                    bnx = jnp.where(ok, fnx, bnx)
+                    bny = jnp.where(ok, fny, bny)
+                    bnz = jnp.where(ok, fnz, bnz)
+                    return closest, bm, bnx, bny, bnz
 
-            descend = enter & jnp.logical_not(is_leaf)
-            node_next = jnp.where(descend, enter_n, skip)
-            return node_next, closest, bm, bnx, bny, bnz
+                closest, bm, bnx, bny, bnz = lax.cond(
+                    enter & is_leaf,
+                    lambda a, lb=leaf_body, cnt=cnt: lax.fori_loop(
+                        0, cnt, lb, a),
+                    lambda a: a, (closest, bm, bnx, bny, bnz))
 
-        closest0 = jnp.where(act, tmax_f, tmin_f)
-        _, closest, bm, bnx, bny, bnz = lax.while_loop(
-            cond, body, (node0, closest0, i0, f0, f0, f0))
+                # ---- phase C: cursor advance + telemetry ---------------
+                nv = nv + live.astype(jnp.int32)
+                nt = nt + jnp.where(enter & is_leaf, cnt, 0)
+                descend = enter & jnp.logical_not(is_leaf)
+                node_next = jnp.where(descend, enter_n, skip)
+                node_next = jnp.where(live, node_next, n_nodes)
+                new_states.append((node_next, closest, bm, bnx, bny, bnz))
+            return new_states, nv, nt
+
+        out_states, nv, nt = lax.while_loop(
+            cond, body, (g_state, jnp.int32(0), jnp.int32(0)))
+        closest = jnp.concatenate([s[1] for s in out_states], axis=0)
+        bm = jnp.concatenate([s[2] for s in out_states], axis=0)
+        bnx = jnp.concatenate([s[3] for s in out_states], axis=0)
+        bny = jnp.concatenate([s[4] for s in out_states], axis=0)
+        bnz = jnp.concatenate([s[5] for s in out_states], axis=0)
         hitm = jnp.where(act & (closest < tmax_f), 1.0, 0.0)
         # face flip + front flag once per wave (raw normal tracked in-loop)
         front_b = (dx * bnx + dy * bny + dz * bnz) < 0.0
         sgn = jnp.where(front_b, 1.0, -1.0)
         return (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
-                jnp.where(front_b, 1.0, 0.0))
+                jnp.where(front_b, 1.0, 0.0), nv, nt)
 
     def _sun_blocked(sox, soy, soz, pot):
         """Any-hit along the (uniform) sun direction for `pot` lanes.
         The Moller-Trumbore p-vector and determinant are per-triangle
-        scalars (direction uniform)."""
+        scalars (direction uniform).  Same phased multi-cursor structure
+        as _closest_hit; a cursor parks once all its lanes are blocked."""
         inv_sx = 1.0 / sdx
         inv_sy = 1.0 / sdy
         inv_sz = 1.0 / sdz
         ent_lane = 2 * s_oct
         skp_lane = ent_lane + 1
-        node0 = jnp.where(jnp.any(pot), jnp.int32(0), jnp.int32(n_nodes))
-        sc0 = jnp.where(pot, tmax_f, tmin_f)
+
+        g_state = []
+        for g in range(n_groups):
+            pot_g = _grp(pot, g)
+            g_state.append((
+                jnp.where(jnp.any(pot_g), jnp.int32(0), jnp.int32(n_nodes)),
+                jnp.where(pot_g, tmax_f, tmin_f),    # sc
+                jnp.zeros((g_rows, TILE_W), jnp.float32),  # blocked
+            ))
 
         def cond(c):
-            return c[0] < n_nodes
+            states, _, _ = c
+            open_ = states[0][0] < n_nodes
+            for g in range(1, n_groups):
+                open_ = open_ | (states[g][0] < n_nodes)
+            return open_
 
         def body(c):
-            node, sc, blocked = c
-            if ordered:
-                (minx, miny, minz, maxx, maxy, maxz, off_f,
-                 cnt_f) = _load_many(box_ref, node,
-                                     (0, 1, 2, 3, 4, 5, 7, 8), packed)
-                enter_n, skip = _load_thread(node, ent_lane, skp_lane)
-            else:
-                (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
-                 cnt_f) = _load_many(box_ref, node, range(9), packed)
-                skip = skip_f.astype(jnp.int32)
-                enter_n = node + 1
-            off = off_f.astype(jnp.int32)
-            cnt = cnt_f.astype(jnp.int32)
+            states, nv, nt = c
 
-            t0 = (minx - sox) * inv_sx
-            t1 = (maxx - sox) * inv_sx
-            lo = jnp.minimum(t0, t1)
-            hi = jnp.maximum(t0, t1)
-            t0 = (miny - soy) * inv_sy
-            t1 = (maxy - soy) * inv_sy
-            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
-            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
-            t0 = (minz - soz) * inv_sz
-            t1 = (maxz - soz) * inv_sz
-            lo = jnp.maximum(lo, jnp.minimum(t0, t1))
-            hi = jnp.minimum(hi, jnp.maximum(t0, t1))
-            lo = jnp.maximum(lo, tmin_f)
-            hi = jnp.minimum(hi, sc)
-            enter = jnp.any(hi > lo)
-            is_leaf = cnt > 0
+            # ---- phase A: branch-free node fetch + slab + reduce -------
+            infos = []
+            for g in range(n_groups):
+                node, sc = states[g][0], states[g][1]
+                sgx, sgy, sgz = _grp(sox, g), _grp(soy, g), _grp(soz, g)
+                live = node < n_nodes
+                nd = jnp.where(live, node, 0)
+                if ordered:
+                    (minx, miny, minz, maxx, maxy, maxz, off_f,
+                     cnt_f) = _load_many(box_ref, nd,
+                                         (0, 1, 2, 3, 4, 5, 7, 8), packed)
+                    enter_n, skip = _load_thread(nd, ent_lane, skp_lane)
+                else:
+                    (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
+                     cnt_f) = _load_many(box_ref, nd, range(9), packed)
+                    skip = skip_f.astype(jnp.int32)
+                    enter_n = nd + 1
+                off = off_f.astype(jnp.int32)
+                cnt = cnt_f.astype(jnp.int32)
+                tx0 = (minx - sgx) * inv_sx
+                tx1 = (maxx - sgx) * inv_sx
+                ty0 = (miny - sgy) * inv_sy
+                ty1 = (maxy - sgy) * inv_sy
+                tz0 = (minz - sgz) * inv_sz
+                tz1 = (maxz - sgz) * inv_sz
+                lo = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
+                hi = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), sc))
+                enter = jnp.any((hi > lo) & live)
+                is_leaf = cnt > 0
+                infos.append((off, cnt, enter, is_leaf, skip, enter_n,
+                              live))
 
-            def leaf_body(i, lc):
-                sc, blocked = lc
-                row = jnp.minimum(off + i, max_tri_row)
-                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y,
-                 e2z) = _load_many(tri_ref, row, range(9), packed)
-                pvx = sdy * e2z - sdz * e2y   # scalar
-                pvy = sdz * e2x - sdx * e2z
-                pvz = sdx * e2y - sdy * e2x
-                det = e1x * pvx + e1y * pvy + e1z * pvz
-                ok0 = jnp.abs(det) >= 1e-8
-                inv_det = 1.0 / jnp.where(ok0, det, 1.0)
-                tvx = sox - v0x
-                tvy = soy - v0y
-                tvz = soz - v0z
-                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                ok = ok0 & (u >= 0.0) & (u <= 1.0)
-                qvx = tvy * e1z - tvz * e1y
-                qvy = tvz * e1x - tvx * e1z
-                qvz = tvx * e1y - tvy * e1x
-                v = (sdx * qvx + sdy * qvy + sdz * qvz) * inv_det
-                ok = ok & (v >= 0.0) & (u + v <= 1.0)
-                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                ok = ok & (t >= tmin_f) & (t <= sc)
-                sc = jnp.where(ok, tmin_f, sc)  # any-hit collapse
-                blocked = jnp.where(ok, 1.0, blocked)
-                return sc, blocked
+            # ---- phase B: rare leaf branches -----------------------------
+            new_states = []
+            for g in range(n_groups):
+                node, sc, blocked = states[g]
+                off, cnt, enter, is_leaf, skip, enter_n, live = infos[g]
+                sgx, sgy, sgz = _grp(sox, g), _grp(soy, g), _grp(soz, g)
 
-            sc, blocked = lax.cond(
-                enter & is_leaf,
-                lambda a: lax.fori_loop(0, cnt, leaf_body, a),
-                lambda a: a, (sc, blocked))
+                def leaf_body(i, lc, off=off, sgx=sgx, sgy=sgy, sgz=sgz):
+                    sc, blocked = lc
+                    row = jnp.minimum(off + i, max_tri_row)
+                    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y,
+                     e2z) = _load_many(tri_ref, row, range(9), packed)
+                    pvx = sdy * e2z - sdz * e2y   # scalar
+                    pvy = sdz * e2x - sdx * e2z
+                    pvz = sdx * e2y - sdy * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok0 = jnp.abs(det) >= 1e-8
+                    inv_det = 1.0 / jnp.where(ok0, det, 1.0)
+                    tvx = sgx - v0x
+                    tvy = sgy - v0y
+                    tvz = sgz - v0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    ok = ok0 & (u >= 0.0) & (u <= 1.0)
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (sdx * qvx + sdy * qvy + sdz * qvz) * inv_det
+                    ok = ok & (v >= 0.0) & (u + v <= 1.0)
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    ok = ok & (t >= tmin_f) & (t <= sc)
+                    sc = jnp.where(ok, tmin_f, sc)  # any-hit collapse
+                    blocked = jnp.where(ok, 1.0, blocked)
+                    return sc, blocked
 
-            descend = enter & jnp.logical_not(is_leaf)
-            node_next = jnp.where(descend, enter_n, skip)
-            open_lanes = jnp.any(sc > tmin_f)
-            node_next = jnp.where(open_lanes, node_next, n_nodes)
-            return node_next, sc, blocked
+                sc, blocked = lax.cond(
+                    enter & is_leaf,
+                    lambda a, lb=leaf_body, cnt=cnt: lax.fori_loop(
+                        0, cnt, lb, a),
+                    lambda a: a, (sc, blocked))
 
-        _, _, blocked = lax.while_loop(cond, body, (node0, sc0, f0))
-        return blocked > 0.5
+                nv = nv + live.astype(jnp.int32)
+                nt = nt + jnp.where(enter & is_leaf, cnt, 0)
+                descend = enter & jnp.logical_not(is_leaf)
+                node_next = jnp.where(descend, enter_n, skip)
+                open_lanes = jnp.any(sc > tmin_f)
+                node_next = jnp.where(open_lanes & live, node_next, n_nodes)
+                new_states.append((node_next, sc, blocked))
+            return new_states, nv, nt
+
+        out_states, nv, nt = lax.while_loop(
+            cond, body, (g_state, jnp.int32(0), jnp.int32(0)))
+        blocked = jnp.concatenate([s[2] for s in out_states], axis=0)
+        return blocked > 0.5, nv, nt
 
     def _mat_field(bm, col):
         """Per-lane material scalar via static unroll (n_mats is tiny)."""
@@ -448,7 +542,8 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
 
     def wave_body(c):
         (acc_r, acc_g, acc_b, Lr, Lg, Lb, thr3, alive_f, state, scnt,
-         depth, ro3, rd3, nrays, _waves) = c
+         depth, ro3, rd3, nrays, _waves, stat4) = c
+        cvis, ctst, svis, stst = stat4
         thr_r, thr_g, thr_b = thr3
         rox, roy, roz = ro3
         rdx, rdy, rdz = rd3
@@ -498,8 +593,10 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
 
         # ---- 1. closest hit --------------------------------------------
         nrays = nrays + jnp.sum(jnp.where(alive, 1, 0))
-        hitm_f, bt, bm, nx, ny, nz, bfr = _closest_hit(
+        hitm_f, bt, bm, nx, ny, nz, bfr, cv_, ct_ = _closest_hit(
             rox, roy, roz, rdx, rdy, rdz, alive)
+        cvis = cvis + cv_
+        ctst = ctst + ct_
         hitm = hitm_f > 0.5
         alive = alive & hitm            # miss -> black background, dies
         px_ = rox + bt * rdx
@@ -591,7 +688,9 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
             sox = px_ + sh_bias * nx
             soy = py_ + sh_bias * ny
             soz = pz_ + sh_bias * nz
-            blocked = _sun_blocked(sox, soy, soz, pot)
+            blocked, sv_, st_ = _sun_blocked(sox, soy, soz, pot)
+            svis = svis + sv_
+            stst = stst + st_
             unb = pot & ~blocked
             pdf_b = cos_sun / jnp.float32(PI_F)
             w_sun = pdf_b / (0.5 + 0.5 * pdf_b)
@@ -627,16 +726,25 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
         return (acc_r, acc_g, acc_b, Lr, Lg, Lb,
                 (thr_r, thr_g, thr_b),
                 jnp.where(alive, 1.0, 0.0), state, scnt, depth,
-                (rox, roy, roz), (rdx, rdy, rdz), nrays, c[14] + 1)
+                (rox, roy, roz), (rdx, rdy, rdz), nrays, c[14] + 1,
+                (cvis, ctst, svis, stst))
 
     init = (f0, f0, f0, f0, f0, f0, (f1, f1, f1), f0, state0, i0, i0,
-            (f0, f0, f0), (f0, f0, f1), jnp.int32(0), jnp.int32(0))
+            (f0, f0, f0), (f0, f0, f1), jnp.int32(0), jnp.int32(0),
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
     out = lax.while_loop(wave_cond, wave_body, init)
     acc_r_ref[...] = out[0]
     acc_g_ref[...] = out[1]
     acc_b_ref[...] = out[2]
-    nray_ref[pl.program_id(0), 0] = out[13]
-    nray_ref[pl.program_id(0), 1] = out[14]
+    pid = pl.program_id(0)
+    nray_ref[pid, 0] = out[13]
+    nray_ref[pid, 1] = out[14]
+    # exact per-block traversal telemetry: closest-hit node visits / leaf
+    # triangle tests, sun-shadow node visits / tests (drives perf triage)
+    nray_ref[pid, 2] = out[15][0]
+    nray_ref[pid, 3] = out[15][1]
+    nray_ref[pid, 4] = out[15][2]
+    nray_ref[pid, 5] = out[15][3]
 
 
 @partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "n_mats",
@@ -673,7 +781,7 @@ def _run_path(box_tab, tri_tab, thr_tab, mat_pack, cam_vec, sun_vec, spp_vec,
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 2), jnp.int32),
+            jax.ShapeDtypeStruct((n_blocks, 6), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=out_shape[0] * 128 * 24,
@@ -688,7 +796,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
     Returns (accum V3 (K, P) — sum over samples of clamp01(L) — and the
     exact PER-BLOCK scene-intersection ray counts, an i32 vector to be
     summed in int64 host-side); with `return_stats` also the full
-    per-block (nrays, waves) i32 table.
+    per-block (nrays, waves, chit_visits, chit_tritests, sun_visits,
+    sun_tritests) i32 table.
     """
     K, P = px.shape
     assert P == TILE_H * TILE_W, P
