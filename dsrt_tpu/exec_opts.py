@@ -26,21 +26,15 @@ class ExecOptions:
     fused_sun: bool = False
     # Rays per Pallas grid step = block_h x 128 lanes.  Bigger blocks
     # amortize the per-grid-step pipeline overhead at the cost of a larger
-    # traversal union per block; 32 measured best on v5e for the ISS scene.
-    block_h: int = 32
-    # Front-to-back (per-octant thread table) descent in the fused kernel;
-    # False = canonical preorder skip pointers.  Measured net-neutral on
-    # the ISS scene (the two thread-pointer mask-reduces per visit cost
-    # about what the early-out saves); canonical is marginally faster so
-    # it is the default.  The thread tables stay in the scene schema for
-    # scenes where ordering wins (hit-dominated close-ups).
-    ordered: bool = False
-    # Independent traversal cursors per fused-kernel block (one per
-    # (8,128) row group).  Measured on v5e: the traversal loop is bound by
-    # the per-iteration serial chain (~300 ns: scalar loads + any() reduce
-    # + branch), and Mosaic does NOT overlap multiple cursor chains in one
-    # body — so 1 is fastest; the knob remains for future hardware.
-    cursors: int = 1
+    # traversal union per block AND more vector work per wide-BVH visit
+    # (the 8-child box test scales with rows); 16 measured best on v5e
+    # for the ISS scene with the wide traversal (38.4 vs 35.9 at 32).
+    block_h: int = 16
+    # (Removed knobs, kept as measured findings: `ordered` front-to-back
+    # thread-table descent was net-neutral vs canonical preorder on the
+    # ISS scene; `cursors` multi-cursor interleaving never overlapped in
+    # Mosaic.  Both are superseded by the wide-BVH stack traversal in
+    # ops/pallas_path.py — 8 child box tests per serial visit.)
     # Sort rays by direction octant before the split-pipeline traversal
     # kernel.  Off by default: XLA's gather/scatter lowering makes the
     # global reorder cost (~25 ms/wave at 1.6M lanes) exceed the

@@ -250,6 +250,205 @@ def _build_sah(v0, v1, v2, max_leaf: int = MAX_LEAF) -> BVH:
                indices)
 
 
+@dataclasses.dataclass
+class WideBVH:
+    """8-ary collapse of a binary BVH for the fused Pallas kernel.
+
+    `table` is f32[(arity*n_wide), 16]: wide node j's child records occupy
+    sublane rows [arity*j, arity*(j+1)); child record fields are
+    [minx,miny,minz,maxx,maxy,maxz, ptr, cnt, base, 0...] where
+
+    - cnt > 0: leaf child covering tri rows [ptr, ptr+cnt) of the packed
+      (leaf-ordered) triangle table;
+    - cnt == 0 with a valid box: interior child; its wide node index is
+      `ptr`.  All interior children of one node have CONSECUTIVE wide
+      indices, and `base` (stored on child record 0 only) is the first —
+      so the traversal kernel can compute push targets as base + rank
+      from the packed hit bits alone, no per-child pointer loads;
+    - empty slot: inverted box (min=+BIG, max=-BIG, never hit by the slab
+      test), cnt == 0, ptr == 0.
+
+    The per-child order preserves the binary tree's left-to-right
+    (preorder) order.  `collapse_wide` additionally RE-GROUPS the
+    triangle order so each wide node's leaf children cover one contiguous
+    block (`src` maps new tri rows to old; the binary BVH's leaf offsets
+    are rewritten in place) — so the kernel can scan all entered leaf
+    children of a visit as ONE [min ptr, max end) loop whose only extras
+    are this node's non-entered (small) leaf siblings, which the slab
+    test proves cannot accept a hit.
+    """
+    table: np.ndarray          # (arity*n_wide, 16) f32
+    n_wide: int
+    arity: int
+    max_leaf: int              # max tris in one wide leaf child
+    depth: int                 # max wide-tree depth (stack bound)
+    src: np.ndarray            # (N,) new-row -> old-row tri permutation
+
+    @property
+    def num_nodes(self) -> int:
+        return self.n_wide
+
+
+# Empty-slot box sentinel.  The kernel's slab test takes min/max of the
+# two per-axis plane distances, so it is SIGN-INSENSITIVE: an "inverted"
+# box (min > max) behaves like the normal box with swapped corners and
+# would hit everything.  A zero-width box (min == max) can never pass the
+# strict `hi > lo` test (lo >= t*_x and hi <= t*_x), so empty slots use
+# min = max = _WIDE_BIG, which is also far outside every real scene.
+_WIDE_BIG = np.float32(1e30)
+
+
+def collapse_wide(bvh: BVH, arity: int = 8,
+                  wide_max_leaf: int = 8) -> WideBVH:
+    """Collapse a binary preorder BVH into a WideBVH.
+
+    A wide node's children are found by repeatedly expanding (replacing
+    with its two binary children, in place) the candidate child with the
+    largest subtree triangle count, until `arity` slots are used or every
+    child is a leaf.  A binary subtree whose whole tri range is at most
+    `wide_max_leaf` becomes a single leaf child spanning that contiguous
+    range — a pure box-test-count knob with identical intersection
+    semantics.
+
+    MUTATES `bvh.tri_offset`: triangles are re-grouped by wide node (see
+    WideBVH.src) and the binary leaves' offsets are rewritten to match.
+    Callers must permute their triangle arrays by `src`.
+    """
+    b = bvh.num_nodes
+    is_int = (bvh.tri_count == 0) & (bvh.left >= 0)
+    # subtree tri ranges (builder zeroes offset/count on interior nodes);
+    # children follow parents in preorder, so a reverse loop suffices
+    s = bvh.tri_offset.astype(np.int64).copy()
+    e = s + bvh.tri_count.astype(np.int64)
+    for i in range(b - 1, -1, -1):
+        if is_int[i]:
+            s[i] = s[bvh.left[i]]
+            e[i] = e[bvh.right[i]]
+
+    def children_of(root: int):
+        ch = [root]
+        while len(ch) < arity:
+            # expand the largest still-interior child
+            best, best_n = -1, -1
+            for k, c in enumerate(ch):
+                if is_int[c] and (e[c] - s[c]) > wide_max_leaf:
+                    n = e[c] - s[c]
+                    if n > best_n:
+                        best, best_n = k, n
+            if best < 0:
+                break
+            c = ch[best]
+            ch[best:best + 1] = [bvh.left[c], bvh.right[c]]
+        return ch
+
+    rows = []                 # list of (arity,16) blocks
+    # worklist of (wide_index, binary_node, depth); interior children of
+    # one node are allocated consecutively at expansion time
+    next_free = 1
+    work = [(0, 0, 1)]
+    max_depth = 1
+    while work:
+        j, bnode, d = work.pop()
+        max_depth = max(max_depth, d)
+        ch = children_of(bnode)
+        blk = np.zeros((arity, 16), np.float32)
+        blk[:, 0:3] = _WIDE_BIG
+        blk[:, 3:6] = _WIDE_BIG   # zero-width => guaranteed miss
+        base = next_free
+        kI = 0
+        intmask = 0
+        for k, c in enumerate(ch):
+            if e[c] - s[c] == 0 and not is_int[c]:
+                continue      # dead node (empty scene) -> empty slot
+            blk[k, 0:3] = bvh.bbox_min[c]
+            blk[k, 3:6] = bvh.bbox_max[c]
+            if is_int[c] and (e[c] - s[c]) > wide_max_leaf:
+                blk[k, 6] = float(base + kI)
+                blk[k, 7] = 0.0
+                work.append((base + kI, c, d + 1))
+                kI += 1
+                intmask |= 1 << k
+            else:
+                blk[k, 6] = float(s[c])
+                blk[k, 7] = float(e[c] - s[c])
+        next_free += kI
+        blk[0, 8] = float(base)
+        # interior-slot bitmask: the kernel derives each entered interior
+        # child's index as base + (popcount of this mask below its slot)
+        blk[0, 9] = float(intmask)
+        rows.append((j, blk))
+
+    n_wide = next_free
+    table = np.zeros((arity * n_wide, 16), np.float32)
+    for j, blk in rows:
+        table[arity * j:arity * (j + 1)] = blk
+
+    # ---- re-group triangles so each wide node's leaf children form one
+    # contiguous block; rewrite wide ptrs and binary leaf offsets --------
+    n = len(bvh.tri_indices)
+    src = np.empty(max(n, 1), np.int64)
+    new_of_old = np.empty(max(n, 1), np.int64)
+    cursor = 0
+    for j in range(n_wide):
+        for c in range(arity):
+            r = arity * j + c
+            cnt = int(table[r, 7])
+            if cnt <= 0:
+                continue
+            old = int(table[r, 6])
+            src[cursor:cursor + cnt] = np.arange(old, old + cnt)
+            new_of_old[old:old + cnt] = np.arange(cursor, cursor + cnt)
+            table[r, 6] = float(cursor)
+            cursor += cnt
+    assert cursor == n, (cursor, n)
+    if n:
+        # binary leaves lie wholly inside one moved block -> shift offsets
+        leaf = bvh.tri_count > 0
+        bvh.tri_offset[leaf] = new_of_old[
+            bvh.tri_offset[leaf].astype(np.int64)].astype(np.int32)
+    else:
+        src = np.zeros(0, np.int64)
+    wml = int(max((blk[:, 7].max() for _, blk in rows), default=0))
+    return WideBVH(table=table, n_wide=n_wide, arity=arity,
+                   max_leaf=wml, depth=max_depth, src=src.astype(np.int32))
+
+
+def validate_wide(wide: WideBVH, bvh: BVH) -> None:
+    """Assert the wide tree covers exactly the binary tree's tri set,
+    with consecutive interior-child indices and per-node-contiguous leaf
+    blocks (the kernel's union-range contract)."""
+    A = wide.arity
+    covered = []
+
+    def walk(j):
+        blk = wide.table[A * j:A * (j + 1)]
+        base = int(blk[0, 8])
+        rank = 0
+        node_leaf = []
+        for c in range(A):
+            if blk[c, 0] >= _WIDE_BIG:      # empty slot
+                continue
+            cnt = int(blk[c, 7])
+            ptr = int(blk[c, 6])
+            if cnt > 0:
+                node_leaf.append((ptr, ptr + cnt))
+                covered.append((ptr, ptr + cnt))
+            else:
+                assert ptr == base + rank, "interior children not packed"
+                rank += 1
+                walk(ptr)
+        for (a0, b0), (a1, b1) in zip(node_leaf, node_leaf[1:]):
+            assert b0 == a1, "node leaf children must be one block"
+
+    walk(0)
+    covered.sort()
+    total = sum(b - a for a, b in covered)
+    assert total == len(bvh.tri_indices), (total, len(bvh.tri_indices))
+    for (a0, b0), (a1, b1) in zip(covered, covered[1:]):
+        assert b0 == a1, "leaf ranges must tile [0, n)"
+    assert np.array_equal(np.sort(wide.src), np.arange(len(wide.src)))
+
+
 def validate_bvh(bvh: BVH, lo: np.ndarray, hi: np.ndarray) -> None:
     """Assert structural invariants (used by tests): preorder children,
     bbox containment, exact leaf partition of tri indices."""

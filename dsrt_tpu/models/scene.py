@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from dsrt_tpu.models.materials import (DIFFUSE_LIGHT, Material,
                                        DEFAULT_MATERIAL)
-from dsrt_tpu.models.bvh_build import BVH, build_bvh
+from dsrt_tpu.models.bvh_build import BVH, build_bvh, collapse_wide
 from dsrt_tpu.models.textures import TextureRegistry, make_perlin_tables
 
 # Medium boundary kinds
@@ -142,7 +142,7 @@ def _i32(a):
              "tri_uv0", "tri_uv1", "tri_uv2", "tri_mat", "tri_tex",
              "bvh_min", "bvh_max", "bvh_left", "bvh_right",
              "bvh_tri_offset", "bvh_tri_count", "tri_indices",
-             "bvh_pack", "tri_pack", "bvh_pk8", "tri_pk8",
+             "bvh_pack", "tri_pack", "bvh_pk8", "tri_pk8", "bvh_wide",
              "thr_pack", "thr_pk8",
              "tri_shade", "mat_pack",
              "sph_center", "sph_radius", "sph_mat",
@@ -211,6 +211,9 @@ class Scene:
     # 512 B (see ops/pallas_trace.py packed mode).
     bvh_pk8: jnp.ndarray
     tri_pk8: jnp.ndarray
+    # 8-ary wide-BVH table for the fused megakernel's stack traversal:
+    # f32[8*Nw,16], child record per sublane row (see bvh_build.WideBVH)
+    bvh_wide: jnp.ndarray
     # spheres (inc/gpu_scene.h:50-55)
     sph_center: jnp.ndarray
     sph_radius: jnp.ndarray
@@ -522,12 +525,23 @@ class SceneBuilder:
             tri_indices = np.arange(n_tris, dtype=np.int32)
         else:
             tri_indices = np.zeros(1, np.int32)
+        # 8-ary collapse re-groups triangles by wide node (and rewrites
+        # the binary leaves' offsets in place) -> apply its permutation
+        # before any table is packed so both kernels share one tri order
+        wide = collapse_wide(bvh)
+        if n_tris:
+            src = wide.src
+            v0, v1, v2, fn = v0[src], v1[src], v2[src], fn[src]
+            vn0, vn1, vn2 = vn0[src], vn1[src], vn2[src]
+            uv0, uv1, uv2 = uv0[src], uv1[src], uv2[src]
+            tri_mat, tri_tex = tri_mat[src], tri_tex[src]
         bvh_pack, tri_pack, thr_pack = _pack_for_kernel(
             bvh, v0[:n_tris], v1[:n_tris], v2[:n_tris], tri_mat[:n_tris],
             fn[:n_tris])
         bvh_pk8 = _pack8(bvh_pack)
         tri_pk8 = _pack8(tri_pack)
         thr_pk8 = _pack8(thr_pack)
+        bvh_wide = wide.table
         tri_shade = np.zeros((max(n_tris, 1), 16), np.float32)
         tri_shade[:, 0:3] = fn[:max(n_tris, 1)]
         tri_shade[:, 3:5] = uv0[:max(n_tris, 1)]
@@ -652,6 +666,7 @@ class SceneBuilder:
             tri_indices=_i32(tri_indices),
             bvh_pack=_f32(bvh_pack), tri_pack=_f32(tri_pack),
             bvh_pk8=_f32(bvh_pk8), tri_pk8=_f32(tri_pk8),
+            bvh_wide=_f32(bvh_wide),
             thr_pack=_f32(thr_pack), thr_pk8=_f32(thr_pk8),
             tri_shade=_f32(tri_shade), mat_pack=_f32(mat_pack),
             sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),

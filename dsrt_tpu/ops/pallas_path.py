@@ -17,7 +17,8 @@ wavefront design (ops/wavefront.py + ops/pallas_trace.py):
 Functionally this is the reference megakernel (src/gpu_render.cu:973-1031,
 one CUDA thread = one pixel running all spp x bounces) re-shaped for the
 VPU: 1024-lane pixel blocks in lockstep with masked-lane control flow, a
-shared skip-pointer traversal with per-octant ordered descent, and the
+shared 8-ary wide-BVH stack traversal (8 child boxes tested per serial
+visit, see _closest_hit), and the
 exact per-pixel LCG draw schedule (seed (x + y W) ^ seed, cu:990; draws
 only on the lanes the scalar control flow would draw on), so each pixel's
 sample stream is bit-identical to the parity renderer and the scalar
@@ -41,9 +42,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from dsrt_tpu.exec_opts import OPTS as _OPTS
 from dsrt_tpu.ops.linalg import V3
-from dsrt_tpu.ops.pallas_trace import (_load_many, fits_vmem,
-                                       fits_vmem_packed, backend_is_tpu,
-                                       TILE_H, TILE_W)
+from dsrt_tpu.ops.pallas_trace import (_load_many, fits_vmem_fused,
+                                       fits_vmem_fused_packed,
+                                       backend_is_tpu, TILE_H, TILE_W)
 from dsrt_tpu.models.materials import (DIELECTRIC, DIFFUSE_LIGHT, LAMBERTIAN,
                                        METAL)
 
@@ -66,7 +67,7 @@ def fused_supported(scene, cfg) -> bool:
             and not scene.has_image_tex and not scene.has_ptex
             and not scene.has_smooth
             and cfg.aperture == 0.0
-            and fits_vmem_packed(scene) and backend_is_tpu())
+            and fits_vmem_fused_packed(scene) and backend_is_tpu())
 
 
 # ---------------------------------------------------------------------------
@@ -164,13 +165,16 @@ def _cosine_hemisphere(nx, ny, nz, state, mask):
 # the kernel
 # ---------------------------------------------------------------------------
 
-def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
+STACK = 256          # wide-traversal stack bound: depth*(arity-1) << 256
+
+
+def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                  spp_ref, px_ref, py_ref, valid_ref,
-                 acc_r_ref, acc_g_ref, acc_b_ref, nray_ref,
-                 *, n_nodes: int, max_leaf: int, n_mats: int,
+                 acc_r_ref, acc_g_ref, acc_b_ref, nray_ref, stack_ref,
+                 *, n_mats: int,
                  max_depth: int, width: int, height: int, seed: int,
                  rr_start: int, rr_max_p: float, t_min: float, t_max: float,
-                 sun_on: bool, packed: bool, ordered: bool = True):
+                 sun_on: bool, packed: bool):
     pxf = px_ref[...].astype(jnp.float32)
     pyf = py_ref[...].astype(jnp.float32)
     valid = valid_ref[...] > 0
@@ -205,171 +209,147 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
     f1 = jnp.ones(shape, jnp.float32)
     i0 = jnp.zeros(shape, jnp.int32)
 
-    # sun-shadow octant (uniform per frame) for the ordered thread table
-    s_oct = ((sdx < 0.0).astype(jnp.int32)
-             + 2 * (sdy < 0.0).astype(jnp.int32)
-             + 4 * (sdz < 0.0).astype(jnp.int32))
-
     # last valid triangle record (over-read clamp for masked leaf slots)
     max_tri_row = (tri_ref.shape[0] * 8 - 1) if packed else (
         tri_ref.shape[0] - 1)
 
-    def _load_thread(node, ent_lane, skp_lane):
-        if packed:
-            row = thr_ref[pl.ds(node // 8, 1), :]
-            base = (node % 8) * 16
-        else:
-            row = thr_ref[pl.ds(node, 1), :]
-            base = 0
-        lane = jax.lax.broadcasted_iota(jnp.int32, row.shape, 1)
-        ent = jnp.sum(jnp.where(lane == base + ent_lane, row, 0.0))
-        skp = jnp.sum(jnp.where(lane == base + skp_lane, row, 0.0))
-        return ent.astype(jnp.int32), skp.astype(jnp.int32)
+    # --- 8-ary wide-BVH stack traversal --------------------------------
+    # The traversal loop is LATENCY-bound, not throughput-bound (measured
+    # on v5e: a bare chained scalar load costs ~160 ns/visit and the
+    # verdict reduce ~130 ns, while the binary slab test's vector work is
+    # ~80 ns) — so each serial step must retire as many box tests as
+    # possible.  A visit pops one wide node (models/bvh_build.collapse_
+    # wide), loads its 8 child records as ONE (8,16) sublane block, slab-
+    # tests all 8 children against every ray row via (8,1)x(1,128)
+    # broadcasts, and reduces to a single pow2-packed verdict scalar:
+    # 8 child tests per pop+load+reduce chain instead of 1.  Entered leaf
+    # children are scanned as one contiguous [min ptr, max end) Moller-
+    # Trumbore loop (triangles are re-grouped per wide node by the
+    # builder; gap leaves are provably miss-only).  Entered interior
+    # children have consecutive wide indices (base + rank), so pushes are
+    # pure scalar bit arithmetic on the verdict mask — no pointer loads.
+    # Pops are in ascending-slot order (descending pushes), preserving
+    # the binary preorder's left-to-right leaf sequence.
+    pow2_col = jnp.int32(1) << jax.lax.broadcasted_iota(
+        jnp.int32, (8, 1), 0)
+    n_rows = shape[0]
 
-    # Number of independent traversal cursors per kernel block: one per
-    # (8, 128) row group.  The traversal loop is LATENCY-bound, not
-    # throughput-bound (measured: frame time is invariant to block_h while
-    # vector work varies 4x): each visit's scalar loads -> slab test ->
-    # any() reduce -> next-node select is one serial dependency chain
-    # through the loop-carried cursor.  G independent cursors interleave G
-    # chains in one loop body so the VLIW scheduler overlaps them, and
-    # each cursor's (8,128) sub-block traverses only its OWN node-set
-    # union (tighter than the whole block's).
-    n_groups = max(1, min(shape[0] // 8, int(_OPTS.cursors)))
-    g_rows = shape[0] // n_groups
+    def _visit_bits(node, ros, invs, clamp):
+        """Load wide node `node` and box-test its 8 children against all
+        ray rows.  Returns (W (8,16), hitbits, leafbits, base) — the
+        verdict scalars pack child c at bit c."""
+        W = wide_ref[pl.ds(8 * node, 8), :]            # (8,16)
+        minx, miny, minz = W[:, 0:1], W[:, 1:2], W[:, 2:3]
+        maxx, maxy, maxz = W[:, 3:4], W[:, 4:5], W[:, 5:6]
+        base = wide_ref[8 * node, 8].astype(jnp.int32)
+        intmask = wide_ref[8 * node, 9].astype(jnp.int32)
+        acc = jnp.zeros((8, TILE_W), jnp.float32)
+        for r in range(n_rows):
+            ivx = invs[0][r:r + 1, :]
+            ivy = invs[1][r:r + 1, :]
+            ivz = invs[2][r:r + 1, :]
+            tx0 = (minx - ros[0][r:r + 1, :]) * ivx
+            tx1 = (maxx - ros[0][r:r + 1, :]) * ivx
+            ty0 = (miny - ros[1][r:r + 1, :]) * ivy
+            ty1 = (maxy - ros[1][r:r + 1, :]) * ivy
+            tz0 = (minz - ros[2][r:r + 1, :]) * ivz
+            tz1 = (maxz - ros[2][r:r + 1, :]) * ivz
+            lo = jnp.maximum(
+                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
+            hi = jnp.minimum(
+                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                jnp.minimum(jnp.maximum(tz0, tz1), clamp[r:r + 1, :]))
+            acc = acc + jnp.where(hi > lo, 1.0, 0.0)
+        nodehit = jnp.sum(acc, axis=1, keepdims=True) > 0.0    # (8,1)
+        leafc = W[:, 7:8] > 0.0
+        hitbits = jnp.sum(jnp.where(nodehit, pow2_col, 0))
+        leafbits = jnp.sum(jnp.where(nodehit & leafc, pow2_col, 0))
+        return W, hitbits, leafbits, base, intmask
 
-    def _grp(a, g):
-        return a[g * g_rows:(g + 1) * g_rows, :]
+    def _leaf_range(W, leafbits):
+        """Union tri range [r0, r1) over entered leaf children."""
+        lmask = (pow2_col & leafbits) > 0
+        offc = W[:, 6:7]
+        endc = offc + W[:, 7:8]
+        r0f = jnp.min(jnp.where(lmask, offc, jnp.float32(3e38)))
+        r1f = jnp.max(jnp.where(lmask, endc, jnp.float32(-1.0)))
+        r0 = jnp.where(leafbits > 0, r0f, 0.0).astype(jnp.int32)
+        r1 = jnp.where(leafbits > 0, r1f, 0.0).astype(jnp.int32)
+        return r0, r1
 
-    def _slab(lo_t, hi_t, minv, maxv, o, inv):
-        t0 = (minv - o) * inv
-        t1 = (maxv - o) * inv
-        return (jnp.maximum(lo_t, jnp.minimum(t0, t1)),
-                jnp.minimum(hi_t, jnp.maximum(t0, t1)))
+    def _push_children(sp, hitbits, leafbits, base, intmask):
+        """Push entered interior children.  The wide index of the
+        interior child at slot c is base + popcount(intmask below c) —
+        ranked over ALL interior slots (the build-time allocation), not
+        just the entered ones.  Descending slot order so pops ascend."""
+        intbits = hitbits & ~leafbits & intmask
+        k = jnp.int32(0)
+        irank = jnp.int32(0)
+        for c in range(8):
+            k = k + ((intbits >> c) & 1)
+            irank = irank + ((intmask >> c) & 1)
+        npush = k
+        for c in range(7, -1, -1):
+            irank = irank - ((intmask >> c) & 1)
+            bc = (intbits >> c) & 1
+            k = k - bc
+            idx = jnp.where(bc > 0, sp + k, STACK - 1)
+            stack_ref[idx] = base + irank
+        return sp + npush
 
     def _closest_hit(ox, oy, oz, dx, dy, dz, act):
-        """Multi-cursor closest hit.  Returns (hitmask f32, t, mat i32,
-        n(3) face-flipped, front f32, cursor-visit count, tri-test count).
-
-        The loop body is phased so the G cursors' serial dependency
-        chains interleave: phase A computes every group's node fetch +
-        slab test + any() reduce branch-free (the VLIW scheduler overlaps
-        the G independent chains), phase B takes the rare per-group leaf
-        branch (cond + dynamic-count Moller-Trumbore loop, ~quarter of
-        visits), phase C advances the cursors."""
+        """Wide-stack closest hit.  Returns (hitmask f32, t, mat i32,
+        n(3) face-flipped, front f32, node-visit count, tri-test count).
+        Inactive lanes carry closest == t_min so every box test and
+        triangle acceptance fails for them (no explicit masking)."""
         inv_dx = 1.0 / dx
         inv_dy = 1.0 / dy
         inv_dz = 1.0 / dz
+        ros = (ox, oy, oz)
+        invs = (inv_dx, inv_dy, inv_dz)
+        closest0 = jnp.where(act, tmax_f, tmin_f)
 
-        g_state, g_lanes = [], []
-        for g in range(n_groups):
-            act_g = _grp(act, g)
-            if ordered:
-                dgx, dgy, dgz = _grp(dx, g), _grp(dy, g), _grp(dz, g)
-                actf = jnp.where(act_g, 1.0, 0.0)
-                half = 0.5 * jnp.maximum(jnp.sum(actf), 1.0)
-                bx = jnp.sum(jnp.where(act_g & (dgx < 0.0), 1.0, 0.0)) > half
-                by = jnp.sum(jnp.where(act_g & (dgy < 0.0), 1.0, 0.0)) > half
-                bz = jnp.sum(jnp.where(act_g & (dgz < 0.0), 1.0, 0.0)) > half
-                octant = (bx.astype(jnp.int32) + 2 * by.astype(jnp.int32)
-                          + 4 * bz.astype(jnp.int32))
-                g_lanes.append((2 * octant, 2 * octant + 1))
-            else:
-                g_lanes.append(None)
-            gshape = (g_rows, TILE_W)
-            g_state.append((
-                jnp.where(jnp.any(act_g), jnp.int32(0), jnp.int32(n_nodes)),
-                jnp.where(act_g, tmax_f, tmin_f),        # closest
-                jnp.zeros(gshape, jnp.int32),            # best mat
-                jnp.zeros(gshape, jnp.float32),          # bn x
-                jnp.zeros(gshape, jnp.float32),          # bn y
-                jnp.zeros(gshape, jnp.float32),          # bn z
-            ))
+        stack_ref[0] = jnp.int32(0)
+        sp0 = jnp.where(jnp.any(act), jnp.int32(1), jnp.int32(0))
 
         def cond(c):
-            states, _, _ = c
-            open_ = states[0][0] < n_nodes
-            for g in range(1, n_groups):
-                open_ = open_ | (states[g][0] < n_nodes)
-            return open_
+            return c[0] > 0
 
         def body(c):
-            states, nv, nt = c
+            sp, closest, bm, bnx, bny, bnz, nv, nt = c
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            W, hitbits, leafbits, base, intmask = _visit_bits(
+                node, ros, invs, closest)
+            sp = _push_children(sp, hitbits, leafbits, base, intmask)
+            r0, r1 = _leaf_range(W, leafbits)
 
-            # ---- phase A: branch-free node fetch + slab + reduce -------
-            infos = []
-            for g in range(n_groups):
-                node, closest = states[g][0], states[g][1]
-                act_g = _grp(act, g)
-                live = node < n_nodes
-                nd = jnp.where(live, node, 0)
-                if ordered:
-                    (minx, miny, minz, maxx, maxy, maxz, off_f,
-                     cnt_f) = _load_many(box_ref, nd,
-                                         (0, 1, 2, 3, 4, 5, 7, 8), packed)
-                    enter_n, skip = _load_thread(nd, g_lanes[g][0],
-                                                 g_lanes[g][1])
-                else:
-                    (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
-                     cnt_f) = _load_many(box_ref, nd, range(9), packed)
-                    skip = skip_f.astype(jnp.int32)
-                    enter_n = nd + 1
-                off = off_f.astype(jnp.int32)
-                cnt = cnt_f.astype(jnp.int32)
-                ogx, ogy, ogz = _grp(ox, g), _grp(oy, g), _grp(oz, g)
-                # per-axis slabs as independent chains, merged in a tree
-                tx0 = (minx - ogx) * _grp(inv_dx, g)
-                tx1 = (maxx - ogx) * _grp(inv_dx, g)
-                ty0 = (miny - ogy) * _grp(inv_dy, g)
-                ty1 = (maxy - ogy) * _grp(inv_dy, g)
-                tz0 = (minz - ogz) * _grp(inv_dz, g)
-                tz1 = (maxz - ogz) * _grp(inv_dz, g)
-                lo = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
-                hi = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.minimum(jnp.maximum(tz0, tz1), closest))
-                boxhit = (hi > lo) & act_g & live
-                enter = jnp.any(boxhit)
-                is_leaf = cnt > 0
-                infos.append((off, cnt, enter, is_leaf, skip, enter_n,
-                              live))
-
-            # ---- phase B: rare leaf branches, one per group ------------
-            new_states = []
-            for g in range(n_groups):
-                node, closest, bm, bnx, bny, bnz = states[g]
-                off, cnt, enter, is_leaf, skip, enter_n, live = infos[g]
-                act_g = _grp(act, g)
-                ogx, ogy, ogz = _grp(ox, g), _grp(oy, g), _grp(oz, g)
-                dgx, dgy, dgz = _grp(dx, g), _grp(dy, g), _grp(dz, g)
-
-                def leaf_body(i, lc, off=off, act_g=act_g, ogx=ogx, ogy=ogy,
-                              ogz=ogz, dgx=dgx, dgy=dgy, dgz=dgz):
+            def leaf_branch(a):
+                def leaf_body(i, lc):
                     closest, bm, bnx, bny, bnz = lc
-                    row = jnp.minimum(off + i, max_tri_row)
+                    row = jnp.minimum(i, max_tri_row)
                     (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, mat_f,
                      fnx, fny, fnz) = _load_many(tri_ref, row, range(13),
                                                  packed)
-                    pvx = dgy * e2z - dgz * e2y
-                    pvy = dgz * e2x - dgx * e2z
-                    pvz = dgx * e2y - dgy * e2x
+                    pvx = dy * e2z - dz * e2y
+                    pvy = dz * e2x - dx * e2z
+                    pvz = dx * e2y - dy * e2x
                     det = e1x * pvx + e1y * pvy + e1z * pvz
                     ok = jnp.abs(det) >= 1e-8
                     inv_det = 1.0 / jnp.where(ok, det, 1.0)
-                    tvx = ogx - v0x
-                    tvy = ogy - v0y
-                    tvz = ogz - v0z
+                    tvx = ox - v0x
+                    tvy = oy - v0y
+                    tvz = oz - v0z
                     u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
                     ok = ok & (u >= 0.0) & (u <= 1.0)
                     qvx = tvy * e1z - tvz * e1y
                     qvy = tvz * e1x - tvx * e1z
                     qvz = tvx * e1y - tvy * e1x
-                    v = (dgx * qvx + dgy * qvy + dgz * qvz) * inv_det
+                    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
                     ok = ok & (v >= 0.0) & (u + v <= 1.0)
                     t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    ok = ok & (t >= tmin_f) & (t <= closest) & act_g
+                    ok = ok & (t >= tmin_f) & (t <= closest) & act
                     closest = jnp.where(ok, t, closest)
                     bm = jnp.where(ok, mat_f.astype(jnp.int32), bm)
                     bnx = jnp.where(ok, fnx, bnx)
@@ -377,28 +357,18 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
                     bnz = jnp.where(ok, fnz, bnz)
                     return closest, bm, bnx, bny, bnz
 
-                closest, bm, bnx, bny, bnz = lax.cond(
-                    enter & is_leaf,
-                    lambda a, lb=leaf_body, cnt=cnt: lax.fori_loop(
-                        0, cnt, lb, a),
-                    lambda a: a, (closest, bm, bnx, bny, bnz))
+                return lax.fori_loop(r0, r1, leaf_body, a)
 
-                # ---- phase C: cursor advance + telemetry ---------------
-                nv = nv + live.astype(jnp.int32)
-                nt = nt + jnp.where(enter & is_leaf, cnt, 0)
-                descend = enter & jnp.logical_not(is_leaf)
-                node_next = jnp.where(descend, enter_n, skip)
-                node_next = jnp.where(live, node_next, n_nodes)
-                new_states.append((node_next, closest, bm, bnx, bny, bnz))
-            return new_states, nv, nt
+            closest, bm, bnx, bny, bnz = lax.cond(
+                leafbits != 0, leaf_branch, lambda a: a,
+                (closest, bm, bnx, bny, bnz))
+            nv = nv + 1
+            nt = nt + jnp.where(leafbits != 0, r1 - r0, 0)
+            return sp, closest, bm, bnx, bny, bnz, nv, nt
 
-        out_states, nv, nt = lax.while_loop(
-            cond, body, (g_state, jnp.int32(0), jnp.int32(0)))
-        closest = jnp.concatenate([s[1] for s in out_states], axis=0)
-        bm = jnp.concatenate([s[2] for s in out_states], axis=0)
-        bnx = jnp.concatenate([s[3] for s in out_states], axis=0)
-        bny = jnp.concatenate([s[4] for s in out_states], axis=0)
-        bnz = jnp.concatenate([s[5] for s in out_states], axis=0)
+        (_, closest, bm, bnx, bny, bnz, nv, nt) = lax.while_loop(
+            cond, body, (sp0, closest0, i0, f0, f0, f0,
+                         jnp.int32(0), jnp.int32(0)))
         hitm = jnp.where(act & (closest < tmax_f), 1.0, 0.0)
         # face flip + front flag once per wave (raw normal tracked in-loop)
         front_b = (dx * bnx + dy * bny + dz * bnz) < 0.0
@@ -407,81 +377,37 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
                 jnp.where(front_b, 1.0, 0.0), nv, nt)
 
     def _sun_blocked(sox, soy, soz, pot):
-        """Any-hit along the (uniform) sun direction for `pot` lanes.
-        The Moller-Trumbore p-vector and determinant are per-triangle
-        scalars (direction uniform).  Same phased multi-cursor structure
-        as _closest_hit; a cursor parks once all its lanes are blocked."""
+        """Any-hit along the (uniform) sun direction for `pot` lanes,
+        wide-stack form.  The Moller-Trumbore p-vector and determinant
+        are per-triangle scalars (direction uniform).  The walk parks
+        (sp -> 0) once every potential receiver is occluded."""
         inv_sx = 1.0 / sdx
         inv_sy = 1.0 / sdy
         inv_sz = 1.0 / sdz
-        ent_lane = 2 * s_oct
-        skp_lane = ent_lane + 1
+        ones = jnp.ones(shape, jnp.float32)
+        ros = (sox, soy, soz)
+        invs = (inv_sx * ones, inv_sy * ones, inv_sz * ones)
+        sc0 = jnp.where(pot, tmax_f, tmin_f)
 
-        g_state = []
-        for g in range(n_groups):
-            pot_g = _grp(pot, g)
-            g_state.append((
-                jnp.where(jnp.any(pot_g), jnp.int32(0), jnp.int32(n_nodes)),
-                jnp.where(pot_g, tmax_f, tmin_f),    # sc
-                jnp.zeros((g_rows, TILE_W), jnp.float32),  # blocked
-            ))
+        stack_ref[0] = jnp.int32(0)
+        sp0 = jnp.where(jnp.any(pot), jnp.int32(1), jnp.int32(0))
 
         def cond(c):
-            states, _, _ = c
-            open_ = states[0][0] < n_nodes
-            for g in range(1, n_groups):
-                open_ = open_ | (states[g][0] < n_nodes)
-            return open_
+            return c[0] > 0
 
         def body(c):
-            states, nv, nt = c
+            sp, sc, blocked, nv, nt = c
+            node = stack_ref[sp - 1]
+            sp = sp - 1
+            W, hitbits, leafbits, base, intmask = _visit_bits(
+                node, ros, invs, sc)
+            sp = _push_children(sp, hitbits, leafbits, base, intmask)
+            r0, r1 = _leaf_range(W, leafbits)
 
-            # ---- phase A: branch-free node fetch + slab + reduce -------
-            infos = []
-            for g in range(n_groups):
-                node, sc = states[g][0], states[g][1]
-                sgx, sgy, sgz = _grp(sox, g), _grp(soy, g), _grp(soz, g)
-                live = node < n_nodes
-                nd = jnp.where(live, node, 0)
-                if ordered:
-                    (minx, miny, minz, maxx, maxy, maxz, off_f,
-                     cnt_f) = _load_many(box_ref, nd,
-                                         (0, 1, 2, 3, 4, 5, 7, 8), packed)
-                    enter_n, skip = _load_thread(nd, ent_lane, skp_lane)
-                else:
-                    (minx, miny, minz, maxx, maxy, maxz, skip_f, off_f,
-                     cnt_f) = _load_many(box_ref, nd, range(9), packed)
-                    skip = skip_f.astype(jnp.int32)
-                    enter_n = nd + 1
-                off = off_f.astype(jnp.int32)
-                cnt = cnt_f.astype(jnp.int32)
-                tx0 = (minx - sgx) * inv_sx
-                tx1 = (maxx - sgx) * inv_sx
-                ty0 = (miny - sgy) * inv_sy
-                ty1 = (maxy - sgy) * inv_sy
-                tz0 = (minz - sgz) * inv_sz
-                tz1 = (maxz - sgz) * inv_sz
-                lo = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
-                hi = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.minimum(jnp.maximum(tz0, tz1), sc))
-                enter = jnp.any((hi > lo) & live)
-                is_leaf = cnt > 0
-                infos.append((off, cnt, enter, is_leaf, skip, enter_n,
-                              live))
-
-            # ---- phase B: rare leaf branches -----------------------------
-            new_states = []
-            for g in range(n_groups):
-                node, sc, blocked = states[g]
-                off, cnt, enter, is_leaf, skip, enter_n, live = infos[g]
-                sgx, sgy, sgz = _grp(sox, g), _grp(soy, g), _grp(soz, g)
-
-                def leaf_body(i, lc, off=off, sgx=sgx, sgy=sgy, sgz=sgz):
+            def leaf_branch(a):
+                def leaf_body(i, lc):
                     sc, blocked = lc
-                    row = jnp.minimum(off + i, max_tri_row)
+                    row = jnp.minimum(i, max_tri_row)
                     (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y,
                      e2z) = _load_many(tri_ref, row, range(9), packed)
                     pvx = sdy * e2z - sdz * e2y   # scalar
@@ -490,9 +416,9 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
                     det = e1x * pvx + e1y * pvy + e1z * pvz
                     ok0 = jnp.abs(det) >= 1e-8
                     inv_det = 1.0 / jnp.where(ok0, det, 1.0)
-                    tvx = sgx - v0x
-                    tvy = sgy - v0y
-                    tvz = sgz - v0z
+                    tvx = sox - v0x
+                    tvy = soy - v0y
+                    tvz = soz - v0z
                     u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
                     ok = ok0 & (u >= 0.0) & (u <= 1.0)
                     qvx = tvy * e1z - tvz * e1y
@@ -506,24 +432,19 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
                     blocked = jnp.where(ok, 1.0, blocked)
                     return sc, blocked
 
-                sc, blocked = lax.cond(
-                    enter & is_leaf,
-                    lambda a, lb=leaf_body, cnt=cnt: lax.fori_loop(
-                        0, cnt, lb, a),
-                    lambda a: a, (sc, blocked))
+                return lax.fori_loop(r0, r1, leaf_body, a)
 
-                nv = nv + live.astype(jnp.int32)
-                nt = nt + jnp.where(enter & is_leaf, cnt, 0)
-                descend = enter & jnp.logical_not(is_leaf)
-                node_next = jnp.where(descend, enter_n, skip)
-                open_lanes = jnp.any(sc > tmin_f)
-                node_next = jnp.where(open_lanes & live, node_next, n_nodes)
-                new_states.append((node_next, sc, blocked))
-            return new_states, nv, nt
+            sc, blocked = lax.cond(leafbits != 0, leaf_branch,
+                                   lambda a: a, (sc, blocked))
+            nv = nv + 1
+            nt = nt + jnp.where(leafbits != 0, r1 - r0, 0)
+            # park once every potential receiver is occluded
+            open_lanes = jnp.any(sc > tmin_f)
+            sp = jnp.where(open_lanes, sp, 0)
+            return sp, sc, blocked, nv, nt
 
-        out_states, nv, nt = lax.while_loop(
-            cond, body, (g_state, jnp.int32(0), jnp.int32(0)))
-        blocked = jnp.concatenate([s[2] for s in out_states], axis=0)
+        _, _, blocked, nv, nt = lax.while_loop(
+            cond, body, (sp0, sc0, f0, jnp.int32(0), jnp.int32(0)))
         return blocked > 0.5, nv, nt
 
     def _mat_field(bm, col):
@@ -747,34 +668,33 @@ def _path_kernel(box_ref, tri_ref, thr_ref, mat_ref, cam_ref, sun_ref,
     nray_ref[pid, 5] = out[15][3]
 
 
-@partial(jax.jit, static_argnames=("n_nodes", "max_leaf", "n_mats",
+@partial(jax.jit, static_argnames=("n_mats",
                                    "max_depth", "width", "height", "seed",
                                    "rr_start", "rr_max_p", "t_min", "t_max",
-                                   "sun_on", "packed", "k", "block_h",
-                                   "ordered"))
-def _run_path(box_tab, tri_tab, thr_tab, mat_pack, cam_vec, sun_vec, spp_vec,
+                                   "sun_on", "packed", "k", "block_h"))
+def _run_path(wide_tab, tri_tab, mat_pack, cam_vec, sun_vec, spp_vec,
               px, py, valid,
-              n_nodes: int, max_leaf: int, n_mats: int,
+              n_mats: int,
               max_depth: int, width: int, height: int, seed: int,
               rr_start: int, rr_max_p: float, t_min: float, t_max: float,
-              sun_on: bool, packed: bool, k: int, block_h: int,
-              ordered: bool = True):
-    kern = partial(_path_kernel, n_nodes=n_nodes, max_leaf=max_leaf,
+              sun_on: bool, packed: bool, k: int, block_h: int):
+    kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
                    rr_max_p=rr_max_p, t_min=t_min, t_max=t_max,
-                   sun_on=sun_on, packed=packed, ordered=ordered)
+                   sun_on=sun_on, packed=packed)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = (k * TILE_H, TILE_W)
     n_blocks = (k * TILE_H) // block_h
-    flops_est = int(n_nodes) * 60 * out_shape[0] * TILE_W // block_h * 64
+    flops_est = int(wide_tab.shape[0]) * 60 * out_shape[0] * TILE_W \
+        // block_h * 64
     return pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[full, full, full, smem, smem, smem, smem] + [ray_spec] * 3,
+        in_specs=[full, full, smem, smem, smem, smem] + [ray_spec] * 3,
         out_specs=(ray_spec, ray_spec, ray_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
@@ -783,10 +703,11 @@ def _run_path(box_tab, tri_tab, thr_tab, mat_pack, cam_vec, sun_vec, spp_vec,
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct((n_blocks, 6), jnp.int32),
         ),
+        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=out_shape[0] * 128 * 24,
                                       transcendentals=out_shape[0] * 128 * 4),
-    )(box_tab, tri_tab, thr_tab, mat_pack, cam_vec, sun_vec, spp_vec,
+    )(wide_tab, tri_tab, mat_pack, cam_vec, sun_vec, spp_vec,
       px, py, valid)
 
 
@@ -812,10 +733,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
                 [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
         return a.reshape(Kp * TILE_H, TILE_W)
 
-    packed = not fits_vmem(scene)
-    box_tab = scene.bvh_pk8 if packed else scene.bvh_pack
+    packed = not fits_vmem_fused(scene)
     tri_tab = scene.tri_pk8 if packed else scene.tri_pack
-    thr_tab = scene.thr_pk8 if packed else scene.thr_pack
 
     # Ldir = normalize(-sun_dir): the verbatim negation quirk
     # (src/gpu_render.cu:802-806)
@@ -830,17 +749,16 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
 
     spp_vec = jnp.array([cfg.resolved_spp()], jnp.int32)
     acc_r, acc_g, acc_b, stats = _run_path(
-        box_tab, tri_tab, thr_tab, scene.mat_pack, cam_vec, sun_vec,
+        scene.bvh_wide, tri_tab, scene.mat_pack, cam_vec, sun_vec,
         spp_vec,
         fold(px.astype(jnp.int32)), fold(py.astype(jnp.int32)),
         fold(valid.astype(jnp.int32)),
-        n_nodes=scene.n_nodes, max_leaf=scene.max_leaf,
         n_mats=scene.mat_pack.shape[0],
         max_depth=cfg.resolved_max_depth(), width=cam.width,
         height=cam.height, seed=scene.seed, rr_start=cfg.rr_start_depth,
         rr_max_p=float(cfg.rr_max_p), t_min=float(cfg.hit_eps),
         t_max=float(cfg.hit_tmax), sun_on=bool(scene.sun_enabled),
-        packed=packed, k=Kp, block_h=block_h, ordered=bool(_OPTS.ordered))
+        packed=packed, k=Kp, block_h=block_h)
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

@@ -65,6 +65,18 @@ def fits_vmem_packed(scene) -> bool:
             <= _VMEM_BUDGET_ROWS)
 
 
+def fits_vmem_fused(scene) -> bool:
+    """Fused megakernel, dense tri mode: wide-BVH rows + tri rows."""
+    return (scene.bvh_wide.shape[0] + scene.tri_pack.shape[0]
+            <= _VMEM_BUDGET_ROWS)
+
+
+def fits_vmem_fused_packed(scene) -> bool:
+    """Fused megakernel, packed tri fallback (64 B/tri)."""
+    return (scene.bvh_wide.shape[0] + scene.tri_pk8.shape[0]
+            <= _VMEM_BUDGET_ROWS)
+
+
 def backend_is_tpu() -> bool:
     try:
         plat = jax.devices()[0].platform
