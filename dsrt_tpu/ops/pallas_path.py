@@ -166,6 +166,7 @@ def _cosine_hemisphere(nx, ny, nz, state, mask):
 # ---------------------------------------------------------------------------
 
 STACK = 256          # wide-traversal stack bound: depth*(arity-1) << 256
+LEAF_CHAINS = 8      # independent leaf-test accumulator chains (ILP)
 
 
 def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
@@ -325,39 +326,71 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
             sp = _push_children(sp, hitbits, leafbits, base, intmask)
             r0, r1 = _leaf_range(W, leafbits)
 
-            def leaf_branch(a):
-                def leaf_body(i, lc):
-                    closest, bm, bnx, bny, bnz = lc
-                    row = jnp.minimum(i, max_tri_row)
-                    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, mat_f,
-                     fnx, fny, fnz) = _load_many(tri_ref, row, range(13),
-                                                 packed)
-                    pvx = dy * e2z - dz * e2y
-                    pvy = dz * e2x - dx * e2z
-                    pvz = dx * e2y - dy * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    ok = jnp.abs(det) >= 1e-8
-                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
-                    tvx = ox - v0x
-                    tvy = oy - v0y
-                    tvz = oz - v0z
-                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                    ok = ok & (u >= 0.0) & (u <= 1.0)
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-                    ok = ok & (v >= 0.0) & (u + v <= 1.0)
-                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    ok = ok & (t >= tmin_f) & (t <= closest) & act
-                    closest = jnp.where(ok, t, closest)
-                    bm = jnp.where(ok, mat_f.astype(jnp.int32), bm)
-                    bnx = jnp.where(ok, fnx, bnx)
-                    bny = jnp.where(ok, fny, bny)
-                    bnz = jnp.where(ok, fnz, bnz)
-                    return closest, bm, bnx, bny, bnz
+            def tri_test(row, guard, st):
+                cl, m, nx_, ny_, nz_ = st
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, mat_f,
+                 fnx, fny, fnz) = _load_many(tri_ref, row, range(13),
+                                             packed)
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = jnp.abs(det) >= 1e-8
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                ok = ok & (u >= 0.0) & (u <= 1.0)
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                ok = ok & (v >= 0.0) & (u + v <= 1.0)
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = ok & (t >= tmin_f) & (t <= cl) & act & guard
+                cl = jnp.where(ok, t, cl)
+                m = jnp.where(ok, mat_f.astype(jnp.int32), m)
+                nx_ = jnp.where(ok, fnx, nx_)
+                ny_ = jnp.where(ok, fny, ny_)
+                nz_ = jnp.where(ok, fnz, nz_)
+                return cl, m, nx_, ny_, nz_
 
-                return lax.fori_loop(r0, r1, leaf_body, a)
+            def leaf_branch(a):
+                # LEAF_CHAINS independent accumulator chains (strided
+                # rows) so the per-tri load->test->select serial chains
+                # interleave in the VLIW schedule.  Each chain prunes on
+                # its OWN closest — weaker pruning, identical acceptance
+                # set — and the merge keeps the strictly nearer hit
+                # (exact up to t-ties between distinct triangles, as
+                # everywhere).
+                closest, bm, bnx, bny, bnz = a
+                G = LEAF_CHAINS
+
+                def leaf_bodyG(k, sts):
+                    i0_ = r0 + G * k
+                    out = []
+                    for g in range(G):
+                        ig = i0_ + g
+                        guard = True if g == 0 else ig < r1
+                        out.append(tri_test(
+                            jnp.minimum(ig, max_tri_row), guard, sts[g]))
+                    return tuple(out)
+
+                init = ((closest, bm, bnx, bny, bnz),) + tuple(
+                    (closest, i0, f0, f0, f0) for _ in range(G - 1))
+                sts = lax.fori_loop(0, (r1 - r0 + G - 1) // G,
+                                    leaf_bodyG, init)
+                cl, m, nx_, ny_, nz_ = sts[0]
+                for g in range(1, G):
+                    clg, mg, nxg, nyg, nzg = sts[g]
+                    sel = clg < cl
+                    cl = jnp.where(sel, clg, cl)
+                    m = jnp.where(sel, mg, m)
+                    nx_ = jnp.where(sel, nxg, nx_)
+                    ny_ = jnp.where(sel, nyg, ny_)
+                    nz_ = jnp.where(sel, nzg, nz_)
+                return cl, m, nx_, ny_, nz_
 
             closest, bm, bnx, bny, bnz = lax.cond(
                 leafbits != 0, leaf_branch, lambda a: a,
@@ -404,35 +437,56 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
             sp = _push_children(sp, hitbits, leafbits, base, intmask)
             r0, r1 = _leaf_range(W, leafbits)
 
-            def leaf_branch(a):
-                def leaf_body(i, lc):
-                    sc, blocked = lc
-                    row = jnp.minimum(i, max_tri_row)
-                    (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y,
-                     e2z) = _load_many(tri_ref, row, range(9), packed)
-                    pvx = sdy * e2z - sdz * e2y   # scalar
-                    pvy = sdz * e2x - sdx * e2z
-                    pvz = sdx * e2y - sdy * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    ok0 = jnp.abs(det) >= 1e-8
-                    inv_det = 1.0 / jnp.where(ok0, det, 1.0)
-                    tvx = sox - v0x
-                    tvy = soy - v0y
-                    tvz = soz - v0z
-                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                    ok = ok0 & (u >= 0.0) & (u <= 1.0)
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    v = (sdx * qvx + sdy * qvy + sdz * qvz) * inv_det
-                    ok = ok & (v >= 0.0) & (u + v <= 1.0)
-                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    ok = ok & (t >= tmin_f) & (t <= sc)
-                    sc = jnp.where(ok, tmin_f, sc)  # any-hit collapse
-                    blocked = jnp.where(ok, 1.0, blocked)
-                    return sc, blocked
+            def tri_test(row, guard, st):
+                sc, blocked = st
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y,
+                 e2z) = _load_many(tri_ref, row, range(9), packed)
+                pvx = sdy * e2z - sdz * e2y   # scalar
+                pvy = sdz * e2x - sdx * e2z
+                pvz = sdx * e2y - sdy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok0 = jnp.abs(det) >= 1e-8
+                inv_det = 1.0 / jnp.where(ok0, det, 1.0)
+                tvx = sox - v0x
+                tvy = soy - v0y
+                tvz = soz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                ok = ok0 & (u >= 0.0) & (u <= 1.0)
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (sdx * qvx + sdy * qvy + sdz * qvz) * inv_det
+                ok = ok & (v >= 0.0) & (u + v <= 1.0)
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = ok & (t >= tmin_f) & (t <= sc) & guard
+                sc = jnp.where(ok, tmin_f, sc)  # any-hit collapse
+                blocked = jnp.where(ok, 1.0, blocked)
+                return sc, blocked
 
-                return lax.fori_loop(r0, r1, leaf_body, a)
+            def leaf_branch(a):
+                # strided multi-chain (see _closest_hit.leaf_branch)
+                G = LEAF_CHAINS
+
+                def leaf_bodyG(k, sts):
+                    i0_ = r0 + G * k
+                    out = []
+                    for g in range(G):
+                        ig = i0_ + g
+                        guard = True if g == 0 else ig < r1
+                        out.append(tri_test(
+                            jnp.minimum(ig, max_tri_row), guard, sts[g]))
+                    return tuple(out)
+
+                sc, blocked = a
+                init = ((sc, blocked),) + tuple(
+                    (sc, f0) for _ in range(G - 1))
+                sts = lax.fori_loop(0, (r1 - r0 + G - 1) // G,
+                                    leaf_bodyG, init)
+                scm, blk = sts[0]
+                for g in range(1, G):
+                    scm = jnp.minimum(scm, sts[g][0])
+                    blk = jnp.maximum(blk, sts[g][1])
+                return scm, blk
 
             sc, blocked = lax.cond(leafbits != 0, leaf_branch,
                                    lambda a: a, (sc, blocked))
