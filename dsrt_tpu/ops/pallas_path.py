@@ -319,12 +319,27 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
 
         def body(c):
             sp, closest, bm, bnx, bny, bnz, nv, nt = c
-            node = stack_ref[sp - 1]
-            sp = sp - 1
-            W, hitbits, leafbits, base, intmask = _visit_bits(
-                node, ros, invs, closest)
-            sp = _push_children(sp, hitbits, leafbits, base, intmask)
-            r0, r1 = _leaf_range(W, leafbits)
+            # Dual pop: two independent visit chains per iteration — the
+            # two nodes' scalar loads, vector box tests, and verdict
+            # reduces overlap in the VLIW schedule.  When only one entry
+            # is on the stack, the clamped second read returns a stale
+            # slot (always a valid node id — every written slot held
+            # one), and its verdict bits are masked to zero.
+            n1 = stack_ref[sp - 1]
+            two = sp >= 2
+            n2 = stack_ref[jnp.maximum(sp - 2, 0)]
+            sp = sp - jnp.where(two, 2, 1)
+            W1, hb1, lb1, base1, im1 = _visit_bits(n1, ros, invs, closest)
+            W2, hb2, lb2, base2, im2 = _visit_bits(n2, ros, invs, closest)
+            hb2 = jnp.where(two, hb2, 0)
+            lb2 = jnp.where(two, lb2, 0)
+            # n2's children pushed first so n1's (preorder-earlier) pop
+            # first; n2 itself is visited before n1's children, a benign
+            # order change (ties + pruning efficiency only)
+            sp = _push_children(sp, hb2, lb2, base2, im2)
+            sp = _push_children(sp, hb1, lb1, base1, im1)
+            r0a, r1a = _leaf_range(W1, lb1)
+            r0b, r1b = _leaf_range(W2, lb2)
 
             def tri_test(row, guard, st):
                 cl, m, nx_, ny_, nz_ = st
@@ -356,7 +371,7 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                 nz_ = jnp.where(ok, fnz, nz_)
                 return cl, m, nx_, ny_, nz_
 
-            def leaf_branch(a):
+            def run_chains(a, r0, r1):
                 # LEAF_CHAINS independent accumulator chains (strided
                 # rows) so the per-tri load->test->select serial chains
                 # interleave in the VLIW schedule.  Each chain prunes on
@@ -392,11 +407,17 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                     nz_ = jnp.where(sel, nzg, nz_)
                 return cl, m, nx_, ny_, nz_
 
+            def leaf_branch(a):
+                # an un-entered range is empty (r0 == r1): zero-trip fori
+                a = run_chains(a, r0a, r1a)
+                return run_chains(a, r0b, r1b)
+
             closest, bm, bnx, bny, bnz = lax.cond(
-                leafbits != 0, leaf_branch, lambda a: a,
+                (lb1 | lb2) != 0, leaf_branch, lambda a: a,
                 (closest, bm, bnx, bny, bnz))
-            nv = nv + 1
-            nt = nt + jnp.where(leafbits != 0, r1 - r0, 0)
+            nv = nv + 1 + two.astype(jnp.int32)
+            nt = (nt + jnp.where(lb1 != 0, r1a - r0a, 0)
+                  + jnp.where(lb2 != 0, r1b - r0b, 0))
             return sp, closest, bm, bnx, bny, bnz, nv, nt
 
         (_, closest, bm, bnx, bny, bnz, nv, nt) = lax.while_loop(
@@ -430,12 +451,19 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
 
         def body(c):
             sp, sc, blocked, nv, nt = c
-            node = stack_ref[sp - 1]
-            sp = sp - 1
-            W, hitbits, leafbits, base, intmask = _visit_bits(
-                node, ros, invs, sc)
-            sp = _push_children(sp, hitbits, leafbits, base, intmask)
-            r0, r1 = _leaf_range(W, leafbits)
+            # dual pop (see _closest_hit.body)
+            n1 = stack_ref[sp - 1]
+            two = sp >= 2
+            n2 = stack_ref[jnp.maximum(sp - 2, 0)]
+            sp = sp - jnp.where(two, 2, 1)
+            W1, hb1, lb1, base1, im1 = _visit_bits(n1, ros, invs, sc)
+            W2, hb2, lb2, base2, im2 = _visit_bits(n2, ros, invs, sc)
+            hb2 = jnp.where(two, hb2, 0)
+            lb2 = jnp.where(two, lb2, 0)
+            sp = _push_children(sp, hb2, lb2, base2, im2)
+            sp = _push_children(sp, hb1, lb1, base1, im1)
+            r0a, r1a = _leaf_range(W1, lb1)
+            r0b, r1b = _leaf_range(W2, lb2)
 
             def tri_test(row, guard, st):
                 sc, blocked = st
@@ -463,8 +491,8 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                 blocked = jnp.where(ok, 1.0, blocked)
                 return sc, blocked
 
-            def leaf_branch(a):
-                # strided multi-chain (see _closest_hit.leaf_branch)
+            def run_chains(a, r0, r1):
+                # strided multi-chain (see _closest_hit.run_chains)
                 G = LEAF_CHAINS
 
                 def leaf_bodyG(k, sts):
@@ -488,10 +516,15 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                     blk = jnp.maximum(blk, sts[g][1])
                 return scm, blk
 
-            sc, blocked = lax.cond(leafbits != 0, leaf_branch,
+            def leaf_branch(a):
+                a = run_chains(a, r0a, r1a)
+                return run_chains(a, r0b, r1b)
+
+            sc, blocked = lax.cond((lb1 | lb2) != 0, leaf_branch,
                                    lambda a: a, (sc, blocked))
-            nv = nv + 1
-            nt = nt + jnp.where(leafbits != 0, r1 - r0, 0)
+            nv = nv + 1 + two.astype(jnp.int32)
+            nt = (nt + jnp.where(lb1 != 0, r1a - r0a, 0)
+                  + jnp.where(lb2 != 0, r1b - r0b, 0))
             # park once every potential receiver is occluded
             open_lanes = jnp.any(sc > tmin_f)
             sp = jnp.where(open_lanes, sp, 0)
