@@ -239,10 +239,18 @@ def run(args) -> int:
             img = render_frame_debug(frame_scene, cam, cfg)
         elif args.shard:
             import jax as _jax
+            from dsrt_tpu.ops.pallas_path import fused_supported
             from dsrt_tpu.parallel.mesh import make_mesh
-            from dsrt_tpu.parallel.render import render_frame_sharded
+            from dsrt_tpu.parallel.render import (render_frame_sharded,
+                                                  render_frame_fused_sharded)
             mesh = make_mesh(len(_jax.devices()), sp=args.shard_sp)
-            img = render_frame_sharded(frame_scene, cam, cfg, mesh)
+            if args.shard_sp == 1 and fused_supported(frame_scene, cfg):
+                # dp-only: every chip runs the fused megakernel on its
+                # pixel shard (bit-identical to single-chip)
+                img = render_frame_fused_sharded(frame_scene, cam, cfg,
+                                                 mesh)
+            else:
+                img = render_frame_sharded(frame_scene, cam, cfg, mesh)
         else:
             mode = args.mode
             if mode in ("auto", "fused"):

@@ -27,9 +27,9 @@ class ExecOptions:
     # Rays per Pallas grid step = block_h x 128 lanes.  Bigger blocks
     # amortize the per-grid-step pipeline overhead at the cost of a larger
     # traversal union per block AND more vector work per wide-BVH visit
-    # (the 8-child box test scales with rows); 16 measured best on v5e
-    # for the ISS scene with the wide traversal (38.4 vs 35.9 at 32).
-    block_h: int = 16
+    # (the 8-child box test scales with rows); 8 measured best on v5e
+    # with the dual-pop wide traversal (67.7 vs 66.9 at 16, 47.9 at 32).
+    block_h: int = 8
     # (Removed knobs, kept as measured findings: `ordered` front-to-back
     # thread-table descent was net-neutral vs canonical preorder on the
     # ISS scene; `cursors` multi-cursor interleaving never overlapped in

@@ -372,10 +372,12 @@ def collapse_wide(bvh: BVH, arity: int = 8,
                 blk[k, 6] = float(s[c])
                 blk[k, 7] = float(e[c] - s[c])
         next_free += kI
-        blk[0, 8] = float(base)
-        # interior-slot bitmask: the kernel derives each entered interior
-        # child's index as base + (popcount of this mask below its slot)
-        blk[0, 9] = float(intmask)
+        # base and interior-slot bitmask packed into ONE f32-exact int
+        # (the kernel derives each entered interior child's index as
+        # base + popcount(intmask below its slot)); single field so the
+        # lane-packed layout needs one scalar extraction per visit
+        blk[0, 8] = float(base * 256 + intmask)
+        blk[0, 9] = float(intmask)   # host-side debugging convenience
         rows.append((j, blk))
 
     n_wide = next_free
@@ -409,8 +411,25 @@ def collapse_wide(bvh: BVH, arity: int = 8,
     else:
         src = np.zeros(0, np.int64)
     wml = int(max((blk[:, 7].max() for _, blk in rows), default=0))
+    assert n_wide < 65536, "base*256+intmask must stay f32-exact"
     return WideBVH(table=table, n_wide=n_wide, arity=arity,
                    max_leaf=wml, depth=max_depth, src=src.astype(np.int32))
+
+
+def lane_pack_wide(table: np.ndarray, arity: int = 8) -> np.ndarray:
+    """Lane-pack the (arity*Nw, 16) wide table: 8 nodes per (8,128) VMEM
+    tile — out[8g + r, 16j + f] = node (8g + j)'s child record r, field
+    f.  True 512 B/node (the sublane-per-record layout wastes 8x on lane
+    padding); the kernel extracts a node's (8,16) block with one dynamic
+    lane roll (pltpu.roll) + static slice.  Padding nodes are zero
+    (zero-width boxes, never hit; never popped either)."""
+    n_wide = table.shape[0] // arity
+    g = (n_wide + 7) // 8
+    padded = np.zeros((g * 8 * arity, 16), table.dtype)
+    padded[:table.shape[0]] = table
+    # (g, j, r, f) -> (g, r, j, f)
+    arr = padded.reshape(g, 8, arity, 16).transpose(0, 2, 1, 3)
+    return arr.reshape(g * arity, 128)
 
 
 def validate_wide(wide: WideBVH, bvh: BVH) -> None:
@@ -422,7 +441,7 @@ def validate_wide(wide: WideBVH, bvh: BVH) -> None:
 
     def walk(j):
         blk = wide.table[A * j:A * (j + 1)]
-        base = int(blk[0, 8])
+        base = int(blk[0, 8]) // 256
         rank = 0
         node_leaf = []
         for c in range(A):

@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 from dsrt_tpu.models.materials import (DIFFUSE_LIGHT, Material,
                                        DEFAULT_MATERIAL)
-from dsrt_tpu.models.bvh_build import BVH, build_bvh, collapse_wide
+from dsrt_tpu.models.bvh_build import (BVH, build_bvh, collapse_wide,
+                                       lane_pack_wide)
 from dsrt_tpu.models.textures import TextureRegistry, make_perlin_tables
 
 # Medium boundary kinds
@@ -212,7 +213,8 @@ class Scene:
     bvh_pk8: jnp.ndarray
     tri_pk8: jnp.ndarray
     # 8-ary wide-BVH table for the fused megakernel's stack traversal:
-    # f32[8*Nw,16], child record per sublane row (see bvh_build.WideBVH)
+    # lane-packed f32[8*ceil(Nw/8),128], 8 nodes per (8,128) VMEM tile
+    # (see bvh_build.WideBVH / lane_pack_wide)
     bvh_wide: jnp.ndarray
     # spheres (inc/gpu_scene.h:50-55)
     sph_center: jnp.ndarray
@@ -541,7 +543,16 @@ class SceneBuilder:
         bvh_pk8 = _pack8(bvh_pack)
         tri_pk8 = _pack8(tri_pack)
         thr_pk8 = _pack8(thr_pack)
-        bvh_wide = wide.table
+        # dense sublane layout (8x lane padding, fastest loads) when the
+        # whole fused working set fits VMEM; lane-packed (512 B/node,
+        # one-roll extraction, ~4% slower) for big scenes.  The kernel
+        # keys the load path off the static table shape.
+        from dsrt_tpu.ops import pallas_trace as _pt
+        if (wide.table.shape[0] + tri_pack.shape[0]
+                <= _pt._VMEM_BUDGET_ROWS):
+            bvh_wide = wide.table
+        else:
+            bvh_wide = lane_pack_wide(wide.table)
         tri_shade = np.zeros((max(n_tris, 1), 16), np.float32)
         tri_shade[:, 0:3] = fn[:max(n_tris, 1)]
         tri_shade[:, 3:5] = uv0[:max(n_tris, 1)]

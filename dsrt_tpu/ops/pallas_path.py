@@ -237,13 +237,27 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
 
     def _visit_bits(node, ros, invs, clamp):
         """Load wide node `node` and box-test its 8 children against all
-        ray rows.  Returns (W (8,16), hitbits, leafbits, base) — the
-        verdict scalars pack child c at bit c."""
-        W = wide_ref[pl.ds(8 * node, 8), :]            # (8,16)
+        ray rows.  Returns (W (8,16), hitbits, leafbits, base, intmask) —
+        the verdict scalars pack child c at bit c.
+
+        Two static layouts, keyed off the table shape: dense sublane
+        rows ((8*Nw,16): direct (8,16) block + scalar field loads) and
+        lane-packed ((~Nw,128), 8 nodes per tile, bvh_build.
+        lane_pack_wide): one (8,128) tile load, a dynamic lane roll to
+        bring this node's 16-lane group to the front, a static slice,
+        and base+intmask extracted from the ONE f32-exact combo field
+        (child record 0, lane 8) with a degenerate reduce."""
+        if wide_ref.shape[1] == 128:     # lane-packed
+            grp = wide_ref[pl.ds(8 * (node // 8), 8), :]
+            W = pltpu.roll(grp, -16 * (node % 8), 1)[:, :16]
+            combo = jnp.sum(W[0:1, 8:9]).astype(jnp.int32)
+        else:                            # dense sublane rows
+            W = wide_ref[pl.ds(8 * node, 8), :]
+            combo = wide_ref[8 * node, 8].astype(jnp.int32)
         minx, miny, minz = W[:, 0:1], W[:, 1:2], W[:, 2:3]
         maxx, maxy, maxz = W[:, 3:4], W[:, 4:5], W[:, 5:6]
-        base = wide_ref[8 * node, 8].astype(jnp.int32)
-        intmask = wide_ref[8 * node, 9].astype(jnp.int32)
+        base = combo >> 8
+        intmask = combo & 255
         acc = jnp.zeros((8, TILE_W), jnp.float32)
         for r in range(n_rows):
             ivx = invs[0][r:r + 1, :]

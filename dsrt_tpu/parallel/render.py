@@ -118,6 +118,74 @@ def _render_sharded(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
     return img[:cfg.height, :cfg.width][::-1]
 
 
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "mesh"))
+def _render_fused_sharded(scene, cam: Camera, px, py, valid,
+                          cfg: RenderConfig, ty: int, tx: int, mesh: Mesh):
+    from dsrt_tpu.ops.pallas_path import trace_fused
+
+    def shard_body(px, py, valid):
+        accum, nrays = trace_fused(scene, cfg, cam, px, py, valid)
+        inv_spp = jnp.float32(1.0 / cfg.resolved_spp())
+        inv_gamma = jnp.float32(1.0 / cfg.gamma)
+
+        def tonemap(c):
+            c = c * inv_spp
+            c = jnp.maximum(c, 0.0)
+            c = jnp.minimum(c, cfg.firefly_clamp)
+            c = jnp.power(c, inv_gamma)
+            c = jnp.clip(c, 0.0, 1.0)
+            return (255.99 * c).astype(jnp.uint8)
+
+        out = jnp.stack([tonemap(accum.x), tonemap(accum.y),
+                         tonemap(accum.z)], axis=-1)
+        return out, nrays
+
+    out, nrays = shard_map(
+        shard_body, mesh=mesh,
+        in_specs=(P("dp", None), P("dp", None), P("dp", None)),
+        out_specs=(P("dp", None, None), P("dp")),
+        check_rep=False,
+    )(px, py, valid)
+    out = out[:ty * tx]
+    img = jnp.stack([lanes_to_image(out[..., c], ty, tx) for c in range(3)],
+                    axis=-1)
+    return img[:cfg.height, :cfg.width][::-1], nrays
+
+
+def render_frame_fused_sharded(scene, cam: Camera, cfg: RenderConfig,
+                               mesh: Mesh) -> np.ndarray:
+    """dp-sharded FUSED megakernel: every device runs the persistent
+    Pallas path-tracing kernel (ops/pallas_path.py) over its own pixel-
+    packet shard.  Per-pixel LCG streams are independent by construction,
+    so the result is bit-identical to the single-chip fused render.
+
+    The fused kernel owns the whole sample loop, so the mesh must be
+    dp-only (sp == 1); use render_frame_sharded for sp sharding (XLA
+    path).  Callers gate on `pallas_path.fused_supported(scene, cfg)`.
+    """
+    if mesh.shape.get("sp", 1) != 1:
+        raise ValueError("fused sharding is dp-only; build the mesh with "
+                         f"sp=1 (got sp={mesh.shape['sp']})")
+    dp = mesh.shape["dp"]
+    px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
+    k = px.shape[0]
+    k_pad = math.ceil(k / dp) * dp
+    if k_pad != k:
+        extra = k_pad - k
+        px = _pad_packets(px, k_pad)
+        py = _pad_packets(py, k_pad)
+        valid = np.concatenate(
+            [valid, np.zeros((extra, PACKET), bool)], axis=0)
+
+    dp_sharding = NamedSharding(mesh, P("dp", None))
+    pxj = jax.device_put(jnp.asarray(px), dp_sharding)
+    pyj = jax.device_put(jnp.asarray(py), dp_sharding)
+    vj = jax.device_put(jnp.asarray(valid), dp_sharding)
+    img, _ = _render_fused_sharded(scene, cam, pxj, pyj, vj, cfg, ty, tx,
+                                   mesh)
+    return np.asarray(jax.device_get(img))
+
+
 def render_frame_sharded(scene, cam: Camera, cfg: RenderConfig,
                          mesh: Mesh) -> np.ndarray:
     """Render one frame across the mesh; returns (H, W, 3) uint8."""

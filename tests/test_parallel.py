@@ -84,6 +84,39 @@ def test_spp_not_divisible_raises(setup):
                                                         devices=CPUS))
 
 
+def test_fused_sharded_matches_fused():
+    """dp-sharded fused megakernel == single-chip fused render.  Runs on
+    the real TPU (the fused kernel is a TPU path) with a dp=1 mesh —
+    exercises the shard_map + in-shard pallas_call plumbing; multi-dp
+    bit-identity follows from per-pixel stream independence (the same
+    argument the XLA dp test proves on the 8-device CPU mesh)."""
+    from dsrt_tpu.config import RenderConfig
+    from dsrt_tpu.models.mesh_gen import iss_standin_scene
+    from dsrt_tpu.ops.camera import point_camera_at
+    from dsrt_tpu.ops.pallas_path import fused_supported
+    from jax.sharding import Mesh
+
+    # undo the module's CPU pinning: this test targets the real TPU
+    OPTS.pallas = "auto"
+    try:
+        with jax.default_device(jax.devices()[0]):
+            cfg = RenderConfig(width=W, height=H, spp=2, max_depth=6)
+            scene = iss_standin_scene(detail=1)
+            if not fused_supported(scene, cfg):
+                pytest.skip("fused path needs a TPU backend")
+            from dsrt_tpu.parallel.render import render_frame_fused_sharded
+            from dsrt_tpu.render import render_frame_fused
+            cam = point_camera_at((20.0, 30.0, 95.0), (0.0, 0.0, 0.0),
+                                  vfov=cfg.vfov, width=W, height=H)
+            tpu = np.array(jax.devices()[:1]).reshape(1, 1)
+            mesh = Mesh(tpu, ("sp", "dp"))
+            img = render_frame_fused_sharded(scene, cam, cfg, mesh)
+            ref = render_frame_fused(scene, cam, cfg)
+            np.testing.assert_array_equal(img, ref)
+    finally:
+        OPTS.pallas = "off"  # module fixture's expectation for later tests
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
     fn, args = ge.entry()
