@@ -174,6 +174,18 @@ def all_configs() -> list[dict]:
                 "value": round(dt, 3), "mrays_per_sec": round(mrays, 3),
                 "rays": exact})
 
+    # --- extra: ISS at real scale (~48k tris, lane-packed wide BVH +
+    # packed tri table — the fused kernel's big-scene path) --------------
+    cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
+    scene = iss_standin_scene(detail=12)
+    cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
+                          vfov=cfg.vfov, width=800, height=450)
+    mrays, dt, exact = _fused_mrays(scene, cam, cfg)
+    out.append({"config": "iss50k_800x450_32spp",
+                "metric": "Mrays/sec/chip", "value": round(mrays, 3),
+                "n_tris": int(scene.n_tris), "rays": exact,
+                "sec_per_frame": round(dt, 3)})
+
     # --- configs[4]: volumetric + importance-sampled scene ---------------
     cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
     scene = volumetric_scene()

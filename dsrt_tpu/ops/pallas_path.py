@@ -167,6 +167,7 @@ def _cosine_hemisphere(nx, ny, nz, state, mask):
 
 STACK = 256          # wide-traversal stack bound: depth*(arity-1) << 256
 LEAF_CHAINS = 8      # independent leaf-test accumulator chains (ILP)
+STATS_ROWS = 1024    # telemetry buckets (block pid accumulates mod this)
 
 
 def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
@@ -355,11 +356,10 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
             r0a, r1a = _leaf_range(W1, lb1)
             r0b, r1b = _leaf_range(W2, lb2)
 
-            def tri_test(row, guard, st):
+            def mt_update(fields, guard, st):
                 cl, m, nx_, ny_, nz_ = st
                 (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, mat_f,
-                 fnx, fny, fnz) = _load_many(tri_ref, row, range(13),
-                                             packed)
+                 fnx, fny, fnz) = fields
                 pvx = dy * e2z - dz * e2y
                 pvy = dz * e2x - dx * e2z
                 pvz = dx * e2y - dy * e2x
@@ -385,6 +385,10 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                 nz_ = jnp.where(ok, fnz, nz_)
                 return cl, m, nx_, ny_, nz_
 
+            def tri_test(row, guard, st):
+                return mt_update(_load_many(tri_ref, row, range(13),
+                                            packed), guard, st)
+
             def run_chains(a, r0, r1):
                 # LEAF_CHAINS independent accumulator chains (strided
                 # rows) so the per-tri load->test->select serial chains
@@ -396,20 +400,41 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                 closest, bm, bnx, bny, bnz = a
                 G = LEAF_CHAINS
 
-                def leaf_bodyG(k, sts):
-                    i0_ = r0 + G * k
-                    out = []
-                    for g in range(G):
-                        ig = i0_ + g
-                        guard = True if g == 0 else ig < r1
-                        out.append(tri_test(
-                            jnp.minimum(ig, max_tri_row), guard, sts[g]))
-                    return tuple(out)
+                if packed and G == 8:
+                    # Phase-aligned chains: chain g tests tris = g mod 8,
+                    # so its pk8 lane offset (16g + field) is STATIC and
+                    # every field is a direct scalar load (dynamic
+                    # sublane, static lane) — no mask-reduce extraction.
+                    # The up-to-7 boundary extras per side are real
+                    # triangles (harmless, the gap-leaf argument) or
+                    # zero padding records (det == 0, rejected).
+                    b0 = r0 // 8
+                    nit = (r1 + 7) // 8 - b0
+                    last_row = tri_ref.shape[0] - 1
+
+                    def leaf_bodyG(k, sts):
+                        row = jnp.minimum(b0 + k, last_row)
+                        return tuple(
+                            mt_update([tri_ref[row, 16 * g + c]
+                                       for c in range(13)], True, sts[g])
+                            for g in range(G))
+                else:
+                    nit = (r1 - r0 + G - 1) // G
+
+                    def leaf_bodyG(k, sts):
+                        i0_ = r0 + G * k
+                        out = []
+                        for g in range(G):
+                            ig = i0_ + g
+                            guard = True if g == 0 else ig < r1
+                            out.append(tri_test(
+                                jnp.minimum(ig, max_tri_row), guard,
+                                sts[g]))
+                        return tuple(out)
 
                 init = ((closest, bm, bnx, bny, bnz),) + tuple(
                     (closest, i0, f0, f0, f0) for _ in range(G - 1))
-                sts = lax.fori_loop(0, (r1 - r0 + G - 1) // G,
-                                    leaf_bodyG, init)
+                sts = lax.fori_loop(0, nit, leaf_bodyG, init)
                 cl, m, nx_, ny_, nz_ = sts[0]
                 for g in range(1, G):
                     clg, mg, nxg, nyg, nzg = sts[g]
@@ -479,10 +504,9 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
             r0a, r1a = _leaf_range(W1, lb1)
             r0b, r1b = _leaf_range(W2, lb2)
 
-            def tri_test(row, guard, st):
+            def mt_update(fields, guard, st):
                 sc, blocked = st
-                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y,
-                 e2z) = _load_many(tri_ref, row, range(9), packed)
+                (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z) = fields
                 pvx = sdy * e2z - sdz * e2y   # scalar
                 pvy = sdz * e2x - sdx * e2z
                 pvz = sdx * e2y - sdy * e2x
@@ -505,25 +529,44 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                 blocked = jnp.where(ok, 1.0, blocked)
                 return sc, blocked
 
+            def tri_test(row, guard, st):
+                return mt_update(_load_many(tri_ref, row, range(9),
+                                            packed), guard, st)
+
             def run_chains(a, r0, r1):
-                # strided multi-chain (see _closest_hit.run_chains)
+                # strided multi-chain (see _closest_hit.run_chains),
+                # phase-aligned static-lane loads in packed mode
                 G = LEAF_CHAINS
 
-                def leaf_bodyG(k, sts):
-                    i0_ = r0 + G * k
-                    out = []
-                    for g in range(G):
-                        ig = i0_ + g
-                        guard = True if g == 0 else ig < r1
-                        out.append(tri_test(
-                            jnp.minimum(ig, max_tri_row), guard, sts[g]))
-                    return tuple(out)
+                if packed and G == 8:
+                    b0 = r0 // 8
+                    nit = (r1 + 7) // 8 - b0
+                    last_row = tri_ref.shape[0] - 1
+
+                    def leaf_bodyG(k, sts):
+                        row = jnp.minimum(b0 + k, last_row)
+                        return tuple(
+                            mt_update([tri_ref[row, 16 * g + c]
+                                       for c in range(9)], True, sts[g])
+                            for g in range(G))
+                else:
+                    nit = (r1 - r0 + G - 1) // G
+
+                    def leaf_bodyG(k, sts):
+                        i0_ = r0 + G * k
+                        out = []
+                        for g in range(G):
+                            ig = i0_ + g
+                            guard = True if g == 0 else ig < r1
+                            out.append(tri_test(
+                                jnp.minimum(ig, max_tri_row), guard,
+                                sts[g]))
+                        return tuple(out)
 
                 sc, blocked = a
                 init = ((sc, blocked),) + tuple(
                     (sc, f0) for _ in range(G - 1))
-                sts = lax.fori_loop(0, (r1 - r0 + G - 1) // G,
-                                    leaf_bodyG, init)
+                sts = lax.fori_loop(0, nit, leaf_bodyG, init)
                 scm, blk = sts[0]
                 for g in range(1, G):
                     scm = jnp.minimum(scm, sts[g][0])
@@ -758,15 +801,21 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
     acc_r_ref[...] = out[0]
     acc_g_ref[...] = out[1]
     acc_b_ref[...] = out[2]
+    # Stats land in a bucketed (min(n_blocks, STATS_ROWS), 6) SMEM table
+    # (block pid accumulates into row pid % rows): a full per-block SMEM
+    # output overflows scoped memory at 1080p block_h=8 (16200 blocks),
+    # and Pallas disallows sub-(8,128) blocked SMEM windows.  Buckets
+    # stay far from i32 overflow (callers still sum in int64).
+    # Telemetry per bucket: [rays, waves, chit visits, chit tri-tests,
+    # sun visits, sun tri-tests] — exact, drives bench + perf triage.
     pid = pl.program_id(0)
-    nray_ref[pid, 0] = out[13]
-    nray_ref[pid, 1] = out[14]
-    # exact per-block traversal telemetry: closest-hit node visits / leaf
-    # triangle tests, sun-shadow node visits / tests (drives perf triage)
-    nray_ref[pid, 2] = out[15][0]
-    nray_ref[pid, 3] = out[15][1]
-    nray_ref[pid, 4] = out[15][2]
-    nray_ref[pid, 5] = out[15][3]
+    rows = nray_ref.shape[0]
+    row = pid % rows
+    first = pid < rows
+    vals = (out[13], out[14], out[15][0], out[15][1], out[15][2],
+            out[15][3])
+    for c, v in enumerate(vals):
+        nray_ref[row, c] = jnp.where(first, v, nray_ref[row, c] + v)
 
 
 @partial(jax.jit, static_argnames=("n_mats",
@@ -802,7 +851,8 @@ def _run_path(wide_tab, tri_tab, mat_pack, cam_vec, sun_vec, spp_vec,
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            jax.ShapeDtypeStruct((n_blocks, 6), jnp.int32),
+            jax.ShapeDtypeStruct((min(n_blocks, STATS_ROWS), 6),
+                                 jnp.int32),
         ),
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         cost_estimate=pl.CostEstimate(flops=flops_est,
@@ -816,10 +866,10 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
     """Render `spp` samples for every (K, P) lane pixel in one kernel.
 
     Returns (accum V3 (K, P) — sum over samples of clamp01(L) — and the
-    exact PER-BLOCK scene-intersection ray counts, an i32 vector to be
-    summed in int64 host-side); with `return_stats` also the full
-    per-block (nrays, waves, chit_visits, chit_tritests, sun_visits,
-    sun_tritests) i32 table.
+    exact BUCKETED scene-intersection ray counts (block pid accumulates
+    into row pid % STATS_ROWS), an i32 vector to be summed in int64
+    host-side); with `return_stats` also the full bucketed (nrays,
+    waves, chit_visits, chit_tritests, sun_visits, sun_tritests) table.
     """
     K, P = px.shape
     assert P == TILE_H * TILE_W, P
