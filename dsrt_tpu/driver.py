@@ -247,8 +247,8 @@ def run(args) -> int:
             if args.shard_sp == 1 and fused_supported(frame_scene, cfg):
                 # dp-only: every chip runs the fused megakernel on its
                 # pixel shard (bit-identical to single-chip)
-                img = render_frame_fused_sharded(frame_scene, cam, cfg,
-                                                 mesh)
+                img, nrays = render_frame_fused_sharded(
+                    frame_scene, cam, cfg, mesh, with_count=True)
             else:
                 img = render_frame_sharded(frame_scene, cam, cfg, mesh)
         else:

@@ -153,7 +153,7 @@ def _render_fused_sharded(scene, cam: Camera, px, py, valid,
 
 
 def render_frame_fused_sharded(scene, cam: Camera, cfg: RenderConfig,
-                               mesh: Mesh) -> np.ndarray:
+                               mesh: Mesh, with_count: bool = False):
     """dp-sharded FUSED megakernel: every device runs the persistent
     Pallas path-tracing kernel (ops/pallas_path.py) over its own pixel-
     packet shard.  Per-pixel LCG streams are independent by construction,
@@ -181,9 +181,14 @@ def render_frame_fused_sharded(scene, cam: Camera, cfg: RenderConfig,
     pxj = jax.device_put(jnp.asarray(px), dp_sharding)
     pyj = jax.device_put(jnp.asarray(py), dp_sharding)
     vj = jax.device_put(jnp.asarray(valid), dp_sharding)
-    img, _ = _render_fused_sharded(scene, cam, pxj, pyj, vj, cfg, ty, tx,
-                                   mesh)
-    return np.asarray(jax.device_get(img))
+    img, nrays = _render_fused_sharded(scene, cam, pxj, pyj, vj, cfg, ty,
+                                       tx, mesh)
+    img = np.asarray(jax.device_get(img))
+    if with_count:
+        # exact in-kernel counts, bucketed per shard; int64 host sum
+        return img, int(np.asarray(jax.device_get(nrays),
+                                   np.int64).sum())
+    return img
 
 
 def render_frame_sharded(scene, cam: Camera, cfg: RenderConfig,
