@@ -167,6 +167,7 @@ def _cosine_hemisphere(nx, ny, nz, state, mask):
 
 STACK = 256          # wide-traversal stack bound: depth*(arity-1) << 256
 LEAF_CHAINS = 8      # independent leaf-test accumulator chains (ILP)
+POPS = 3             # traversal visits per loop iteration (ILP)
 STATS_ROWS = 1024    # telemetry buckets (block pid accumulates mod this)
 
 
@@ -314,6 +315,35 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
             stack_ref[idx] = base + irank
         return sp + npush
 
+    def _multi_pop_visit(sp, ros, invs, clamp):
+        """Pop up to POPS nodes, box-test each (independent chains, the
+        VLIW scheduler overlaps them), push all entered interior
+        children (later pops' children pushed first so the preorder-
+        earliest node's children pop next).  When the stack holds fewer
+        entries, the clamped reads return stale slots (always valid node
+        ids — every written slot held one) and their verdict bits are
+        masked to zero.  Returns (sp, [(r0, r1)], npop, [leafbits])."""
+        nodes, valids = [], []
+        for p in range(POPS):
+            nodes.append(stack_ref[jnp.maximum(sp - 1 - p, 0)])
+            valids.append(None if p == 0 else (sp >= p + 1))
+        npop = jnp.int32(1)
+        for p in range(1, POPS):
+            npop = npop + valids[p].astype(jnp.int32)
+        sp = sp - npop
+        outs = []
+        for p in range(POPS):
+            W, hb, lb, base, im = _visit_bits(nodes[p], ros, invs, clamp)
+            if p > 0:
+                hb = jnp.where(valids[p], hb, 0)
+                lb = jnp.where(valids[p], lb, 0)
+            outs.append((W, hb, lb, base, im))
+        for p in range(POPS - 1, -1, -1):
+            W, hb, lb, base, im = outs[p]
+            sp = _push_children(sp, hb, lb, base, im)
+        ranges = [_leaf_range(o[0], o[2]) for o in outs]
+        return sp, ranges, npop, [o[2] for o in outs]
+
     def _closest_hit(ox, oy, oz, dx, dy, dz, act):
         """Wide-stack closest hit.  Returns (hitmask f32, t, mat i32,
         n(3) face-flipped, front f32, node-visit count, tri-test count).
@@ -334,27 +364,8 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
 
         def body(c):
             sp, closest, bm, bnx, bny, bnz, nv, nt = c
-            # Dual pop: two independent visit chains per iteration — the
-            # two nodes' scalar loads, vector box tests, and verdict
-            # reduces overlap in the VLIW schedule.  When only one entry
-            # is on the stack, the clamped second read returns a stale
-            # slot (always a valid node id — every written slot held
-            # one), and its verdict bits are masked to zero.
-            n1 = stack_ref[sp - 1]
-            two = sp >= 2
-            n2 = stack_ref[jnp.maximum(sp - 2, 0)]
-            sp = sp - jnp.where(two, 2, 1)
-            W1, hb1, lb1, base1, im1 = _visit_bits(n1, ros, invs, closest)
-            W2, hb2, lb2, base2, im2 = _visit_bits(n2, ros, invs, closest)
-            hb2 = jnp.where(two, hb2, 0)
-            lb2 = jnp.where(two, lb2, 0)
-            # n2's children pushed first so n1's (preorder-earlier) pop
-            # first; n2 itself is visited before n1's children, a benign
-            # order change (ties + pruning efficiency only)
-            sp = _push_children(sp, hb2, lb2, base2, im2)
-            sp = _push_children(sp, hb1, lb1, base1, im1)
-            r0a, r1a = _leaf_range(W1, lb1)
-            r0b, r1b = _leaf_range(W2, lb2)
+            sp, ranges, npop, lbs = _multi_pop_visit(sp, ros, invs,
+                                                     closest)
 
             def mt_update(fields, guard, st):
                 cl, m, nx_, ny_, nz_ = st
@@ -448,15 +459,19 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
 
             def leaf_branch(a):
                 # an un-entered range is empty (r0 == r1): zero-trip fori
-                a = run_chains(a, r0a, r1a)
-                return run_chains(a, r0b, r1b)
+                for r0, r1 in ranges:
+                    a = run_chains(a, r0, r1)
+                return a
 
+            anylb = lbs[0]
+            for lb in lbs[1:]:
+                anylb = anylb | lb
             closest, bm, bnx, bny, bnz = lax.cond(
-                (lb1 | lb2) != 0, leaf_branch, lambda a: a,
+                anylb != 0, leaf_branch, lambda a: a,
                 (closest, bm, bnx, bny, bnz))
-            nv = nv + 1 + two.astype(jnp.int32)
-            nt = (nt + jnp.where(lb1 != 0, r1a - r0a, 0)
-                  + jnp.where(lb2 != 0, r1b - r0b, 0))
+            nv = nv + npop
+            for (r0, r1), lb in zip(ranges, lbs):
+                nt = nt + jnp.where(lb != 0, r1 - r0, 0)
             return sp, closest, bm, bnx, bny, bnz, nv, nt
 
         (_, closest, bm, bnx, bny, bnz, nv, nt) = lax.while_loop(
@@ -490,19 +505,7 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
 
         def body(c):
             sp, sc, blocked, nv, nt = c
-            # dual pop (see _closest_hit.body)
-            n1 = stack_ref[sp - 1]
-            two = sp >= 2
-            n2 = stack_ref[jnp.maximum(sp - 2, 0)]
-            sp = sp - jnp.where(two, 2, 1)
-            W1, hb1, lb1, base1, im1 = _visit_bits(n1, ros, invs, sc)
-            W2, hb2, lb2, base2, im2 = _visit_bits(n2, ros, invs, sc)
-            hb2 = jnp.where(two, hb2, 0)
-            lb2 = jnp.where(two, lb2, 0)
-            sp = _push_children(sp, hb2, lb2, base2, im2)
-            sp = _push_children(sp, hb1, lb1, base1, im1)
-            r0a, r1a = _leaf_range(W1, lb1)
-            r0b, r1b = _leaf_range(W2, lb2)
+            sp, ranges, npop, lbs = _multi_pop_visit(sp, ros, invs, sc)
 
             def mt_update(fields, guard, st):
                 sc, blocked = st
@@ -574,14 +577,18 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                 return scm, blk
 
             def leaf_branch(a):
-                a = run_chains(a, r0a, r1a)
-                return run_chains(a, r0b, r1b)
+                for r0, r1 in ranges:
+                    a = run_chains(a, r0, r1)
+                return a
 
-            sc, blocked = lax.cond((lb1 | lb2) != 0, leaf_branch,
+            anylb = lbs[0]
+            for lb in lbs[1:]:
+                anylb = anylb | lb
+            sc, blocked = lax.cond(anylb != 0, leaf_branch,
                                    lambda a: a, (sc, blocked))
-            nv = nv + 1 + two.astype(jnp.int32)
-            nt = (nt + jnp.where(lb1 != 0, r1a - r0a, 0)
-                  + jnp.where(lb2 != 0, r1b - r0b, 0))
+            nv = nv + npop
+            for (r0, r1), lb in zip(ranges, lbs):
+                nt = nt + jnp.where(lb != 0, r1 - r0, 0)
             # park once every potential receiver is occluded
             open_lanes = jnp.any(sc > tmin_f)
             sp = jnp.where(open_lanes, sp, 0)
