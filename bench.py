@@ -146,11 +146,15 @@ def all_configs() -> list[dict]:
 
     # --- configs[1]: RTiOW 3-sphere smoke, 400x225 @ 64 spp -------------
     from dsrt_tpu.models.presets import rtiow_smoke_scene, volumetric_scene
+    from dsrt_tpu.render import fused_kind
     cfg = RenderConfig(width=400, height=225, spp=64, max_depth=50)
     scene = rtiow_smoke_scene()
     cam = make_camera((0, 0.6, 2.0), (0, 0, -1), vfov=50,
                       width=400, height=225)
-    mrays, dt, exact = _wavefront_mrays(scene, cam, cfg)
+    if fused_kind(scene, cfg):
+        mrays, dt, exact = _fused_mrays(scene, cam, cfg)
+    else:
+        mrays, dt, exact = _wavefront_mrays(scene, cam, cfg)
     out.append({"config": "rtiow_400x225_64spp", "metric": "Mrays/sec/chip",
                 "value": round(mrays, 3), "rays": exact,
                 "sec_per_frame": round(dt, 3)})
@@ -191,7 +195,10 @@ def all_configs() -> list[dict]:
     scene = volumetric_scene()
     cam = make_camera((0, 0.6, 2.0), (0, 0, -1), vfov=50,
                       width=800, height=450)
-    mrays, dt, exact = _wavefront_mrays(scene, cam, cfg)
+    if fused_kind(scene, cfg):
+        mrays, dt, exact = _fused_mrays(scene, cam, cfg)
+    else:
+        mrays, dt, exact = _wavefront_mrays(scene, cam, cfg)
     out.append({"config": "volumetric_800x450_32spp",
                 "metric": "Mrays/sec/chip", "value": round(mrays, 3),
                 "rays": exact, "sec_per_frame": round(dt, 3)})

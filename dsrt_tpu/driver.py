@@ -239,12 +239,12 @@ def run(args) -> int:
             img = render_frame_debug(frame_scene, cam, cfg)
         elif args.shard:
             import jax as _jax
-            from dsrt_tpu.ops.pallas_path import fused_supported
+            from dsrt_tpu.render import fused_kind
             from dsrt_tpu.parallel.mesh import make_mesh
             from dsrt_tpu.parallel.render import (render_frame_sharded,
                                                   render_frame_fused_sharded)
             mesh = make_mesh(len(_jax.devices()), sp=args.shard_sp)
-            if args.shard_sp == 1 and fused_supported(frame_scene, cfg):
+            if args.shard_sp == 1 and fused_kind(frame_scene, cfg):
                 # dp-only: every chip runs the fused megakernel on its
                 # pixel shard (bit-identical to single-chip)
                 img, nrays = render_frame_fused_sharded(
@@ -254,8 +254,8 @@ def run(args) -> int:
         else:
             mode = args.mode
             if mode in ("auto", "fused"):
-                from dsrt_tpu.ops.pallas_path import fused_supported
-                if fused_supported(frame_scene, cfg):
+                from dsrt_tpu.render import fused_kind
+                if fused_kind(frame_scene, cfg) is not None:
                     mode = "fused"
                 elif mode == "fused":
                     print("  fused mode unsupported for this scene; "

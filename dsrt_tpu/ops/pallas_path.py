@@ -896,8 +896,13 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
 
     # Ldir = normalize(-sun_dir): the verbatim negation quirk
     # (src/gpu_render.cu:802-806)
-    sd = -scene.sun_dir
-    sd = sd / jnp.maximum(jnp.linalg.norm(sd), 1e-30)
+    sd = (-scene.sun_dir).astype(jnp.float32)
+    # bit-identical to ops/linalg.normalize (reciprocal-multiply, not
+    # divide): the parity renderer computes sdir in-trace with that
+    # formula, and media shadow verdicts are ULP-sensitive to it
+    l2 = jnp.sum(sd * sd)
+    sd = sd * jnp.where(l2 > 0.0, 1.0 / jnp.sqrt(jnp.maximum(l2, 1e-38)),
+                        0.0)
     sun_vec = jnp.concatenate([
         sd.astype(jnp.float32), scene.sun_radiance.astype(jnp.float32),
         jnp.array([cfg.shadow_bias, 0.0], jnp.float32)])

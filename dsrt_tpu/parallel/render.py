@@ -121,10 +121,14 @@ def _render_sharded(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
 @partial(jax.jit, static_argnames=("cfg", "ty", "tx", "mesh"))
 def _render_fused_sharded(scene, cam: Camera, px, py, valid,
                           cfg: RenderConfig, ty: int, tx: int, mesh: Mesh):
-    from dsrt_tpu.ops.pallas_path import trace_fused
-
     def shard_body(px, py, valid):
-        accum, nrays = trace_fused(scene, cfg, cam, px, py, valid)
+        if scene.n_tris > 0:
+            from dsrt_tpu.ops.pallas_path import trace_fused
+            accum, nrays = trace_fused(scene, cfg, cam, px, py, valid)
+        else:
+            from dsrt_tpu.ops.pallas_sphere import trace_fused_spheres
+            accum, nrays = trace_fused_spheres(scene, cfg, cam, px, py,
+                                               valid)
         inv_spp = jnp.float32(1.0 / cfg.resolved_spp())
         inv_gamma = jnp.float32(1.0 / cfg.gamma)
 

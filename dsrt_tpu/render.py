@@ -179,11 +179,29 @@ def render_frame_fused(scene, cam: Camera, cfg: RenderConfig,
     return img
 
 
+def fused_kind(scene, cfg) -> str | None:
+    """Which fused megakernel covers this scene: 'tri'
+    (ops/pallas_path.py), 'sphere' (ops/pallas_sphere.py), or None."""
+    from dsrt_tpu.ops.pallas_path import fused_supported
+    from dsrt_tpu.ops.pallas_sphere import sphere_fused_supported
+    if fused_supported(scene, cfg):
+        return "tri"
+    if sphere_fused_supported(scene, cfg):
+        return "sphere"
+    return None
+
+
 @partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
 def _render_fused(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
                   ty: int, tx: int):
-    from dsrt_tpu.ops.pallas_path import trace_fused
-    accum, nrays = trace_fused(scene, cfg, cam, px, py, valid)
+    # n_tris is scene META (static under jit): tri scenes take the
+    # wide-BVH megakernel, sphere scenes its sibling
+    if scene.n_tris > 0:
+        from dsrt_tpu.ops.pallas_path import trace_fused
+        accum, nrays = trace_fused(scene, cfg, cam, px, py, valid)
+    else:
+        from dsrt_tpu.ops.pallas_sphere import trace_fused_spheres
+        accum, nrays = trace_fused_spheres(scene, cfg, cam, px, py, valid)
     inv_spp = jnp.float32(1.0 / cfg.resolved_spp())
     inv_gamma = jnp.float32(1.0 / cfg.gamma)
 
