@@ -42,8 +42,13 @@ DETAIL = 4      # ~5.8k-triangle stand-in (ISS OBJ is tens of thousands)
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _run_fused(scene, cfg, cam, px, py, valid):
-    from dsrt_tpu.ops.pallas_path import trace_fused
-    return trace_fused(scene, cfg, cam, px, py, valid)
+    # n_tris is scene meta (static): tri scenes take the wide-BVH
+    # megakernel, sphere scenes the sibling (ops/pallas_sphere.py)
+    if scene.n_tris > 0:
+        from dsrt_tpu.ops.pallas_path import trace_fused
+        return trace_fused(scene, cfg, cam, px, py, valid)
+    from dsrt_tpu.ops.pallas_sphere import trace_fused_spheres
+    return trace_fused_spheres(scene, cfg, cam, px, py, valid)
 
 
 def _fused_mrays(scene, cam, cfg, reps: int = 1):

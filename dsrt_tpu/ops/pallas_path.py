@@ -26,8 +26,10 @@ oracle.
 
 Scope (see `fused_supported`): triangle scenes with the directional sun
 and lambertian/metal/dielectric/diffuse-light materials — the flagship
-ISS pipeline.  Sphere lights, media, and image/procedural textures fall
-back to the split wavefront path.
+ISS pipeline.  Sphere scenes (with media, procedural textures, and
+sphere area lights) have their own sibling megakernel
+(ops/pallas_sphere.py); mixed tri+sphere/quad scenes fall back to the
+split wavefront path.
 """
 
 from __future__ import annotations
