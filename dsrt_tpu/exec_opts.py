@@ -30,11 +30,16 @@ class ExecOptions:
     # (the 8-child box test scales with rows); 8 measured best on v5e
     # with the dual-pop wide traversal (67.7 vs 66.9 at 16, 47.9 at 32).
     block_h: int = 8
-    # (Removed knobs, kept as measured findings: `ordered` front-to-back
-    # thread-table descent was net-neutral vs canonical preorder on the
-    # ISS scene; `cursors` multi-cursor interleaving never overlapped in
-    # Mosaic.  Both are superseded by the wide-BVH stack traversal in
-    # ops/pallas_path.py — 8 child box tests per serial visit.)
+    # Front-to-back (ordered) pushes in the wide-BVH stack traversal:
+    # per-octant precomputed child permutations (bvh_build.collapse_wide)
+    # make pops run near-first, so an early hit prunes far siblings.
+    # Ordering only changes visit order, never the result (up to exact
+    # t-ties).  Measured on v5e: NET-NEGATIVE on both benchmark scenes
+    # (ISS 5.8k: 69.9 vs 72.7; ISS 47.7k: 27.0 vs 28.4 Mrays/s) — the
+    # permutation walk + per-wave octant reduces cost more than the
+    # early-out saves, same verdict as the binary kernel's thread-table
+    # experiment.  Kept as an opt-in for hit-dominated close-up scenes.
+    ordered: bool = False
     # Sort rays by direction octant before the split-pipeline traversal
     # kernel.  Off by default: XLA's gather/scatter lowering makes the
     # global reorder cost (~25 ms/wave at 1.6M lanes) exceed the

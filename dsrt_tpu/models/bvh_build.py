@@ -377,7 +377,36 @@ def collapse_wide(bvh: BVH, arity: int = 8,
         # base + popcount(intmask below its slot)); single field so the
         # lane-packed layout needs one scalar extraction per visit
         blk[0, 8] = float(base * 256 + intmask)
-        blk[0, 9] = float(intmask)   # host-side debugging convenience
+        # prank: 3-bit packed rank-among-interior-slots per slot (the
+        # ordered push loop needs rank by slot id without popcounts)
+        prank = 0
+        rk = 0
+        int_slots, non_int = [], []
+        for c in range(arity):
+            if (intmask >> c) & 1:
+                prank |= rk << (3 * c)
+                rk += 1
+                int_slots.append(c)
+            else:
+                non_int.append(c)
+        blk[0, 9] = float(prank)
+        # per-octant far-to-near permutation of the interior slots
+        # (3-bit slot ids; ray-direction octant o has sign bit a set when
+        # component a is negative, so the representative direction is
+        # s_a = 1 - 2*((o >> a) & 1)); pads with a non-interior slot
+        # (never entered as interior) when fewer than 8 interior children
+        centers = 0.5 * (blk[:, 0:3] + blk[:, 3:6])
+        pad_slot = non_int[0] if non_int else 0
+        for o in range(arity):
+            sv = np.array([1.0 - 2.0 * ((o >> a) & 1) for a in range(3)],
+                          np.float32)
+            order = sorted(int_slots,
+                           key=lambda c: -float(centers[c] @ sv))
+            perm = 0
+            for jj in range(arity):
+                c = order[jj] if jj < len(order) else pad_slot
+                perm |= c << (3 * jj)
+            blk[o, 10] = float(perm)
         rows.append((j, blk))
 
     n_wide = next_free

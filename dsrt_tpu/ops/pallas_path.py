@@ -179,7 +179,7 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                  *, n_mats: int,
                  max_depth: int, width: int, height: int, seed: int,
                  rr_start: int, rr_max_p: float, t_min: float, t_max: float,
-                 sun_on: bool, packed: bool):
+                 sun_on: bool, packed: bool, ordered: bool):
     pxf = px_ref[...].astype(jnp.float32)
     pyf = py_ref[...].astype(jnp.float32)
     valid = valid_ref[...] > 0
@@ -286,6 +286,20 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         leafbits = jnp.sum(jnp.where(nodehit & leafc, pow2_col, 0))
         return W, hitbits, leafbits, base, intmask
 
+    def _node_order(W, node, octant):
+        """(prank, perm) packed scalars for the ordered push: prank is
+        the 3-bit rank-among-interior-slots per slot; perm the octant's
+        far-to-near 3-bit slot permutation (bvh_build.collapse_wide)."""
+        if wide_ref.shape[1] == 128:     # lane-packed: reduce from W
+            prank = jnp.sum(W[0:1, 9:10]).astype(jnp.int32)
+            row_io = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+            perm = jnp.sum(jnp.where(row_io == octant, W[:, 10:11], 0.0)
+                           ).astype(jnp.int32)
+        else:
+            prank = wide_ref[8 * node, 9].astype(jnp.int32)
+            perm = wide_ref[8 * node + octant, 10].astype(jnp.int32)
+        return prank, perm
+
     def _leaf_range(W, leafbits):
         """Union tri range [r0, r1) over entered leaf children."""
         lmask = (pow2_col & leafbits) > 0
@@ -317,14 +331,32 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
             stack_ref[idx] = base + irank
         return sp + npush
 
-    def _multi_pop_visit(sp, ros, invs, clamp):
+    def _push_children_ordered(sp, hitbits, leafbits, intmask, base,
+                               prank, perm):
+        """Ordered push: walk the octant's far-to-near slot permutation,
+        pushing entered interior children so pops run NEAR-first —
+        early closest shrink then prunes far siblings' subtrees."""
+        intbits = hitbits & ~leafbits & intmask
+        np_ = jnp.int32(0)
+        for jj in range(8):
+            c = (perm >> (3 * jj)) & 7
+            bc = (intbits >> c) & 1
+            pr = (prank >> (3 * c)) & 7
+            idx = jnp.where(bc > 0, sp + np_, STACK - 1)
+            stack_ref[idx] = base + pr
+            np_ = np_ + bc
+        return sp + np_
+
+    def _multi_pop_visit(sp, ros, invs, clamp, octant=None):
         """Pop up to POPS nodes, box-test each (independent chains, the
         VLIW scheduler overlaps them), push all entered interior
         children (later pops' children pushed first so the preorder-
         earliest node's children pop next).  When the stack holds fewer
         entries, the clamped reads return stale slots (always valid node
         ids — every written slot held one) and their verdict bits are
-        masked to zero.  Returns (sp, [(r0, r1)], npop, [leafbits])."""
+        masked to zero.  With `octant`, pushes run far-to-near along
+        that direction octant instead of slot order (ordered descent).
+        Returns (sp, [(r0, r1)], npop, [leafbits])."""
         nodes, valids = [], []
         for p in range(POPS):
             nodes.append(stack_ref[jnp.maximum(sp - 1 - p, 0)])
@@ -339,10 +371,18 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
             if p > 0:
                 hb = jnp.where(valids[p], hb, 0)
                 lb = jnp.where(valids[p], lb, 0)
-            outs.append((W, hb, lb, base, im))
+            if octant is not None:
+                prank, perm = _node_order(W, nodes[p], octant)
+            else:
+                prank = perm = None
+            outs.append((W, hb, lb, base, im, prank, perm))
         for p in range(POPS - 1, -1, -1):
-            W, hb, lb, base, im = outs[p]
-            sp = _push_children(sp, hb, lb, base, im)
+            W, hb, lb, base, im, prank, perm = outs[p]
+            if octant is not None:
+                sp = _push_children_ordered(sp, hb, lb, im, base, prank,
+                                            perm)
+            else:
+                sp = _push_children(sp, hb, lb, base, im)
         ranges = [_leaf_range(o[0], o[2]) for o in outs]
         return sp, ranges, npop, [o[2] for o in outs]
 
@@ -358,6 +398,19 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         invs = (inv_dx, inv_dy, inv_dz)
         closest0 = jnp.where(act, tmax_f, tmin_f)
 
+        if ordered:
+            # block-majority direction octant (any octant is CORRECT —
+            # ordering only changes visit order); 3 reduces per wave
+            actf = jnp.where(act, 1.0, 0.0)
+            half = 0.5 * jnp.maximum(jnp.sum(actf), 1.0)
+            bx = jnp.sum(jnp.where(act & (dx < 0.0), 1.0, 0.0)) > half
+            by = jnp.sum(jnp.where(act & (dy < 0.0), 1.0, 0.0)) > half
+            bz = jnp.sum(jnp.where(act & (dz < 0.0), 1.0, 0.0)) > half
+            octant = (bx.astype(jnp.int32) + 2 * by.astype(jnp.int32)
+                      + 4 * bz.astype(jnp.int32))
+        else:
+            octant = None
+
         stack_ref[0] = jnp.int32(0)
         sp0 = jnp.where(jnp.any(act), jnp.int32(1), jnp.int32(0))
 
@@ -367,7 +420,7 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         def body(c):
             sp, closest, bm, bnx, bny, bnz, nv, nt = c
             sp, ranges, npop, lbs = _multi_pop_visit(sp, ros, invs,
-                                                     closest)
+                                                     closest, octant)
 
             def mt_update(fields, guard, st):
                 cl, m, nx_, ny_, nz_ = st
@@ -499,6 +552,14 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         invs = (inv_sx * ones, inv_sy * ones, inv_sz * ones)
         sc0 = jnp.where(pot, tmax_f, tmin_f)
 
+        if ordered:
+            # uniform direction: octant from scalar signs, zero reduces
+            octant = ((sdx < 0.0).astype(jnp.int32)
+                      + 2 * (sdy < 0.0).astype(jnp.int32)
+                      + 4 * (sdz < 0.0).astype(jnp.int32))
+        else:
+            octant = None
+
         stack_ref[0] = jnp.int32(0)
         sp0 = jnp.where(jnp.any(pot), jnp.int32(1), jnp.int32(0))
 
@@ -507,7 +568,8 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
 
         def body(c):
             sp, sc, blocked, nv, nt = c
-            sp, ranges, npop, lbs = _multi_pop_visit(sp, ros, invs, sc)
+            sp, ranges, npop, lbs = _multi_pop_visit(sp, ros, invs, sc,
+                                                     octant)
 
             def mt_update(fields, guard, st):
                 sc, blocked = st
@@ -830,18 +892,20 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
 @partial(jax.jit, static_argnames=("n_mats",
                                    "max_depth", "width", "height", "seed",
                                    "rr_start", "rr_max_p", "t_min", "t_max",
-                                   "sun_on", "packed", "k", "block_h"))
+                                   "sun_on", "packed", "k", "block_h",
+                                   "ordered"))
 def _run_path(wide_tab, tri_tab, mat_pack, cam_vec, sun_vec, spp_vec,
               px, py, valid,
               n_mats: int,
               max_depth: int, width: int, height: int, seed: int,
               rr_start: int, rr_max_p: float, t_min: float, t_max: float,
-              sun_on: bool, packed: bool, k: int, block_h: int):
+              sun_on: bool, packed: bool, k: int, block_h: int,
+              ordered: bool):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
                    rr_max_p=rr_max_p, t_min=t_min, t_max=t_max,
-                   sun_on=sun_on, packed=packed)
+                   sun_on=sun_on, packed=packed, ordered=ordered)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -923,7 +987,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         height=cam.height, seed=scene.seed, rr_start=cfg.rr_start_depth,
         rr_max_p=float(cfg.rr_max_p), t_min=float(cfg.hit_eps),
         t_max=float(cfg.hit_tmax), sun_on=bool(scene.sun_enabled),
-        packed=packed, k=Kp, block_h=block_h)
+        packed=packed, k=Kp, block_h=block_h,
+        ordered=bool(_OPTS.ordered))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]
