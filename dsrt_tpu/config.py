@@ -62,6 +62,13 @@ class RenderConfig:
     shadow_bias: float = 1e-3
     background: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     sun: SunConfig = dataclasses.field(default_factory=SunConfig)
+    # Camera shutter interval for motion blur (the book's camera time
+    # sampling; the reference's CPU scene graph stores a moving-sphere
+    # center ray, inc/sphere.h:143-146, which its GPU path ignores).
+    # time1 > time0 adds ONE extra raygen draw per sample (after jitter
+    # and aperture) — zero-shutter configs keep the exact legacy stream.
+    time0: float = 0.0
+    time1: float = 0.0
 
     # Debug/flat-shade sky (the reference's SkyType enum, inc/gpu_scene.h:
     # 90-94, consumed only by ray_color_debug, src/gpu_render.cu:663-710;

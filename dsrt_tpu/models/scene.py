@@ -129,6 +129,24 @@ def _pack8(rows16: np.ndarray) -> np.ndarray:
     return padded.reshape(n8 // 8, 128)
 
 
+def _tile_pack(rows16: np.ndarray) -> np.ndarray:
+    """Tile-packed layout for the fused kernel's vectorized leaf engine:
+    64 records per (8,128) group — out[8G + r, 16j + c] = record
+    (64G + 8j + r)'s field c.  One vector load + lane roll then yields a
+    whole 8-record tile as an (8,16) block whose field c is the (8,1)
+    COLUMN W[:, c:c+1] (record r at sublane r) — ready for broadcast
+    math against (1,128) ray rows, the same shape trick as the wide-BVH
+    child records (bvh_build.lane_pack_wide).  Padding records are zero
+    (Moller-Trumbore det == 0 -> rejected)."""
+    n = rows16.shape[0]
+    n64 = ((n + 63) // 64) * 64
+    padded = np.zeros((n64, 16), rows16.dtype)
+    padded[:n] = rows16
+    # (G, j, r, c) -> (G, r, j, c)
+    arr = padded.reshape(n64 // 64, 8, 8, 16).transpose(0, 2, 1, 3)
+    return arr.reshape((n64 // 64) * 8, 128)
+
+
 def _f32(a):
     return jnp.asarray(np.asarray(a, np.float32))
 
@@ -144,9 +162,10 @@ def _i32(a):
              "bvh_min", "bvh_max", "bvh_left", "bvh_right",
              "bvh_tri_offset", "bvh_tri_count", "tri_indices",
              "bvh_pack", "tri_pack", "bvh_pk8", "tri_pk8", "bvh_wide",
-             "thr_pack", "thr_pk8",
+             "thr_pack", "thr_pk8", "tri_aux", "tri_aux_pk8",
+             "tri_tile", "tri_aux_tile",
              "tri_shade", "mat_pack",
-             "sph_center", "sph_radius", "sph_mat",
+             "sph_center", "sph_center2", "sph_radius", "sph_mat",
              "quad_q", "quad_u", "quad_v", "quad_n", "quad_w", "quad_d",
              "quad_area", "quad_mat",
              "light_idx", "light_kind",
@@ -163,7 +182,7 @@ def _i32(a):
              "n_tris", "n_spheres", "n_quads", "n_nodes", "n_lights",
              "n_media",
              "max_leaf", "n_textures", "sun_enabled", "has_image_tex",
-             "has_ptex", "has_smooth", "seed",
+             "has_ptex", "has_smooth", "has_moving", "seed",
          ])
 @dataclasses.dataclass(frozen=True)
 class Scene:
@@ -200,6 +219,17 @@ class Scene:
     # = (enter, skip) pointers for direction octant o (see _pack_for_kernel)
     thr_pack: jnp.ndarray
     thr_pk8: jnp.ndarray
+    # fused-kernel aux per-triangle shading table, row-aligned with
+    # tri_pack: [n0(3), n1(3), n2(3), uv0(2), uv1(2), uv2(2), tex] = 16
+    # fields exactly — the smooth-normal / image-texture data the 13-field
+    # MT record has no room for.  tri_aux_pk8 is the 8-records-per-row
+    # lane-packed variant (same convention as tri_pk8).
+    tri_aux: jnp.ndarray
+    tri_aux_pk8: jnp.ndarray
+    # tile-packed (64 records / (8,128) group) variants for the fused
+    # kernel's vectorized leaf engine (see _tile_pack)
+    tri_tile: jnp.ndarray
+    tri_aux_tile: jnp.ndarray
     # consolidated shading tables: one row-gather per wave instead of many
     # column gathers (TPU gathers are op-overhead-bound).
     # tri_shade f32[T,16]: n(3) uv0(2) uv1(2) uv2(2) mat tex pad...
@@ -216,8 +246,11 @@ class Scene:
     # lane-packed f32[8*ceil(Nw/8),128], 8 nodes per (8,128) VMEM tile
     # (see bvh_build.WideBVH / lane_pack_wide)
     bvh_wide: jnp.ndarray
-    # spheres (inc/gpu_scene.h:50-55)
+    # spheres (inc/gpu_scene.h:50-55); center2 = center at time 1 for
+    # moving spheres (center-as-ray, inc/sphere.h:143-146: center(t) =
+    # c0 + t*(c2-c0)); static spheres store center2 == center
     sph_center: jnp.ndarray
+    sph_center2: jnp.ndarray
     sph_radius: jnp.ndarray
     sph_mat: jnp.ndarray
     # quads (the reference's vestigial inc/qaud.h:31-123 resurrected):
@@ -281,6 +314,8 @@ class Scene:
     # per-vertex (vn) shading normals present: smooth shading runs on the
     # interpolating XLA path (the Pallas kernels shade with flat normals)
     has_smooth: bool
+    # any moving sphere present (center2 != center somewhere)
+    has_moving: bool
     seed: int
 
 
@@ -309,7 +344,8 @@ class SceneBuilder:
                  sun_dir: Tuple[float, float, float] = (0.0, 1.0, 0.0),
                  sun_radiance: Tuple[float, float, float] = (1e5, 9.5e4, 9e4),
                  seed: int = 1337,
-                 bvh_method: str = "median"):
+                 bvh_method: str = "median",
+                 wide_max_leaf: int = 8):
         self._meshes: List[_MeshEntry] = []
         self._spheres: List[tuple] = []
         self._quads: List[tuple] = []
@@ -319,12 +355,21 @@ class SceneBuilder:
         self.sun_radiance = np.asarray(sun_radiance, np.float32)
         self.seed = seed
         self.bvh_method = bvh_method
+        # 8-ary collapse leaf bound (box-test-count vs tri-test-count
+        # knob; identical intersection semantics for any value)
+        self.wide_max_leaf = wide_max_leaf
         self._perlin_seed: Optional[int] = None
 
     # ------------------------------------------------------------- add
-    def add_sphere(self, center, radius: float, material: Material) -> None:
-        self._spheres.append((np.asarray(center, np.float32),
-                              float(radius), material))
+    def add_sphere(self, center, radius: float, material: Material,
+                   center2=None) -> None:
+        """Static sphere, or moving when `center2` is given: the center
+        travels c(t) = center + t*(center2 - center) over ray time t
+        (the reference's center-as-ray, inc/sphere.h:143-146 — CPU-library
+        only there; here it renders when cfg.time1 > cfg.time0)."""
+        c = np.asarray(center, np.float32)
+        c2 = c if center2 is None else np.asarray(center2, np.float32)
+        self._spheres.append((c, float(radius), material, c2))
 
     def add_triangle(self, v0, v1, v2, material: Material,
                      uv0=(0, 0), uv1=(0, 0), uv2=(0, 0),
@@ -530,7 +575,7 @@ class SceneBuilder:
         # 8-ary collapse re-groups triangles by wide node (and rewrites
         # the binary leaves' offsets in place) -> apply its permutation
         # before any table is packed so both kernels share one tri order
-        wide = collapse_wide(bvh)
+        wide = collapse_wide(bvh, wide_max_leaf=self.wide_max_leaf)
         if n_tris:
             src = wide.src
             v0, v1, v2, fn = v0[src], v1[src], v2[src], fn[src]
@@ -553,6 +598,23 @@ class SceneBuilder:
             bvh_wide = wide.table
         else:
             bvh_wide = lane_pack_wide(wide.table)
+        # aux fused-kernel table (row-aligned with tri_pack's 8-padding)
+        tp_rows = tri_pack.shape[0]
+        tri_aux = np.zeros((tp_rows, 16), np.float32)
+        if n_tris:
+            tri_aux[:n_tris, 0:3] = vn0[:n_tris]
+            tri_aux[:n_tris, 3:6] = vn1[:n_tris]
+            tri_aux[:n_tris, 6:9] = vn2[:n_tris]
+            tri_aux[:n_tris, 9:11] = uv0[:n_tris]
+            tri_aux[:n_tris, 11:13] = uv1[:n_tris]
+            tri_aux[:n_tris, 13:15] = uv2[:n_tris]
+            tri_aux[:n_tris, 15] = tri_tex[:n_tris].astype(np.float32)
+            tri_aux[n_tris:, 15] = -1.0
+        else:
+            tri_aux[:, 15] = -1.0
+        tri_aux_pk8 = _pack8(tri_aux)
+        tri_tile = _tile_pack(tri_pack)
+        tri_aux_tile = _tile_pack(tri_aux)
         tri_shade = np.zeros((max(n_tris, 1), 16), np.float32)
         tri_shade[:, 0:3] = fn[:max(n_tris, 1)]
         tri_shade[:, 3:5] = uv0[:max(n_tris, 1)]
@@ -562,17 +624,21 @@ class SceneBuilder:
         tri_shade[:, 10] = tri_tex[:max(n_tris, 1)].astype(np.float32)
 
         # --- spheres
-        sc, sr, sm = [], [], []
-        for center, radius, m in self._spheres:
+        sc, sr, sm, sc2 = [], [], [], []
+        for center, radius, m, c2 in self._spheres:
             sc.append(center); sr.append(radius); sm.append(upsert(m))
+            sc2.append(c2)
         n_spheres = len(sc)
         if n_spheres == 0:
             sc = [np.array([1e30, 1e30, 1e30], np.float32)]
+            sc2 = sc
             sr = [0.0]
             sm = [0]
         sph_center = np.asarray(sc, np.float32)
+        sph_center2 = np.asarray(sc2, np.float32)
         sph_radius = np.asarray(sr, np.float32)
         sph_mat = np.asarray(sm, np.int32)
+        has_moving = bool((sph_center2 != sph_center).any())
 
         # --- quads (inc/qaud.h:9-28 derived quantities, computed in f64
         # then demoted like the reference's double ctor)
@@ -679,8 +745,11 @@ class SceneBuilder:
             bvh_pk8=_f32(bvh_pk8), tri_pk8=_f32(tri_pk8),
             bvh_wide=_f32(bvh_wide),
             thr_pack=_f32(thr_pack), thr_pk8=_f32(thr_pk8),
+            tri_aux=_f32(tri_aux), tri_aux_pk8=_f32(tri_aux_pk8),
+            tri_tile=_f32(tri_tile), tri_aux_tile=_f32(tri_aux_tile),
             tri_shade=_f32(tri_shade), mat_pack=_f32(mat_pack),
-            sph_center=_f32(sph_center), sph_radius=_f32(sph_radius),
+            sph_center=_f32(sph_center), sph_center2=_f32(sph_center2),
+            sph_radius=_f32(sph_radius),
             sph_mat=_i32(sph_mat),
             quad_q=_f32(qq), quad_u=_f32(qu), quad_v=_f32(qv),
             quad_n=_f32(qn), quad_w=_f32(qw), quad_d=_f32(qd),
@@ -707,5 +776,6 @@ class SceneBuilder:
             has_image_tex=bool(n_tex > 0),
             has_ptex=bool((mat_ptk != 0).any()),
             has_smooth=bool(has_smooth),
+            has_moving=has_moving,
             seed=int(self.seed),
         )

@@ -69,6 +69,9 @@ def sphere_fused_supported(scene, cfg) -> bool:
             and scene.n_lights <= MAX_LIGHTS
             and not scene.has_image_tex
             and cfg.aperture == 0.0
+            # motion blur (shutter open + moving centers) runs on the
+            # split path; the kernel shades static centers only
+            and not (scene.has_moving and cfg.time1 > cfg.time0)
             and backend_is_tpu())
 
 

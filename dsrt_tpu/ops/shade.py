@@ -124,28 +124,31 @@ from dsrt_tpu.exec_opts import OPTS, use_pallas as _use_pallas
 
 
 def _vmapped_scene_hit(scene, ro, rd, t_min, t_max, active, state,
-                       any_hit=False):
+                       any_hit=False, time=None):
     """scene_hit over a (K, P) lane grid: the Pallas traversal kernel on
-    TPU (VMEM-resident scene), else vmap of the per-packet XLA kernel."""
+    TPU (VMEM-resident scene), else vmap of the per-packet XLA kernel.
+    `time` (per-lane, optional) drives moving-sphere centers."""
     if _use_pallas(scene):
         return tracemod.scene_hit_flat(scene, ro, rd, t_min, t_max, active,
-                                       state, any_hit=any_hit)
+                                       state, any_hit=any_hit, time=time)
     if scene.n_media > 0:
-        fn = lambda ox, oy, oz, dx, dy, dz, act, st: tracemod.scene_hit(
+        fn = lambda ox, oy, oz, dx, dy, dz, act, st, tm: tracemod.scene_hit(
             scene, V3(ox, oy, oz), V3(dx, dy, dz), t_min, t_max, act, st,
-            any_hit=any_hit)
+            any_hit=any_hit, time=tm)
+        tm = time if time is not None else jnp.zeros_like(ro.x)
         hit, state = jax.vmap(fn)(ro.x, ro.y, ro.z, rd.x, rd.y, rd.z,
-                                  active, state)
+                                  active, state, tm)
         return hit, state
-    fn = lambda ox, oy, oz, dx, dy, dz, act: tracemod.scene_hit(
+    fn = lambda ox, oy, oz, dx, dy, dz, act, tm: tracemod.scene_hit(
         scene, V3(ox, oy, oz), V3(dx, dy, dz), t_min, t_max, act, None,
-        any_hit=any_hit)[0]
-    hit = jax.vmap(fn)(ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, active)
+        any_hit=any_hit, time=tm)[0]
+    tm = time if time is not None else jnp.zeros_like(ro.x)
+    hit = jax.vmap(fn)(ro.x, ro.y, ro.z, rd.x, rd.y, rd.z, active, tm)
     return hit, state
 
 
 def bounce_step(scene, cfg, L, thr, ro: V3, rd: V3, state, alive, rr_mask,
-                count_rays: bool = False):
+                count_rays: bool = False, time=None):
     """One path segment for every lane: Russian roulette (on `rr_mask`
     lanes), scene intersection, and the full reference shading chain
     (emission, albedo/texture, specular, sun MIS, mixture sampling).
@@ -196,7 +199,7 @@ def bounce_step(scene, cfg, L, thr, ro: V3, rd: V3, state, alive, rr_mask,
         else:
             sun_blocked = None
             hit, state = _vmapped_scene_hit(scene, ro, rd, t_min, t_max,
-                                            alive, state)
+                                            alive, state, time=time)
         alive = alive & hit.hit
         n = hit.normal
         px = ro.x + hit.t * rd.x
@@ -291,7 +294,7 @@ def bounce_step(scene, cfg, L, thr, ro: V3, rd: V3, state, alive, rr_mask,
                           jnp.broadcast_to(sdir.z, shape))
                 sh_hit, state = _vmapped_scene_hit(scene, sh_o, sh_d, t_min,
                                                    t_max, pot, state,
-                                                   any_hit=True)
+                                                   any_hit=True, time=time)
                 unblocked = pot & ~sh_hit.hit
             pdf_brdf_s = cos_sun / PI_F
             pdf_mix = 0.5 * 1.0 + 0.5 * pdf_brdf_s
@@ -374,7 +377,7 @@ def bounce_step(scene, cfg, L, thr, ro: V3, rd: V3, state, alive, rr_mask,
 
 
 def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0,
-                count_rays: bool = False):
+                count_rays: bool = False, time=None):
     """Trace one sample per lane to completion; lanes shaped (K, P).
 
     Returns (L clamped to [0,1] per channel, new rng state) — and, when
@@ -397,7 +400,7 @@ def trace_paths(scene, cfg, ro: V3, rd: V3, state, active0,
         rr_mask = alive & (depth >= cfg.rr_start_depth)
         L, thr, ro, rd, state, alive, nr = bounce_step(
             scene, cfg, L, thr, ro, rd, state, alive, rr_mask,
-            count_rays=count_rays)
+            count_rays=count_rays, time=time)
         return depth + 1, (L, thr, ro, rd, state, alive, nrays + nr)
 
     init = (V3(zero, zero, zero), V3(one, one, one), ro, rd, state, active0,

@@ -255,16 +255,24 @@ def packet_traverse(scene, ro: V3, rd: V3, t_min, t_max, active,
                medium=jnp.full(ro.x.shape, -1, jnp.int32))
 
 
-def sphere_pass(scene, ro: V3, rd: V3, t_min, hit: Hit, active) -> Hit:
+def sphere_pass(scene, ro: V3, rd: V3, t_min, hit: Hit, active,
+                time=None) -> Hit:
     """Sequential sphere loop after the BVH pass (src/gpu_render.cu:529-545):
     iterates spheres in order, accepting t <= closest so later spheres win
-    ties, exactly like the CUDA loop."""
+    ties, exactly like the CUDA loop.  With per-lane `time`, moving-sphere
+    centers are evaluated at c0 + t*(c2-c0) (inc/sphere.h:143-146)."""
     if scene.n_spheres == 0:
         return hit
+    with_time = time is not None and scene.has_moving
 
     def body(i, carry):
         hit, closest = carry
         c = scene.sph_center[i]
+        if with_time:
+            c2 = scene.sph_center2[i]
+            c = (c[0] + time * (c2[0] - c[0]),
+                 c[1] + time * (c2[1] - c[1]),
+                 c[2] + time * (c2[2] - c[2]))
         r = scene.sph_radius[i]
         oc = V3(ro.x - c[0], ro.y - c[1], ro.z - c[2])
         a = dot(rd, rd)
@@ -455,11 +463,11 @@ def media_pass(scene, ro: V3, rd: V3, t_min, hit: Hit, active, state):
 
 
 def scene_hit(scene, ro: V3, rd: V3, t_min, t_max, active, state=None,
-              any_hit: bool = False):
+              any_hit: bool = False, time=None):
     """Full scene intersection for one packet: BVH triangles, then spheres,
     then media.  Returns (Hit, state); `state` unchanged when no media."""
     hit = packet_traverse(scene, ro, rd, t_min, t_max, active, any_hit=any_hit)
-    hit = sphere_pass(scene, ro, rd, t_min, hit, active)
+    hit = sphere_pass(scene, ro, rd, t_min, hit, active, time=time)
     hit = quad_pass(scene, ro, rd, t_min, hit, active)
     if scene.n_media > 0:
         assert state is not None, "media require an RNG state"
@@ -515,7 +523,7 @@ def scene_hit_flat_sun(scene, ro: V3, rd: V3, t_min, t_max, active,
 
 
 def scene_hit_flat(scene, ro: V3, rd: V3, t_min, t_max, active, state=None,
-                   any_hit: bool = False):
+                   any_hit: bool = False, time=None):
     """scene_hit over a full (K, P) lane grid using the Pallas traversal
     kernel for triangles (sphere/media passes are shape-polymorphic)."""
     from dsrt_tpu.ops import pallas_trace
@@ -535,7 +543,7 @@ def scene_hit_flat(scene, ro: V3, rd: V3, t_min, t_max, active, state=None,
                   tri=jnp.full(shape, -1, jnp.int32), u=f0, v=f0,
                   tu=f0, tv=f0,
                   medium=jnp.full(shape, -1, jnp.int32))
-    hit = sphere_pass(scene, ro, rd, t_min, hit, active)
+    hit = sphere_pass(scene, ro, rd, t_min, hit, active, time=time)
     hit = quad_pass(scene, ro, rd, t_min, hit, active)
     if scene.n_media > 0:
         assert state is not None, "media require an RNG state"

@@ -53,6 +53,9 @@ def trace_accumulate(scene, cfg, cam: Camera, px, py, valid, slot,
 
     seed = rngmod.seed_pixels(px, py, cam.width, scene.seed)
     state0 = seed ^ (slot.astype(jnp.uint32) * jnp.uint32(SLOT_SEED_MIX))
+    # camera shutter: one extra draw per regenerated sample (after jitter
+    # and aperture), driving moving-sphere centers (cfg.time0/time1)
+    with_time = cfg.time1 > cfg.time0
 
     def make_body(px, py, valid, slot):
         def body(c):
@@ -75,6 +78,11 @@ def trace_accumulate(scene, cfg, cam: Camera, px, py, valid, slot,
                                           cfg.aperture > 0)
             z = jnp.zeros_like(jx)
             o = jnp.ones_like(jx)
+            if with_time:
+                ut, state = rngmod.draw(state, need)
+                c["time"] = jnp.where(
+                    need, cfg.time0 + ut * (cfg.time1 - cfg.time0),
+                    c["time"])
             ro = vwhere(need, cro, ro)
             rd = vwhere(need, crd, rd)
             L = vwhere(need, V3(z, z, z), L)
@@ -87,7 +95,8 @@ def trace_accumulate(scene, cfg, cam: Camera, px, py, valid, slot,
             rr_mask = alive & (depth >= cfg.rr_start_depth)
             L, thr, ro, rd, state, alive2, nr = bounce_step(
                 scene, cfg, L, thr, ro, rd, state, alive, rr_mask,
-                count_rays=count_rays)
+                count_rays=count_rays,
+                time=c.get("time") if with_time else None)
             depth = depth + alive.astype(jnp.int32)
             alive2 = alive2 & (depth < max_depth)
 
@@ -95,9 +104,12 @@ def trace_accumulate(scene, cfg, cam: Camera, px, py, valid, slot,
             died = alive & ~alive2
             accum = vwhere(died, accum + clamp01(L), accum)
 
-            return dict(accum=accum, L=L, thr=thr, ro=ro, rd=rd,
-                        state=state, alive=alive2, depth=depth, scnt=scnt,
-                        nrays=nrays + nr)
+            out = dict(accum=accum, L=L, thr=thr, ro=ro, rd=rd,
+                       state=state, alive=alive2, depth=depth, scnt=scnt,
+                       nrays=nrays + nr)
+            if with_time:
+                out["time"] = c["time"]
+            return out
 
         return body
 
@@ -109,6 +121,8 @@ def trace_accumulate(scene, cfg, cam: Camera, px, py, valid, slot,
                 rd=V3(zero, zero, one), state=state0,
                 alive=jnp.zeros(shape, bool), depth=izero, scnt=izero,
                 nrays=jnp.int32(0))
+    if with_time:
+        init["time"] = zero
 
     # ---- phase 1: full width until the busy set fits the drain pool ----
     # Deep-space frames leave ~10% of lanes (the mesh pixels) grinding
@@ -139,6 +153,8 @@ def trace_accumulate(scene, cfg, cam: Camera, px, py, valid, slot,
         state=take(out["state"]), alive=take(out["alive"]),
         depth=take(out["depth"]), scnt=take(out["scnt"]),
         nrays=out["nrays"])
+    if with_time:
+        small["time"] = take(out["time"])
     px_s, py_s = take(px), take(py)
     valid_s, slot_s = take(valid), take(slot)
 
@@ -195,6 +211,7 @@ def trace_queue(scene, cfg, cam: Camera, width: int, height: int,
             "render.render_frame_queue auto-bands the frame — pass a "
             "band height such that width*band_h*spp fits int32")
     max_depth = cfg.max_depth if cfg.max_depth > 0 else 12
+    with_time = cfg.time1 > cfg.time0
 
     def cond(c):
         return jnp.any(c["alive"]) | (c["base"] < total)
@@ -233,6 +250,11 @@ def trace_queue(scene, cfg, cam: Camera, width: int, height: int,
                                       cfg.aperture > 0)
         z = jnp.zeros_like(jx)
         o = jnp.ones_like(jx)
+        if with_time:
+            ut, state = rngmod.draw(state, assign)
+            c["time"] = jnp.where(
+                assign, cfg.time0 + ut * (cfg.time1 - cfg.time0),
+                c["time"])
         ro = vwhere(assign, cro, ro)
         rd = vwhere(assign, crd, rd)
         L = vwhere(assign, V3(z, z, z), L)
@@ -244,7 +266,8 @@ def trace_queue(scene, cfg, cam: Camera, width: int, height: int,
         rr_mask = alive & (depth >= cfg.rr_start_depth)
         L, thr, ro, rd, state, alive2, nr = bounce_step(
             scene, cfg, L, thr, ro, rd, state, alive, rr_mask,
-            count_rays=count_rays)
+            count_rays=count_rays,
+            time=c.get("time") if with_time else None)
         depth = depth + alive.astype(jnp.int32)
         alive2 = alive2 & (depth < max_depth)
 
@@ -257,9 +280,12 @@ def trace_queue(scene, cfg, cam: Camera, width: int, height: int,
         accum = accum.at[pix.reshape(-1)].add(
             vals.reshape(-1, 3), mode="drop")
 
-        return dict(accum=accum, L=L, thr=thr, ro=ro, rd=rd, state=state,
-                    alive=alive2, depth=depth, pix=pix, base=base,
-                    nrays=nrays + nr)
+        out = dict(accum=accum, L=L, thr=thr, ro=ro, rd=rd, state=state,
+                   alive=alive2, depth=depth, pix=pix, base=base,
+                   nrays=nrays + nr)
+        if with_time:
+            out["time"] = c["time"]
+        return out
 
     init = dict(accum=jnp.zeros((npix, 3), jnp.float32),
                 L=V3(zero, zero, zero), thr=V3(one, one, one),
@@ -267,6 +293,8 @@ def trace_queue(scene, cfg, cam: Camera, width: int, height: int,
                 state=jnp.zeros(shape, jnp.uint32),
                 alive=jnp.zeros(shape, bool), depth=izero, pix=izero,
                 base=jnp.int32(0), nrays=jnp.int32(0))
+    if with_time:
+        init["time"] = zero
 
     # ---- phase 1: full pool while work remains or too many survivors ----
     # The Russian-roulette tail (paths surviving to depth 30-50) would
@@ -297,6 +325,8 @@ def trace_queue(scene, cfg, cam: Camera, width: int, height: int,
         state=take(out["state"]), alive=take(out["alive"]),
         depth=take(out["depth"]), pix=take(out["pix"]),
         base=out["base"], nrays=out["nrays"])
+    if with_time:
+        small["time"] = take(out["time"])
 
     def cond2(c):
         return jnp.any(c["alive"])

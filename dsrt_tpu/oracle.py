@@ -142,6 +142,8 @@ class OracleScene:
         self.tri_uv2 = g(scene.tri_uv2)
         self.tri_mat = g(scene.tri_mat); self.tri_tex = g(scene.tri_tex)
         self.sph_center = g(scene.sph_center)
+        self.sph_center2 = g(scene.sph_center2)
+        self.has_moving = bool(scene.has_moving)
         self.sph_radius = g(scene.sph_radius)
         self.sph_mat = g(scene.sph_mat)
         self.quad_q = g(scene.quad_q); self.quad_u = g(scene.quad_u)
@@ -206,9 +208,10 @@ def _hit_triangle(sc, i, ro, rd, t_min, t_max):
                 mat=int(sc.tri_mat[i]), tex=int(sc.tri_tex[i]), tri=int(i))
 
 
-def scene_hit(sc: OracleScene, ro, rd, t_min, t_max):
+def scene_hit(sc: OracleScene, ro, rd, t_min, t_max, time=None):
     """Brute-force all triangles in tri order, then sequential spheres,
-    matching scene_hit semantics incl. `<=` tie acceptance."""
+    matching scene_hit semantics incl. `<=` tie acceptance.  `time`
+    evaluates moving-sphere centers at c0 + t*(c2-c0)."""
     best = None
     closest = F(t_max)
     for i in range(sc.n_tris):
@@ -218,6 +221,8 @@ def scene_hit(sc: OracleScene, ro, rd, t_min, t_max):
             closest = h["t"]
     for i in range(sc.n_spheres):
         c = sc.sph_center[i]
+        if time is not None and sc.has_moving:
+            c = (c + F(time) * (sc.sph_center2[i] - c)).astype(F)
         r = F(sc.sph_radius[i])
         oc = (ro - c).astype(F)
         a = F(rd @ rd)
@@ -288,10 +293,10 @@ def _medium_interval(sc, m, ro, rd):
     return None
 
 
-def scene_hit_with_media(sc, ro, rd, t_min, t_max, rng):
+def scene_hit_with_media(sc, ro, rd, t_min, t_max, rng, time=None):
     """scene_hit + probabilistic constant-medium hits, mirroring
     ops/trace.py media_pass draw-for-draw (one rand per medium per call)."""
-    rec = scene_hit(sc, ro, rd, t_min, t_max)
+    rec = scene_hit(sc, ro, rd, t_min, t_max, time=time)
     if sc.n_media == 0:
         return rec
     rlen = F(np.sqrt(float(rd @ rd)))
@@ -332,7 +337,7 @@ def _tex2d(sc, tex_id, u, v):
 
 
 def ray_color(sc: OracleScene, ro, rd, rng: LCG, max_depth: int,
-              rr_start: int = 5, rr_max_p: float = 0.95):
+              rr_start: int = 5, rr_max_p: float = 0.95, time=None):
     L = np.zeros(3, F)
     thr = np.ones(3, F)
     if max_depth <= 0:
@@ -344,7 +349,8 @@ def ray_color(sc: OracleScene, ro, rd, rng: LCG, max_depth: int,
                 break
             thr = (thr / p).astype(F)
 
-        rec = scene_hit_with_media(sc, ro, rd, F(1e-3), F(1e9), rng)
+        rec = scene_hit_with_media(sc, ro, rd, F(1e-3), F(1e9), rng,
+                                   time=time)
         if rec is None:
             break
 
@@ -408,7 +414,7 @@ def ray_color(sc: OracleScene, ro, rd, rng: LCG, max_depth: int,
             if cos_sun > 0.0:
                 sh_o = (p + F(1e-3) * n).astype(F)
                 if scene_hit_with_media(sc, sh_o, ldir, F(1e-3), F(1e9),
-                                        rng) is None:
+                                        rng, time=time) is None:
                     pdf_brdf = cos_sun / PI
                     pdf_mix = F(0.5) * F(1.0) + F(0.5) * pdf_brdf
                     weight = (cos_sun / PI) / pdf_mix
@@ -477,9 +483,15 @@ def render_oracle(scene, cam, cfg):
                 u = (F(x) + jx) / F(W - 1)
                 v = (F(y) + jy) / F(H - 1)
                 rd = (ll + u * hz + v * vt - origin).astype(F)
+                if cfg.time1 > cfg.time0:
+                    # shutter draw, same schedule slot as the renderers
+                    time = F(cfg.time0) + rng.rand() * F(cfg.time1
+                                                         - cfg.time0)
+                else:
+                    time = None
                 accum += ray_color(sc, origin, rd, rng,
                                    cfg.max_depth, cfg.rr_start_depth,
-                                   cfg.rr_max_p)
+                                   cfg.rr_max_p, time=time)
             fimg[H - 1 - y, x] = accum / F(spp)
 
     c = np.clip(fimg, 0.0, None)

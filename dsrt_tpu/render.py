@@ -78,7 +78,14 @@ def _render_lanes(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
         jy = (sf + jyu) / jnp.float32(spp)
         ro, rd, state = camera_rays(cam, px, py, jx, jy, state, valid,
                                     cfg.aperture > 0)
-        L, state = trace_paths(scene, cfg, ro, rd, state, valid)
+        if cfg.time1 > cfg.time0:
+            # camera shutter: ONE draw after jitter/aperture, driving
+            # moving-sphere centers (inc/sphere.h:143-146 semantics)
+            ut, state = rngmod.draw(state, valid)
+            time = cfg.time0 + ut * (cfg.time1 - cfg.time0)
+        else:
+            time = None
+        L, state = trace_paths(scene, cfg, ro, rd, state, valid, time=time)
         return (accum + L, state)
 
     accum, _ = jax.lax.fori_loop(
@@ -374,7 +381,14 @@ def _render_lanes_radiance(scene, cam, px, py, valid, cfg: RenderConfig,
         jy = (sf + jyu) / jnp.float32(spp)
         ro, rd, state = camera_rays(cam, px, py, jx, jy, state, valid,
                                     cfg.aperture > 0)
-        L, state = trace_paths(scene, cfg, ro, rd, state, valid)
+        if cfg.time1 > cfg.time0:
+            # camera shutter: ONE draw after jitter/aperture, driving
+            # moving-sphere centers (inc/sphere.h:143-146 semantics)
+            ut, state = rngmod.draw(state, valid)
+            time = cfg.time0 + ut * (cfg.time1 - cfg.time0)
+        else:
+            time = None
+        L, state = trace_paths(scene, cfg, ro, rd, state, valid, time=time)
         return (accum + L, state)
 
     accum, _ = jax.lax.fori_loop(
