@@ -165,9 +165,18 @@ def load_image_rgb8(path: str) -> np.ndarray:
             pass  # fall through to PIL for exotic PNGs
     if lower.endswith((".ppm",)):
         return read_ppm(path)
+    if lower.endswith((".jpg", ".jpeg")):
+        # native baseline-JPEG decoder (stb_image analogue); progressive
+        # or exotic files fall through to PIL
+        from dsrt_tpu.utils import jpeg
+        try:
+            return jpeg.read_jpeg(path)
+        except jpeg.UnsupportedJPEG:
+            pass
     try:
         from PIL import Image  # optional
         with Image.open(path) as im:
             return np.asarray(im.convert("RGB"), np.uint8)
     except ImportError as e:
-        raise IOError(f"cannot decode '{path}': PIL unavailable") from e
+        raise IOError(f"cannot decode '{path}': PIL unavailable "
+                      "(native decoders cover PNG/PPM/baseline JPEG)") from e

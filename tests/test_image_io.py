@@ -38,3 +38,49 @@ def test_load_image_rgb8_png(tmp_path):
     p = str(tmp_path / "g.png")
     io.write_png(p, img)
     np.testing.assert_array_equal(io.load_image_rgb8(p), img)
+
+
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    """Native baseline-JPEG decoder (utils/jpeg.py, the stb_image
+    analogue — VERDICT r2 item 9) vs libjpeg, within DCT rounding."""
+    PIL = pytest.importorskip("PIL.Image")
+    from dsrt_tpu.utils.jpeg import read_jpeg
+    rng = np.random.default_rng(11)
+    arr = np.clip(rng.normal(128, 48, (61, 97, 3)), 0, 255).astype(np.uint8)
+    for sub, tol in ((0, 4), (2, 6)):  # 4:4:4 and 4:2:0
+        p = str(tmp_path / f"t{sub}.jpg")
+        PIL.fromarray(arr, "RGB").save(p, quality=92, subsampling=sub)
+        ours = read_jpeg(p).astype(int)
+        ref = np.asarray(PIL.open(p).convert("RGB"), np.uint8).astype(int)
+        assert ours.shape == ref.shape
+        assert np.abs(ours - ref).max() <= tol
+
+
+def test_native_jpeg_grayscale_and_loader_route(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    from dsrt_tpu.utils.image_io import load_image_rgb8
+    g = np.linspace(0, 255, 40 * 50).reshape(40, 50).astype(np.uint8)
+    p = str(tmp_path / "g.jpg")
+    PIL.fromarray(g, "L").save(p, quality=95)
+    out = load_image_rgb8(p)
+    assert out.shape == (40, 50, 3)
+    ref = np.asarray(PIL.open(p).convert("RGB"), np.uint8)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_native_jpeg_restart_markers(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    from dsrt_tpu.utils.jpeg import read_jpeg
+    rng = np.random.default_rng(12)
+    arr = np.clip(rng.normal(120, 40, (64, 160, 3)), 0, 255).astype(np.uint8)
+    p = str(tmp_path / "rst.jpg")
+    try:
+        PIL.fromarray(arr, "RGB").save(p, quality=90, subsampling=0,
+                                       restart_marker_rows=1)
+    except (TypeError, OSError):
+        pytest.skip("PIL build cannot emit restart markers")
+    with open(p, "rb") as f:
+        assert b"\xff\xdd" in f.read(), "no DRI emitted"
+    ours = read_jpeg(p).astype(int)
+    ref = np.asarray(PIL.open(p).convert("RGB"), np.uint8).astype(int)
+    assert np.abs(ours - ref).max() <= 4
