@@ -25,7 +25,11 @@ from dsrt_tpu.ops.camera import point_camera_at
 from dsrt_tpu.render import lane_layout
 
 # unique camera offset per process so the axon result cache never hits
-BASE = (time.time() % 1000) * 1e-3
+import os as _os
+import struct as _struct
+# per-process unique, collision-free across runs (time-based bases can
+# collide with the axon result cache's keys across processes)
+BASE = (_struct.unpack("<I", _os.urandom(4))[0] % 100000) * 1e-5
 
 
 @partial(jax.jit, static_argnames=("cfg", "bh"))
@@ -38,7 +42,7 @@ def measure(scene, cfg, px, py, valid, bh, reps=2):
     global BASE
     best = None
     for r in range(reps):
-        BASE += 1e-4
+        BASE += 3.1e-3
         cam = point_camera_at((40.0 + BASE, 60.0, 190.0),
                               (0.0, 0.0, 0.0), vfov=cfg.vfov,
                               width=cfg.width, height=cfg.height)
@@ -63,7 +67,7 @@ def main():
 
     for bh in (8, 16, 32, 64):
         OPTS.block_h = bh
-        BASE += 1e-4
+        BASE += 3.1e-3
         cam = point_camera_at((40.0 + BASE, 60.0, 190.0), (0.0, 0.0, 0.0),
                               vfov=cfg.vfov, width=cfg.width,
                               height=cfg.height)

@@ -40,6 +40,32 @@ class ExecOptions:
     # early-out saves, same verdict as the binary kernel's thread-table
     # experiment.  Kept as an opt-in for hit-dominated close-up scenes.
     ordered: bool = False
+    # Defer each wave's sun-shadow any-hit into the NEXT wave's closest-
+    # hit traversal (fused megakernel): one combined walk per wave whose
+    # node front is the UNION of the extension and pending-shadow sets
+    # and whose leaf loads feed both tests.  Bit-identical results
+    # (tested), but measured NET-NEGATIVE on v5e at 47.7k tris: 19.7 vs
+    # 27.6 Mrays/s (benchmarks/sweep50k.py).  The exact telemetry shows
+    # why: the separate sun pass is only ~9% of node visits (svis 21k vs
+    # cvis 228k — the uniform-direction walk parks early), so there is
+    # little front to share, while the combined walk pays ~2x box-test
+    # vector work per visit, a shadow MT test per leaf triangle, and 8
+    # extra loop carries.  Kept as an opt-in A/B knob.
+    defer_shadow: bool = False
+    # Traversal visits per fused-kernel loop iteration (ILP width).  The
+    # loop is latency-bound; overlapped pops retire more box tests per
+    # serial chain.  r3 re-sweep with the tile leaf engine: 4 best at
+    # 47.7k tris (35.5 vs 33.0 at 3; 6 == 4 within noise) and neutral at
+    # 5.8k (benchmarks/sweep50k3.py).
+    pops: int = 4
+    # Fused-kernel sample regeneration gate: idle lanes start their next
+    # sample only when the block's live fraction drops below this.  1.0 =
+    # regenerate immediately (max occupancy, mixes primary rays into
+    # bounce waves); lower values batch primary rays into coherent waves
+    # at the cost of idle lanes.  Measured on v5e (sweep50k/sweep50k3):
+    # 0.25 is +11%% at 47.7k tris (cvis 228k -> 200k) and +7%% at 5.8k;
+    # 0.125/0.0625 plateau below it.  Bit-identical at any value.
+    regen_thresh: float = 0.25
     # Sort rays by direction octant before the split-pipeline traversal
     # kernel.  Off by default: XLA's gather/scatter lowering makes the
     # global reorder cost (~25 ms/wave at 1.6M lanes) exceed the

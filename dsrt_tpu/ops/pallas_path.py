@@ -169,17 +169,21 @@ def _cosine_hemisphere(nx, ny, nz, state, mask):
 
 STACK = 256          # wide-traversal stack bound: depth*(arity-1) << 256
 LEAF_CHAINS = 8      # independent leaf-test accumulator chains (ILP)
-POPS = 3             # traversal visits per loop iteration (ILP)
 STATS_ROWS = 1024    # telemetry buckets (block pid accumulates mod this)
 
 
-def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
+def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
                  spp_ref, px_ref, py_ref, valid_ref,
                  acc_r_ref, acc_g_ref, acc_b_ref, nray_ref, stack_ref,
                  *, n_mats: int,
                  max_depth: int, width: int, height: int, seed: int,
                  rr_start: int, rr_max_p: float, t_min: float, t_max: float,
-                 sun_on: bool, packed: bool, ordered: bool):
+                 sun_on: bool, packed: bool, ordered: bool,
+                 pops: int = 3, regen_thresh: float = 1.0,
+                 defer_shadow: bool = True):
+    POPS = pops
+    # deferred-shadow mode only matters when the sun is on
+    fuse = defer_shadow and sun_on
     pxf = px_ref[...].astype(jnp.float32)
     pyf = py_ref[...].astype(jnp.float32)
     valid = valid_ref[...] > 0
@@ -239,9 +243,13 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         jnp.int32, (8, 1), 0)
     n_rows = shape[0]
 
-    def _visit_bits(node, ros, invs, clamp):
-        """Load wide node `node` and box-test its 8 children against all
-        ray rows.  Returns (W (8,16), hitbits, leafbits, base, intmask) —
+    def _visit_bits(node, ray_sets):
+        """Load wide node `node` and box-test its 8 children against every
+        ray row of every set in `ray_sets` (a list of (ros, invs, clamp)
+        triples — the combined walk passes the extension rays AND the
+        pending sun-shadow rays; the verdict is the UNION, which enters a
+        superset of each set's own walk so no hit/occluder is ever
+        missed).  Returns (W (8,16), hitbits, leafbits, base, intmask) —
         the verdict scalars pack child c at bit c.
 
         Two static layouts, keyed off the table shape: dense sublane
@@ -263,23 +271,27 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         base = combo >> 8
         intmask = combo & 255
         acc = jnp.zeros((8, TILE_W), jnp.float32)
-        for r in range(n_rows):
-            ivx = invs[0][r:r + 1, :]
-            ivy = invs[1][r:r + 1, :]
-            ivz = invs[2][r:r + 1, :]
-            tx0 = (minx - ros[0][r:r + 1, :]) * ivx
-            tx1 = (maxx - ros[0][r:r + 1, :]) * ivx
-            ty0 = (miny - ros[1][r:r + 1, :]) * ivy
-            ty1 = (maxy - ros[1][r:r + 1, :]) * ivy
-            tz0 = (minz - ros[2][r:r + 1, :]) * ivz
-            tz1 = (maxz - ros[2][r:r + 1, :]) * ivz
-            lo = jnp.maximum(
-                jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
-            hi = jnp.minimum(
-                jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                jnp.minimum(jnp.maximum(tz0, tz1), clamp[r:r + 1, :]))
-            acc = acc + jnp.where(hi > lo, 1.0, 0.0)
+        for ros, invs, clamp in ray_sets:
+            for r in range(n_rows):
+                ivx = invs[0][r:r + 1, :] if invs[0].ndim else invs[0]
+                ivy = invs[1][r:r + 1, :] if invs[1].ndim else invs[1]
+                ivz = invs[2][r:r + 1, :] if invs[2].ndim else invs[2]
+                tx0 = (minx - ros[0][r:r + 1, :]) * ivx
+                tx1 = (maxx - ros[0][r:r + 1, :]) * ivx
+                ty0 = (miny - ros[1][r:r + 1, :]) * ivy
+                ty1 = (maxy - ros[1][r:r + 1, :]) * ivy
+                tz0 = (minz - ros[2][r:r + 1, :]) * ivz
+                tz1 = (maxz - ros[2][r:r + 1, :]) * ivz
+                lo = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1),
+                                jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
+                hi = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1),
+                                jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1),
+                                clamp[r:r + 1, :]))
+                acc = acc + jnp.where(hi > lo, 1.0, 0.0)
         nodehit = jnp.sum(acc, axis=1, keepdims=True) > 0.0    # (8,1)
         leafc = W[:, 7:8] > 0.0
         hitbits = jnp.sum(jnp.where(nodehit, pow2_col, 0))
@@ -301,7 +313,10 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         return prank, perm
 
     def _leaf_range(W, leafbits):
-        """Union tri range [r0, r1) over entered leaf children."""
+        """Union tri range [r0, r1) over entered leaf children, plus the
+        entered children's OWN triangle count (the range minus the
+        non-entered siblings caught inside it — telemetry for how much
+        of the contiguous scan is provably-miss overscan)."""
         lmask = (pow2_col & leafbits) > 0
         offc = W[:, 6:7]
         endc = offc + W[:, 7:8]
@@ -309,7 +324,8 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         r1f = jnp.max(jnp.where(lmask, endc, jnp.float32(-1.0)))
         r0 = jnp.where(leafbits > 0, r0f, 0.0).astype(jnp.int32)
         r1 = jnp.where(leafbits > 0, r1f, 0.0).astype(jnp.int32)
-        return r0, r1
+        ideal = jnp.sum(jnp.where(lmask, W[:, 7:8], 0.0)).astype(jnp.int32)
+        return r0, r1, ideal
 
     def _push_children(sp, hitbits, leafbits, base, intmask):
         """Push entered interior children.  The wide index of the
@@ -347,7 +363,7 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
             np_ = np_ + bc
         return sp + np_
 
-    def _multi_pop_visit(sp, ros, invs, clamp, octant=None):
+    def _multi_pop_visit(sp, ray_sets, octant=None):
         """Pop up to POPS nodes, box-test each (independent chains, the
         VLIW scheduler overlaps them), push all entered interior
         children (later pops' children pushed first so the preorder-
@@ -367,7 +383,7 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         sp = sp - npop
         outs = []
         for p in range(POPS):
-            W, hb, lb, base, im = _visit_bits(nodes[p], ros, invs, clamp)
+            W, hb, lb, base, im = _visit_bits(nodes[p], ray_sets)
             if p > 0:
                 hb = jnp.where(valids[p], hb, 0)
                 lb = jnp.where(valids[p], lb, 0)
@@ -386,19 +402,40 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         ranges = [_leaf_range(o[0], o[2]) for o in outs]
         return sp, ranges, npop, [o[2] for o in outs]
 
-    def _closest_hit(ox, oy, oz, dx, dy, dz, act):
+    def _closest_hit(ox, oy, oz, dx, dy, dz, act,
+                     sox=None, soy=None, soz=None, pot=None):
         """Wide-stack closest hit.  Returns (hitmask f32, t, mat i32,
-        n(3) face-flipped, front f32, node-visit count, tri-test count).
-        Inactive lanes carry closest == t_min so every box test and
-        triangle acceptance fails for them (no explicit masking)."""
+        n(3) face-flipped, front f32, [blocked f32,] node-visit count,
+        tri-test count).  Inactive lanes carry closest == t_min so every
+        box test and triangle acceptance fails for them (no explicit
+        masking).
+
+        With (sox, soy, soz, pot) the walk ALSO resolves the deferred
+        sun-shadow any-hit for `pot` lanes in the SAME traversal: node
+        verdicts are the union of the extension-ray and shadow-ray slab
+        tests (a superset of each set's own walk, so no hit or occluder
+        is ever missed — see _visit_bits), and every leaf triangle load
+        feeds both the Moller-Trumbore closest-hit update and the
+        (uniform-direction, scalar-p-vector) occlusion test.  Extension
+        and shadow rays share origins (the shadow ray starts at the
+        previous bounce's hit point), so the union front is far smaller
+        than two passes — the ROADMAP's 'share the node front between
+        the extension and sun-shadow passes'.  Once every pot lane is
+        blocked the shadow clamp rows collapse to t_min and the walk
+        degenerates to the extension-only walk automatically."""
+        with_shadow = sox is not None
         inv_dx = 1.0 / dx
         inv_dy = 1.0 / dy
         inv_dz = 1.0 / dz
         ros = (ox, oy, oz)
         invs = (inv_dx, inv_dy, inv_dz)
         closest0 = jnp.where(act, tmax_f, tmin_f)
+        if with_shadow:
+            sros = (sox, soy, soz)
+            s_invs = (1.0 / sdx, 1.0 / sdy, 1.0 / sdz)   # scalars
+            sc_pot = jnp.where(pot, tmax_f, tmin_f)
 
-        if ordered:
+        if ordered and not with_shadow:
             # block-majority direction octant (any octant is CORRECT —
             # ordering only changes visit order); 3 reduces per wave
             actf = jnp.where(act, 1.0, 0.0)
@@ -412,18 +449,161 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
             octant = None
 
         stack_ref[0] = jnp.int32(0)
-        sp0 = jnp.where(jnp.any(act), jnp.int32(1), jnp.int32(0))
+        any_work = jnp.any(act) if not with_shadow else (
+            jnp.any(act) | jnp.any(pot))
+        sp0 = jnp.where(any_work, jnp.int32(1), jnp.int32(0))
+
+        if not with_shadow:
+            # ---- vectorized tile leaf engine (the default path) -------
+            # Leaf triangles stream as (8,16) TILES (one vector load +
+            # lane roll from the tile-packed table, _tile_pack) whose
+            # field c is the (8,1) column — the Moller-Trumbore test then
+            # runs as (8,1)x(1,128) broadcasts per ray row: 8 triangles
+            # against 128 rays per ~45 vector ops, no per-field scalar
+            # loads (the old chain engine's 104 chained scalar loads per
+            # 8 triangles were the leaf bottleneck at ISS scale).
+            # Candidate state is per (ray row x tri row): each of the 8
+            # tri-row slots prunes on its own closest (weaker pruning,
+            # identical acceptance set — the multi-chain argument), and
+            # one 3-round cyclic-roll tournament per WALK merges them.
+            max_tile = tile_ref.shape[0] - 1
+
+            def tile_update(W, SR):
+                v0x, v0y, v0z = W[:, 0:1], W[:, 1:2], W[:, 2:3]
+                e1x, e1y, e1z = W[:, 3:4], W[:, 4:5], W[:, 5:6]
+                e2x, e2y, e2z = W[:, 6:7], W[:, 7:8], W[:, 8:9]
+                mat_f = W[:, 9:10]
+                fnx, fny, fnz = W[:, 10:11], W[:, 11:12], W[:, 12:13]
+                out = []
+                for r in range(n_rows):
+                    cl, mf, nx_, ny_, nz_ = SR[r]
+                    dxr = dx[r:r + 1, :]
+                    dyr = dy[r:r + 1, :]
+                    dzr = dz[r:r + 1, :]
+                    pvx = dyr * e2z - dzr * e2y
+                    pvy = dzr * e2x - dxr * e2z
+                    pvz = dxr * e2y - dyr * e2x
+                    det = e1x * pvx + e1y * pvy + e1z * pvz
+                    ok = jnp.abs(det) >= 1e-8
+                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                    tvx = ox[r:r + 1, :] - v0x
+                    tvy = oy[r:r + 1, :] - v0y
+                    tvz = oz[r:r + 1, :] - v0z
+                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                    ok = ok & (u >= 0.0) & (u <= 1.0)
+                    qvx = tvy * e1z - tvz * e1y
+                    qvy = tvz * e1x - tvx * e1z
+                    qvz = tvx * e1y - tvy * e1x
+                    v = (dxr * qvx + dyr * qvy + dzr * qvz) * inv_det
+                    ok = ok & (v >= 0.0) & (u + v <= 1.0)
+                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                    ok = ok & (t >= tmin_f) & (t <= cl)
+                    cl = jnp.where(ok, t, cl)
+                    mf = jnp.where(ok, mat_f, mf)
+                    nx_ = jnp.where(ok, fnx, nx_)
+                    ny_ = jnp.where(ok, fny, ny_)
+                    nz_ = jnp.where(ok, fnz, nz_)
+                    out.append((cl, mf, nx_, ny_, nz_))
+                return tuple(out)
+
+            def run_tiles(SR, r0, r1):
+                # tile granularity matches the old packed chains: up to
+                # 7 boundary extras per side, all REAL triangle records
+                # or zero padding — testing a superset of the range is
+                # always correct for closest-hit (a genuine intersection
+                # accepted early is still a genuine intersection).
+                # 2 tiles per iteration: the two load+roll chains are
+                # independent (ILP); a clamped duplicate tile at the end
+                # re-tests identical triangles (idempotent accepts).
+                tile0 = r0 // 8
+                n_it = ((r1 + 7) // 8 - tile0 + 1) // 2
+
+                def tbody(k, SR):
+                    t0_ = jnp.minimum(tile0 + 2 * k, max_tile)
+                    t1_ = jnp.minimum(tile0 + 2 * k + 1, max_tile)
+                    g0 = tile_ref[pl.ds(8 * (t0_ // 8), 8), :]
+                    g1 = tile_ref[pl.ds(8 * (t1_ // 8), 8), :]
+                    W0 = pltpu.roll(g0, -16 * (t0_ % 8), 1)[:, :16]
+                    W1 = pltpu.roll(g1, -16 * (t1_ % 8), 1)[:, :16]
+                    return tile_update(W1, tile_update(W0, SR))
+
+                return lax.fori_loop(0, n_it, tbody, SR)
+
+            def tcond(c):
+                return c[0] > 0
+
+            def tbody_w(c):
+                sp, SR, closest, nv, nt, ni = c
+                sp, ranges, npop, lbs = _multi_pop_visit(
+                    sp, [(ros, invs, closest)], octant)
+
+                def leaf_branch(SR):
+                    for r0, r1, _ in ranges:
+                        SR = run_tiles(SR, r0, r1)
+                    return SR
+
+                anylb = lbs[0]
+                for lb in lbs[1:]:
+                    anylb = anylb | lb
+                SR = lax.cond(anylb != 0, leaf_branch, lambda a: a, SR)
+                # per-lane closest = min over the 8 tri-row candidates
+                rows = [jnp.min(SR[r][0], axis=0, keepdims=True)
+                        for r in range(n_rows)]
+                closest = jnp.concatenate(rows, axis=0)
+                nv = nv + npop
+                for (r0, r1, idl), lb in zip(ranges, lbs):
+                    nt = nt + jnp.where(lb != 0, r1 - r0, 0)
+                    ni = ni + jnp.where(lb != 0, idl, 0)
+                return sp, SR, closest, nv, nt, ni
+
+            zt = jnp.zeros((8, TILE_W), jnp.float32)
+            SR0 = tuple(
+                (zt + closest0[r:r + 1, :], zt, zt, zt, zt)
+                for r in range(n_rows))
+            (_, SR, closest, nv, nt, ni) = lax.while_loop(
+                tcond, tbody_w,
+                (sp0, SR0, closest0, jnp.int32(0), jnp.int32(0),
+                 jnp.int32(0)))
+
+            # merge the tri-row candidates: 3-round cyclic-roll
+            # tournament (strict < keeps the lower slot on exact ties)
+            frows = []
+            for r in range(n_rows):
+                fields = SR[r]
+                for shift in (4, 2, 1):
+                    rolled = tuple(pltpu.roll(f, shift, 0) for f in fields)
+                    take = rolled[0] < fields[0]
+                    fields = tuple(jnp.where(take, rf, f)
+                                   for rf, f in zip(rolled, fields))
+                frows.append(tuple(f[0:1, :] for f in fields))
+            closest = jnp.concatenate([fr[0] for fr in frows], axis=0)
+            bm = jnp.concatenate([fr[1] for fr in frows],
+                                 axis=0).astype(jnp.int32)
+            bnx = jnp.concatenate([fr[2] for fr in frows], axis=0)
+            bny = jnp.concatenate([fr[3] for fr in frows], axis=0)
+            bnz = jnp.concatenate([fr[4] for fr in frows], axis=0)
+            hitm = jnp.where(act & (closest < tmax_f), 1.0, 0.0)
+            front_b = (dx * bnx + dy * bny + dz * bnz) < 0.0
+            sgn = jnp.where(front_b, 1.0, -1.0)
+            return (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
+                    jnp.where(front_b, 1.0, 0.0), nv, nt, ni)
 
         def cond(c):
             return c[0] > 0
 
         def body(c):
-            sp, closest, bm, bnx, bny, bnz, nv, nt = c
-            sp, ranges, npop, lbs = _multi_pop_visit(sp, ros, invs,
-                                                     closest, octant)
+            sp, closest, bm, bnx, bny, bnz, blkd, nv, nt, ni = c
+            ray_sets = [(ros, invs, closest)]
+            if with_shadow:
+                # blocked lanes collapse their clamp row -> their slab
+                # tests can never pass again (automatic parking)
+                sc = jnp.minimum(sc_pot, jnp.where(blkd > 0.5, tmin_f,
+                                                   tmax_f))
+                ray_sets.append((sros, s_invs, sc))
+            sp, ranges, npop, lbs = _multi_pop_visit(sp, ray_sets, octant)
 
             def mt_update(fields, guard, st):
-                cl, m, nx_, ny_, nz_ = st
+                cl, m, nx_, ny_, nz_, blk = st
                 (v0x, v0y, v0z, e1x, e1y, e1z, e2x, e2y, e2z, mat_f,
                  fnx, fny, fnz) = fields
                 pvx = dy * e2z - dz * e2y
@@ -449,7 +629,31 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                 nx_ = jnp.where(ok, fnx, nx_)
                 ny_ = jnp.where(ok, fny, ny_)
                 nz_ = jnp.where(ok, fnz, nz_)
-                return cl, m, nx_, ny_, nz_
+                if with_shadow:
+                    # occlusion along the uniform sun direction from the
+                    # pending-shadow origins, on the SAME loaded fields
+                    # (p vector and determinant are per-triangle scalars)
+                    spvx = sdy * e2z - sdz * e2y
+                    spvy = sdz * e2x - sdx * e2z
+                    spvz = sdx * e2y - sdy * e2x
+                    sdet = e1x * spvx + e1y * spvy + e1z * spvz
+                    sok0 = jnp.abs(sdet) >= 1e-8
+                    sinv = 1.0 / jnp.where(sok0, sdet, 1.0)
+                    stx = sox - v0x
+                    sty = soy - v0y
+                    stz = soz - v0z
+                    su = (stx * spvx + sty * spvy + stz * spvz) * sinv
+                    sok = sok0 & (su >= 0.0) & (su <= 1.0)
+                    sqx = sty * e1z - stz * e1y
+                    sqy = stz * e1x - stx * e1z
+                    sqz = stx * e1y - sty * e1x
+                    sv = (sdx * sqx + sdy * sqy + sdz * sqz) * sinv
+                    sok = sok & (sv >= 0.0) & (su + sv <= 1.0)
+                    st_ = (e2x * sqx + e2y * sqy + e2z * sqz) * sinv
+                    sok = (sok & (st_ >= tmin_f) & (st_ <= tmax_f) & pot
+                           & guard)
+                    blk = jnp.where(sok, 1.0, blk)
+                return cl, m, nx_, ny_, nz_, blk
 
             def tri_test(row, guard, st):
                 return mt_update(_load_many(tri_ref, row, range(13),
@@ -463,7 +667,7 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                 # set — and the merge keeps the strictly nearer hit
                 # (exact up to t-ties between distinct triangles, as
                 # everywhere).
-                closest, bm, bnx, bny, bnz = a
+                closest, bm, bnx, bny, bnz, blk = a
                 G = LEAF_CHAINS
 
                 if packed and G == 8:
@@ -498,46 +702,51 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                                 sts[g]))
                         return tuple(out)
 
-                init = ((closest, bm, bnx, bny, bnz),) + tuple(
-                    (closest, i0, f0, f0, f0) for _ in range(G - 1))
+                init = ((closest, bm, bnx, bny, bnz, blk),) + tuple(
+                    (closest, i0, f0, f0, f0, f0) for _ in range(G - 1))
                 sts = lax.fori_loop(0, nit, leaf_bodyG, init)
-                cl, m, nx_, ny_, nz_ = sts[0]
+                cl, m, nx_, ny_, nz_, blk = sts[0]
                 for g in range(1, G):
-                    clg, mg, nxg, nyg, nzg = sts[g]
+                    clg, mg, nxg, nyg, nzg, blkg = sts[g]
                     sel = clg < cl
                     cl = jnp.where(sel, clg, cl)
                     m = jnp.where(sel, mg, m)
                     nx_ = jnp.where(sel, nxg, nx_)
                     ny_ = jnp.where(sel, nyg, ny_)
                     nz_ = jnp.where(sel, nzg, nz_)
-                return cl, m, nx_, ny_, nz_
+                    blk = jnp.maximum(blk, blkg)
+                return cl, m, nx_, ny_, nz_, blk
 
             def leaf_branch(a):
                 # an un-entered range is empty (r0 == r1): zero-trip fori
-                for r0, r1 in ranges:
+                for r0, r1, _ in ranges:
                     a = run_chains(a, r0, r1)
                 return a
 
             anylb = lbs[0]
             for lb in lbs[1:]:
                 anylb = anylb | lb
-            closest, bm, bnx, bny, bnz = lax.cond(
+            closest, bm, bnx, bny, bnz, blkd = lax.cond(
                 anylb != 0, leaf_branch, lambda a: a,
-                (closest, bm, bnx, bny, bnz))
+                (closest, bm, bnx, bny, bnz, blkd))
             nv = nv + npop
-            for (r0, r1), lb in zip(ranges, lbs):
+            for (r0, r1, idl), lb in zip(ranges, lbs):
                 nt = nt + jnp.where(lb != 0, r1 - r0, 0)
-            return sp, closest, bm, bnx, bny, bnz, nv, nt
+                ni = ni + jnp.where(lb != 0, idl, 0)
+            return sp, closest, bm, bnx, bny, bnz, blkd, nv, nt, ni
 
-        (_, closest, bm, bnx, bny, bnz, nv, nt) = lax.while_loop(
-            cond, body, (sp0, closest0, i0, f0, f0, f0,
-                         jnp.int32(0), jnp.int32(0)))
+        (_, closest, bm, bnx, bny, bnz, blkd, nv, nt, ni) = lax.while_loop(
+            cond, body, (sp0, closest0, i0, f0, f0, f0, f0,
+                         jnp.int32(0), jnp.int32(0), jnp.int32(0)))
         hitm = jnp.where(act & (closest < tmax_f), 1.0, 0.0)
         # face flip + front flag once per wave (raw normal tracked in-loop)
         front_b = (dx * bnx + dy * bny + dz * bnz) < 0.0
         sgn = jnp.where(front_b, 1.0, -1.0)
-        return (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
-                jnp.where(front_b, 1.0, 0.0), nv, nt)
+        out = (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
+               jnp.where(front_b, 1.0, 0.0))
+        if with_shadow:
+            out = out + (blkd,)
+        return out + (nv, nt, ni)
 
     def _sun_blocked(sox, soy, soz, pot):
         """Any-hit along the (uniform) sun direction for `pot` lanes,
@@ -568,7 +777,7 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
 
         def body(c):
             sp, sc, blocked, nv, nt = c
-            sp, ranges, npop, lbs = _multi_pop_visit(sp, ros, invs, sc,
+            sp, ranges, npop, lbs = _multi_pop_visit(sp, [(ros, invs, sc)],
                                                      octant)
 
             def mt_update(fields, guard, st):
@@ -641,7 +850,7 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                 return scm, blk
 
             def leaf_branch(a):
-                for r0, r1 in ranges:
+                for r0, r1, _ in ranges:
                     a = run_chains(a, r0, r1)
                 return a
 
@@ -651,7 +860,7 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
             sc, blocked = lax.cond(anylb != 0, leaf_branch,
                                    lambda a: a, (sc, blocked))
             nv = nv + npop
-            for (r0, r1), lb in zip(ranges, lbs):
+            for (r0, r1, _), lb in zip(ranges, lbs):
                 nt = nt + jnp.where(lb != 0, r1 - r0, 0)
             # park once every potential receiver is occluded
             open_lanes = jnp.any(sc > tmin_f)
@@ -674,19 +883,39 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
     def wave_cond(c):
         alive = c[7] > 0.5
         scnt = c[9]
-        return jnp.any(alive) | jnp.any(valid & (scnt < spp))
+        more = jnp.any(alive) | jnp.any(valid & (scnt < spp))
+        if fuse:
+            # pending shadow rays / deferred bankings still to resolve
+            more = more | jnp.any(c[16][0] > 0.5) | jnp.any(c[17] > 0.5)
+        return more
 
     def wave_body(c):
         (acc_r, acc_g, acc_b, Lr, Lg, Lb, thr3, alive_f, state, scnt,
-         depth, ro3, rd3, nrays, _waves, stat4) = c
-        cvis, ctst, svis, stst = stat4
+         depth, ro3, rd3, nrays, _waves, stat4) = c[:16]
+        cvis, ctst, svis, stst, cidl = stat4
         thr_r, thr_g, thr_b = thr3
         rox, roy, roz = ro3
         rdx, rdy, rdz = rd3
         alive = alive_f > 0.5
+        if fuse:
+            (pend_f, pcr, pcg, pcb, pox, poy, poz), defer_f = c[16], c[17]
+            defer = defer_f > 0.5
+            pot = pend_f > 0.5
 
         # ---- regeneration: idle lanes start their next sample ----------
         need = valid & ~alive & (scnt < spp)
+        if fuse:
+            # a lane that died with a pending shadow banks next wave
+            # (after resolution) and only then regenerates
+            need = need & ~defer
+        if regen_thresh < 1.0:
+            # batch primary rays into coherent waves: hold idle lanes
+            # until the live fraction drops below the threshold (a scalar
+            # gate — the per-lane draw schedule is untouched, so streams
+            # stay bit-identical; only wave timing changes)
+            livef = jnp.sum(jnp.where(alive, 1.0, 0.0))
+            totalf = jnp.maximum(jnp.sum(jnp.where(valid, 1.0, 0.0)), 1.0)
+            need = need & (livef < jnp.float32(regen_thresh) * totalf)
         jxu, state = _draw(state, need)
         jyu, state = _draw(state, need)
         sf = scnt.astype(jnp.float32)
@@ -727,12 +956,30 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         thr_g = jnp.where(scale, thr_g * inv_p, thr_g)
         thr_b = jnp.where(scale, thr_b * inv_p, thr_b)
 
-        # ---- 1. closest hit --------------------------------------------
+        # ---- 1. closest hit (+ deferred sun-shadow resolution) ---------
         nrays = nrays + jnp.sum(jnp.where(alive, 1, 0))
-        hitm_f, bt, bm, nx, ny, nz, bfr, cv_, ct_ = _closest_hit(
-            rox, roy, roz, rdx, rdy, rdz, alive)
+        if fuse:
+            nrays = nrays + jnp.sum(jnp.where(pot, 1, 0))
+            (hitm_f, bt, bm, nx, ny, nz, bfr, blkd_f, cv_, ct_,
+             ci_) = _closest_hit(rox, roy, roz, rdx, rdy, rdz, alive,
+                                 pox, poy, poz, pot)
+            # resolve LAST wave's sun MIS (contribution precomputed at
+            # shade time; the occlusion verdict is what was outstanding)
+            unb = pot & ~(blkd_f > 0.5)
+            Lr = jnp.where(unb, Lr + pcr, Lr)
+            Lg = jnp.where(unb, Lg + pcg, Lg)
+            Lb = jnp.where(unb, Lb + pcb, Lb)
+            # bank lanes that died last wave holding a pending shadow —
+            # their clamp01(L) had to wait for the sun term
+            acc_r = jnp.where(defer, acc_r + jnp.clip(Lr, 0.0, 1.0), acc_r)
+            acc_g = jnp.where(defer, acc_g + jnp.clip(Lg, 0.0, 1.0), acc_g)
+            acc_b = jnp.where(defer, acc_b + jnp.clip(Lb, 0.0, 1.0), acc_b)
+        else:
+            hitm_f, bt, bm, nx, ny, nz, bfr, cv_, ct_, ci_ = _closest_hit(
+                rox, roy, roz, rdx, rdy, rdz, alive)
         cvis = cvis + cv_
         ctst = ctst + ct_
+        cidl = cidl + ci_
         hitm = hitm_f > 0.5
         alive = alive & hitm            # miss -> black background, dies
         px_ = rox + bt * rdx
@@ -756,68 +1003,102 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         alb_b = _mat_field(bm, 3)
 
         # ---- 4. specular -------------------------------------------------
+        # The whole metal/dielectric chain (incl. the rejection-sampler
+        # while_loop: 3 draws/attempt + ~40 vector ops) runs under a
+        # scalar any-specular-lane branch: hull-dominated ISS waves are
+        # usually all-diffuse, and a skipped branch draws nothing (the
+        # masked-lane draws it skips were all-false anyway), so streams
+        # are identical either way.
         metal_m = surf & (mtype == METAL)
         diel_m = surf & (mtype == DIELECTRIC)
-        uix, uiy, uiz = _normalize3(rdx, rdy, rdz)
-        din = uix * nx + uiy * ny + uiz * nz
-        rfx = uix - 2.0 * din * nx
-        rfy = uiy - 2.0 * din * ny
-        rfz = uiz - 2.0 * din * nz
-        fuzz = jnp.clip(_mat_field(bm, 7), 0.0, 1.0)
-        (fzx, fzy, fzz), state = _rand_in_unit_sphere(state, metal_m)
-        mdx = rfx + fzx * fuzz
-        mdy = rfy + fzy * fuzz
-        mdz = rfz + fzz * fuzz
-        metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
-        alive = alive & ~(metal_m & ~metal_ok)
 
-        eta = _mat_field(bm, 8)
-        eta = jnp.where((eta <= 0.0) | ~jnp.isfinite(eta), 1.5, eta)
-        front = bfr > 0.5
-        ratio = jnp.where(front, 1.0 / eta, eta)
-        cos_t = jnp.minimum(-(uix * nx + uiy * ny + uiz * nz), 1.0)
-        sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
-        cannot = ratio * sin_t > 1.0
-        r0 = (1.0 - ratio) / (1.0 + ratio)
-        r0 = r0 * r0
-        om = 1.0 - cos_t
-        om2 = om * om
-        refl_prob = r0 + (1.0 - r0) * (om2 * om2 * om)
-        u_d, state = _draw(state, diel_m)
-        use_refl = cannot | (refl_prob > u_d)
-        # refract (inc/vec3.h:141-147)
-        rpx = (uix + nx * cos_t) * ratio
-        rpy = (uiy + ny * cos_t) * ratio
-        rpz = (uiz + nz * cos_t) * ratio
-        rpar = -jnp.sqrt(jnp.abs(1.0 - (rpx * rpx + rpy * rpy + rpz * rpz)))
-        rrx = rpx + nx * rpar
-        rry = rpy + ny * rpar
-        rrz = rpz + nz * rpar
-        ddx = jnp.where(use_refl, rfx, rrx)
-        ddy = jnp.where(use_refl, rfy, rry)
-        ddz = jnp.where(use_refl, rfz, rrz)
+        def spec_branch(a):
+            (thr_r, thr_g, thr_b, rox, roy, roz, rdx, rdy, rdz, state,
+             alive_f2) = a
+            alive = alive_f2 > 0.5
+            uix, uiy, uiz = _normalize3(rdx, rdy, rdz)
+            din = uix * nx + uiy * ny + uiz * nz
+            rfx = uix - 2.0 * din * nx
+            rfy = uiy - 2.0 * din * ny
+            rfz = uiz - 2.0 * din * nz
+            fuzz = jnp.clip(_mat_field(bm, 7), 0.0, 1.0)
+            (fzx, fzy, fzz), state = _rand_in_unit_sphere(state, metal_m)
+            mdx = rfx + fzx * fuzz
+            mdy = rfy + fzy * fuzz
+            mdz = rfz + fzz * fuzz
+            metal_ok = (mdx * nx + mdy * ny + mdz * nz) > 0.0
+            alive = alive & ~(metal_m & ~metal_ok)
 
-        spec = metal_m | diel_m
-        sdx_ = jnp.where(metal_m, mdx, ddx)
-        sdy_ = jnp.where(metal_m, mdy, ddy)
-        sdz_ = jnp.where(metal_m, mdz, ddz)
-        sar = jnp.where(metal_m, alb_r, 1.0)
-        sag = jnp.where(metal_m, alb_g, 1.0)
-        sab = jnp.where(metal_m, alb_b, 1.0)
-        mv = spec & alive
-        thr_r = jnp.where(mv, thr_r * sar, thr_r)
-        thr_g = jnp.where(mv, thr_g * sag, thr_g)
-        thr_b = jnp.where(mv, thr_b * sab, thr_b)
-        rox = jnp.where(mv, px_, rox)
-        roy = jnp.where(mv, py_, roy)
-        roz = jnp.where(mv, pz_, roz)
-        rdx = jnp.where(mv, sdx_, rdx)
-        rdy = jnp.where(mv, sdy_, rdy)
-        rdz = jnp.where(mv, sdz_, rdz)
+            eta = _mat_field(bm, 8)
+            eta = jnp.where((eta <= 0.0) | ~jnp.isfinite(eta), 1.5, eta)
+            front = bfr > 0.5
+            ratio = jnp.where(front, 1.0 / eta, eta)
+            cos_t = jnp.minimum(-(uix * nx + uiy * ny + uiz * nz), 1.0)
+            sin_t = jnp.sqrt(jnp.maximum(0.0, 1.0 - cos_t * cos_t))
+            cannot = ratio * sin_t > 1.0
+            r0 = (1.0 - ratio) / (1.0 + ratio)
+            r0 = r0 * r0
+            om = 1.0 - cos_t
+            om2 = om * om
+            refl_prob = r0 + (1.0 - r0) * (om2 * om2 * om)
+            u_d, state = _draw(state, diel_m)
+            use_refl = cannot | (refl_prob > u_d)
+            # refract (inc/vec3.h:141-147)
+            rpx = (uix + nx * cos_t) * ratio
+            rpy = (uiy + ny * cos_t) * ratio
+            rpz = (uiz + nz * cos_t) * ratio
+            rpar = -jnp.sqrt(jnp.abs(1.0
+                                     - (rpx * rpx + rpy * rpy + rpz * rpz)))
+            rrx = rpx + nx * rpar
+            rry = rpy + ny * rpar
+            rrz = rpz + nz * rpar
+            ddx = jnp.where(use_refl, rfx, rrx)
+            ddy = jnp.where(use_refl, rfy, rry)
+            ddz = jnp.where(use_refl, rfz, rrz)
+
+            spec = metal_m | diel_m
+            sdx_ = jnp.where(metal_m, mdx, ddx)
+            sdy_ = jnp.where(metal_m, mdy, ddy)
+            sdz_ = jnp.where(metal_m, mdz, ddz)
+            sar = jnp.where(metal_m, alb_r, 1.0)
+            sag = jnp.where(metal_m, alb_g, 1.0)
+            sab = jnp.where(metal_m, alb_b, 1.0)
+            mv = spec & alive
+            thr_r = jnp.where(mv, thr_r * sar, thr_r)
+            thr_g = jnp.where(mv, thr_g * sag, thr_g)
+            thr_b = jnp.where(mv, thr_b * sab, thr_b)
+            rox = jnp.where(mv, px_, rox)
+            roy = jnp.where(mv, py_, roy)
+            roz = jnp.where(mv, pz_, roz)
+            rdx = jnp.where(mv, sdx_, rdx)
+            rdy = jnp.where(mv, sdy_, rdy)
+            rdz = jnp.where(mv, sdz_, rdz)
+            return (thr_r, thr_g, thr_b, rox, roy, roz, rdx, rdy, rdz,
+                    state, jnp.where(alive, 1.0, 0.0))
+
+        (thr_r, thr_g, thr_b, rox, roy, roz, rdx, rdy, rdz, state,
+         alive_f2) = lax.cond(
+            jnp.any(metal_m | diel_m), spec_branch, lambda a: a,
+            (thr_r, thr_g, thr_b, rox, roy, roz, rdx, rdy, rdz, state,
+             jnp.where(alive, 1.0, 0.0)))
+        alive = alive_f2 > 0.5
 
         # ---- 5. sun MIS at diffuse hits (src/gpu_render.cu:800-836) ----
         diff = surf & (mtype == LAMBERTIAN) & alive
-        if sun_on:
+        if sun_on and fuse:
+            # compute the would-be contribution NOW; the occlusion test
+            # rides the next wave's combined walk (deferred shadow)
+            cos_sun = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)
+            newpend = diff & (cos_sun > 0.0)
+            pdf_b = cos_sun / jnp.float32(PI_F)
+            w_sun = pdf_b / (0.5 + 0.5 * pdf_b)
+            pcr = jnp.where(newpend, thr_r * alb_r * sun_r * w_sun, 0.0)
+            pcg = jnp.where(newpend, thr_g * alb_g * sun_g * w_sun, 0.0)
+            pcb = jnp.where(newpend, thr_b * alb_b * sun_b * w_sun, 0.0)
+            pox = px_ + sh_bias * nx
+            poy = py_ + sh_bias * ny
+            poz = pz_ + sh_bias * nz
+        elif sun_on:
             cos_sun = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)
             pot = diff & (cos_sun > 0.0)
             nrays = nrays + jnp.sum(jnp.where(pot, 1, 0))
@@ -855,36 +1136,53 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
         depth = depth + alive_in.astype(jnp.int32)
         alive = alive & (depth < max_depth)
         died = alive_in & ~alive
-        acc_r = jnp.where(died, acc_r + jnp.clip(Lr, 0.0, 1.0), acc_r)
-        acc_g = jnp.where(died, acc_g + jnp.clip(Lg, 0.0, 1.0), acc_g)
-        acc_b = jnp.where(died, acc_b + jnp.clip(Lb, 0.0, 1.0), acc_b)
+        if fuse:
+            # a lane that died holding a fresh pending shadow defers its
+            # banking one wave (clamp01 must see the sun term); all other
+            # deaths bank now (their pendings were resolved above)
+            defer_new = died & newpend
+            bank = died & ~newpend
+            pend_out = jnp.where(newpend, 1.0, 0.0)
+        else:
+            bank = died
+        acc_r = jnp.where(bank, acc_r + jnp.clip(Lr, 0.0, 1.0), acc_r)
+        acc_g = jnp.where(bank, acc_g + jnp.clip(Lg, 0.0, 1.0), acc_g)
+        acc_b = jnp.where(bank, acc_b + jnp.clip(Lb, 0.0, 1.0), acc_b)
 
-        return (acc_r, acc_g, acc_b, Lr, Lg, Lb,
-                (thr_r, thr_g, thr_b),
-                jnp.where(alive, 1.0, 0.0), state, scnt, depth,
-                (rox, roy, roz), (rdx, rdy, rdz), nrays, c[14] + 1,
-                (cvis, ctst, svis, stst))
+        out = (acc_r, acc_g, acc_b, Lr, Lg, Lb,
+               (thr_r, thr_g, thr_b),
+               jnp.where(alive, 1.0, 0.0), state, scnt, depth,
+               (rox, roy, roz), (rdx, rdy, rdz), nrays, c[14] + 1,
+               (cvis, ctst, svis, stst, cidl))
+        if fuse:
+            out = out + ((pend_out, pcr, pcg, pcb, pox, poy, poz),
+                         jnp.where(defer_new, 1.0, 0.0))
+        return out
 
     init = (f0, f0, f0, f0, f0, f0, (f1, f1, f1), f0, state0, i0, i0,
             (f0, f0, f0), (f0, f0, f1), jnp.int32(0), jnp.int32(0),
-            (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+             jnp.int32(0)))
+    if fuse:
+        init = init + ((f0, f0, f0, f0, f0, f0, f0), f0)
     out = lax.while_loop(wave_cond, wave_body, init)
     acc_r_ref[...] = out[0]
     acc_g_ref[...] = out[1]
     acc_b_ref[...] = out[2]
-    # Stats land in a bucketed (min(n_blocks, STATS_ROWS), 6) SMEM table
+    # Stats land in a bucketed (min(n_blocks, STATS_ROWS), 7) SMEM table
     # (block pid accumulates into row pid % rows): a full per-block SMEM
     # output overflows scoped memory at 1080p block_h=8 (16200 blocks),
     # and Pallas disallows sub-(8,128) blocked SMEM windows.  Buckets
     # stay far from i32 overflow (callers still sum in int64).
     # Telemetry per bucket: [rays, waves, chit visits, chit tri-tests,
-    # sun visits, sun tri-tests] — exact, drives bench + perf triage.
+    # sun visits, sun tri-tests, chit entered-leaf tris (the contiguous
+    # scan minus overscan)] — exact, drives bench + perf triage.
     pid = pl.program_id(0)
     rows = nray_ref.shape[0]
     row = pid % rows
     first = pid < rows
     vals = (out[13], out[14], out[15][0], out[15][1], out[15][2],
-            out[15][3])
+            out[15][3], out[15][4])
     for c, v in enumerate(vals):
         nray_ref[row, c] = jnp.where(first, v, nray_ref[row, c] + v)
 
@@ -893,19 +1191,23 @@ def _path_kernel(wide_ref, tri_ref, mat_ref, cam_ref, sun_ref,
                                    "max_depth", "width", "height", "seed",
                                    "rr_start", "rr_max_p", "t_min", "t_max",
                                    "sun_on", "packed", "k", "block_h",
-                                   "ordered"))
-def _run_path(wide_tab, tri_tab, mat_pack, cam_vec, sun_vec, spp_vec,
-              px, py, valid,
+                                   "ordered", "pops", "regen_thresh",
+                                   "defer_shadow"))
+def _run_path(wide_tab, tri_tab, tile_tab, mat_pack, cam_vec, sun_vec,
+              spp_vec, px, py, valid,
               n_mats: int,
               max_depth: int, width: int, height: int, seed: int,
               rr_start: int, rr_max_p: float, t_min: float, t_max: float,
               sun_on: bool, packed: bool, k: int, block_h: int,
-              ordered: bool):
+              ordered: bool, pops: int = 3, regen_thresh: float = 1.0,
+              defer_shadow: bool = True):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
                    rr_max_p=rr_max_p, t_min=t_min, t_max=t_max,
-                   sun_on=sun_on, packed=packed, ordered=ordered)
+                   sun_on=sun_on, packed=packed, ordered=ordered,
+                   pops=pops, regen_thresh=regen_thresh,
+                   defer_shadow=defer_shadow)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -917,21 +1219,22 @@ def _run_path(wide_tab, tri_tab, mat_pack, cam_vec, sun_vec, spp_vec,
     return pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[full, full, smem, smem, smem, smem] + [ray_spec] * 3,
+        in_specs=[full, full, full, smem, smem, smem, smem]
+        + [ray_spec] * 3,
         out_specs=(ray_spec, ray_spec, ray_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
             jax.ShapeDtypeStruct(out_shape, jnp.float32),
-            jax.ShapeDtypeStruct((min(n_blocks, STATS_ROWS), 6),
+            jax.ShapeDtypeStruct((min(n_blocks, STATS_ROWS), 7),
                                  jnp.int32),
         ),
         scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=out_shape[0] * 128 * 24,
                                       transcendentals=out_shape[0] * 128 * 4),
-    )(wide_tab, tri_tab, mat_pack, cam_vec, sun_vec, spp_vec,
+    )(wide_tab, tri_tab, tile_tab, mat_pack, cam_vec, sun_vec, spp_vec,
       px, py, valid)
 
 
@@ -978,8 +1281,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
 
     spp_vec = jnp.array([cfg.resolved_spp()], jnp.int32)
     acc_r, acc_g, acc_b, stats = _run_path(
-        scene.bvh_wide, tri_tab, scene.mat_pack, cam_vec, sun_vec,
-        spp_vec,
+        scene.bvh_wide, tri_tab, scene.tri_tile, scene.mat_pack, cam_vec,
+        sun_vec, spp_vec,
         fold(px.astype(jnp.int32)), fold(py.astype(jnp.int32)),
         fold(valid.astype(jnp.int32)),
         n_mats=scene.mat_pack.shape[0],
@@ -988,7 +1291,9 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         rr_max_p=float(cfg.rr_max_p), t_min=float(cfg.hit_eps),
         t_max=float(cfg.hit_tmax), sun_on=bool(scene.sun_enabled),
         packed=packed, k=Kp, block_h=block_h,
-        ordered=bool(_OPTS.ordered))
+        ordered=bool(_OPTS.ordered), pops=int(_OPTS.pops),
+        regen_thresh=float(_OPTS.regen_thresh),
+        defer_shadow=bool(_OPTS.defer_shadow))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

@@ -66,15 +66,16 @@ def fits_vmem_packed(scene) -> bool:
 
 
 def fits_vmem_fused(scene) -> bool:
-    """Fused megakernel, dense tri mode: wide-BVH rows + tri rows."""
+    """Fused megakernel, dense tri mode: wide-BVH rows + tri rows +
+    the tile-packed leaf table (vectorized leaf engine)."""
     return (scene.bvh_wide.shape[0] + scene.tri_pack.shape[0]
-            <= _VMEM_BUDGET_ROWS)
+            + scene.tri_tile.shape[0] <= _VMEM_BUDGET_ROWS)
 
 
 def fits_vmem_fused_packed(scene) -> bool:
-    """Fused megakernel, packed tri fallback (64 B/tri)."""
+    """Fused megakernel, packed tri fallback (64 B/tri) + tile table."""
     return (scene.bvh_wide.shape[0] + scene.tri_pk8.shape[0]
-            <= _VMEM_BUDGET_ROWS)
+            + scene.tri_tile.shape[0] <= _VMEM_BUDGET_ROWS)
 
 
 def backend_is_tpu() -> bool:
