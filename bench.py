@@ -51,20 +51,39 @@ def _run_fused(scene, cfg, cam, px, py, valid):
     return trace_fused_spheres(scene, cfg, cam, px, py, valid)
 
 
-def _fused_mrays(scene, cam, cfg, reps: int = 1):
-    """(mrays, seconds, exact_rays) via the fused kernel."""
+def _perturbed(cam, eps: float):
+    """Nudge the camera origin by eps along x: a fresh input per timed rep
+    so the axon result cache can never serve a cached frame (verify-skill
+    'Measurement gotchas'; same pattern as benchmarks/sweep_block.py).
+    The ray-count/work difference at 1e-4 m on a ~200 m viewpoint is
+    negligible for timing purposes."""
+    import dataclasses as _dc
+    o = cam.origin + jnp.asarray([eps, 0.0, 0.0], jnp.float32)
+    ll = cam.lower_left + jnp.asarray([eps, 0.0, 0.0], jnp.float32)
+    return _dc.replace(cam, origin=o, lower_left=ll)
+
+
+def _fused_mrays(scene, cam, cfg, reps: int = 3):
+    """(mrays, seconds, exact_rays) via the fused kernel.
+
+    Every timed rep renders a UNIQUE input (camera nudged per rep) and the
+    reported number is min-of-N — identical-input repeats could be served
+    by the axon result cache and time a cache hit, not the kernel."""
     px, py, valid, _ = lane_layout(cfg.width, cfg.height)
     px, py, valid = jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid)
     accum, nr = _run_fused(scene, cfg, cam, px, py, valid)
     accum.x.block_until_ready()
     import numpy as np
     exact = int(np.asarray(jax.device_get(nr), np.int64).sum())
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        accum, nr = _run_fused(scene, cfg, cam, px, py, valid)
-    accum.x.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-    return exact / dt / 1e6, dt, exact
+    best = None
+    for r in range(reps):
+        c = _perturbed(cam, (r + 1) * 1e-4)
+        t0 = time.perf_counter()
+        accum, nr = _run_fused(scene, cfg, c, px, py, valid)
+        accum.x.block_until_ready()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return exact / best / 1e6, best, exact
 
 
 @partial(jax.jit, static_argnames=("cfg", "spp_local", "count"))
@@ -93,12 +112,17 @@ def _wavefront_mrays(scene, cam, cfg, batch: int = 4):
     accum, _ = _run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
                               spp_local, False)
     accum.x.block_until_ready()
-    t0 = time.perf_counter()
-    accum, _ = _run_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
-                              spp_local, False)
-    accum.x.block_until_ready()
-    dt = time.perf_counter() - t0
-    return exact / dt / 1e6, dt, exact
+    best = None
+    for r in range(2):
+        # unique camera per timed rep (axon result-cache hygiene)
+        c = _perturbed(cam, (r + 1) * 1e-4)
+        t0 = time.perf_counter()
+        accum, _ = _run_wavefront(scene, c, pxb, pyb, validb, slot, cfg,
+                                  spp_local, False)
+        accum.x.block_until_ready()
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return exact / best / 1e6, best, exact
 
 
 def headline() -> dict:
@@ -186,13 +210,55 @@ def all_configs() -> list[dict]:
     # --- extra: ISS at real scale (~48k tris, lane-packed wide BVH +
     # packed tri table — the fused kernel's big-scene path) --------------
     cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
-    scene = iss_standin_scene(detail=12)
+    scene50k = iss_standin_scene(detail=12)
     cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
                           vfov=cfg.vfov, width=800, height=450)
-    mrays, dt, exact = _fused_mrays(scene, cam, cfg)
+    mrays, dt, exact = _fused_mrays(scene50k, cam, cfg)
     out.append({"config": "iss50k_800x450_32spp",
                 "metric": "Mrays/sec/chip", "value": round(mrays, 3),
-                "n_tris": int(scene.n_tris), "rays": exact,
+                "n_tris": int(scene50k.n_tris), "rays": exact,
+                "sec_per_frame": round(dt, 3)})
+
+    # --- the literal north-star metric at REAL scale: sec/frame for the
+    # 1080p @ 1000 spp rendezvous frame on the ~48k-tri scene (VERDICT r2
+    # item 3; the 5.8k-tri line above is kept for continuity) ------------
+    cfg = RenderConfig(width=1920, height=1080, spp=1000, max_depth=50)
+    cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
+                          vfov=cfg.vfov, width=1920, height=1080)
+    mrays, dt, exact = _fused_mrays(scene50k, cam, cfg, reps=1)
+    out.append({"config": "iss50k_1080p_1000spp", "metric": "sec/frame",
+                "value": round(dt, 3), "n_tris": int(scene50k.n_tris),
+                "mrays_per_sec": round(mrays, 3), "rays": exact})
+
+    # --- split-pipeline fallback cost (VERDICT r2 weak #5): the same
+    # ISS frame forced OFF the fused kernel, through the wavefront
+    # scheduler + Pallas traversal — what a scene outside fused scope
+    # (image textures on the real OBJ, mixed geometry) pays today -------
+    cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
+    scene = iss_standin_scene(detail=DETAIL)
+    cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
+                          vfov=cfg.vfov, width=800, height=450)
+    mrays, dt, exact = _wavefront_mrays(scene, cam, cfg)
+    out.append({"config": "iss_800x450_32spp_splitpath",
+                "metric": "Mrays/sec/chip", "value": round(mrays, 3),
+                "rays": exact, "sec_per_frame": round(dt, 3)})
+
+    # --- mixed geometry (tris + spheres + quad): Cornell-with-mesh-like
+    # composition; falls wherever render.fused_kind routes it ------------
+    from dsrt_tpu.models.presets import mixed_scene
+    cfg = RenderConfig(width=400, height=225, spp=32, max_depth=50)
+    scene = mixed_scene()
+    cam = make_camera((0, 0.8, 2.6), (0, 0.3, -1), vfov=50,
+                      width=400, height=225)
+    if fused_kind(scene, cfg):
+        mrays, dt, exact = _fused_mrays(scene, cam, cfg)
+        mode = "fused"
+    else:
+        mrays, dt, exact = _wavefront_mrays(scene, cam, cfg)
+        mode = "wavefront"
+    out.append({"config": "mixed_400x225_32spp",
+                "metric": "Mrays/sec/chip", "value": round(mrays, 3),
+                "mode": mode, "rays": exact,
                 "sec_per_frame": round(dt, 3)})
 
     # --- configs[4]: volumetric + importance-sampled scene ---------------

@@ -91,8 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sky", choices=["solid", "gradient"], default="solid",
                    help="debug-shade sky type (SkyType, inc/gpu_scene.h:90)")
     # TPU execution knobs (exec_opts; SURVEY §5 config promotion)
-    p.add_argument("--block_h", type=int, default=32,
-                   help="rays per Pallas grid step = block_h x 128 lanes")
+    p.add_argument("--block_h", type=int, default=None,
+                   help="rays per Pallas grid step = block_h x 128 lanes "
+                        "(default: the bench-measured ExecOptions default)")
     p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto",
                    help="Pallas kernel gating (off = pure-XLA traversal)")
     p.add_argument("--shard", action="store_true",
@@ -166,7 +167,8 @@ def _finish_frame(pending, timer: StageTimer, args) -> None:
 
 def run(args) -> int:
     from dsrt_tpu.exec_opts import OPTS
-    OPTS.block_h = args.block_h
+    if args.block_h is not None:
+        OPTS.block_h = args.block_h
     OPTS.pallas = args.pallas
 
     timer = StageTimer()

@@ -120,3 +120,30 @@ def cornell_box_scene(seed: int = 1337) -> Scene:
     b.add_box((0.15, 0.0, 0.10), (0.45, 0.55, 0.40), white)
     b.add_box((0.55, 0.0, 0.50), (0.85, 0.30, 0.80), white)
     return b.build()
+
+
+def mixed_scene(seed: int = 1337) -> Scene:
+    """Mixed geometry: a small triangle mesh + spheres + a quad light in
+    one scene — the scene_hit composition order of the reference
+    (triangles via BVH first, then brute spheres, src/gpu_render.cu:
+    509-551, then the resurrected quads).  Exercises whichever execution
+    path render.fused_kind routes mixed scenes to (split wavefront today)
+    and is the bench line that keeps that cost visible."""
+    from dsrt_tpu.models.mesh_gen import iss_standin_mesh
+    b = SceneBuilder(sun_enabled=True,
+                     sun_dir=(-0.4, -0.8, -0.45),
+                     sun_radiance=(6.0, 5.7, 5.4), seed=seed,
+                     bvh_method="sah")
+    mesh = iss_standin_mesh(1)
+    # shrink the station into tabletop scale
+    for arr in (mesh.v0, mesh.v1, mesh.v2):
+        arr *= 0.012
+    b.add_mesh(mesh, translate=(0.0, 0.3, -1.2))
+    b.add_sphere((0.0, -100.5, -1.0), 100.0,
+                 Material.lambertian((0.8, 0.8, 0.0)))
+    b.add_sphere((-0.9, 0.0, -1.0), 0.45, Material.dielectric(1.5))
+    b.add_sphere((0.9, 0.0, -1.0), 0.45,
+                 Material.metal((0.8, 0.6, 0.2), fuzz=0.05))
+    b.add_quad((-0.5, 1.8, -1.7), (1.0, 0.0, 0.0), (0.0, 0.0, 1.0),
+               Material.diffuse_light((10.0, 9.5, 9.0)), flip_face=True)
+    return b.build()

@@ -13,7 +13,26 @@ if "xla_force_host_platform_device_count" not in _flags:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# NOTE: the JAX_PLATFORMS=cpu default above is best-effort — the axon TPU
+# plugin (when installed) overrides it, which is exactly what the bench
+# environment wants: the Pallas/fused tests then RUN instead of skipping.
+# DSRT_REQUIRE_TPU=1 (set in the bench environment) makes any TPU-gated
+# skip a hard FAILURE, so a suite that silently skipped its kernel tests
+# can never masquerade as green there.
+
 
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_makereport(item, call):
+    outcome = yield
+    rep = outcome.get_result()
+    if (rep.skipped and os.environ.get("DSRT_REQUIRE_TPU") == "1"
+            and "TPU" in str(rep.longrepr)):
+        rep.outcome = "failed"
+        rep.longrepr = (
+            f"DSRT_REQUIRE_TPU=1: TPU-gated test skipped ({rep.longrepr}) "
+            "— the bench environment must run these")
