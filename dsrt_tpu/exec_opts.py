@@ -58,6 +58,39 @@ class ExecOptions:
     # 47.7k tris (35.5 vs 33.0 at 3; 6 == 4 within noise) and neutral at
     # 5.8k (benchmarks/sweep50k3.py).
     pops: int = 4
+    # Per-ROW traversal in the fused megakernel: each of the block_h ray
+    # rows walks the wide BVH with its own cursor + SMEM stack and only
+    # box/leaf-tests its OWN 128 lanes.  Hypothesis was that the block-
+    # union walk's (tile x row) leaf product dominates; measured on v5e
+    # at 47.7k tris it is NET-NEGATIVE by 2.5x (13.9 vs 34.2 Mrays/s,
+    # benchmarks/sweep50k5.py): the per-row fronts overlap so heavily
+    # that their SUM is 3x the union's visits (cvis 607k vs 201k), and
+    # the 8x scalar push/pop bookkeeping per iteration serializes on the
+    # scalar core.  Rays within a pixel block are simply too coherent
+    # for per-row walks to pay.  Kept as an opt-in A/B knob.
+    rowtrav: bool = False
+    # Traversal visits per row per loop iteration in rowtrav mode (the
+    # per-row analogue of `pops`; serial-latency vs wasted-pop tradeoff).
+    # rp1 measured better than rp2 (17.1 vs 13.9) but both lose badly.
+    row_pops: int = 1
+    # Streamed walk (fused megakernel): fold leaf-tile testing into the
+    # SAME straight-line iteration body as the node visits — entered
+    # leaf ranges are enqueued to a small SMEM range queue and drained
+    # at `stream_tiles` tile tests per iteration alongside the next
+    # `pops` node visits, so the tile load+roll chains overlap the node
+    # load chains instead of serializing after them in a lax.cond
+    # branch.  Identical accept set (every enqueued range is fully
+    # drained before the walk can end; pruning clamps only ever lag =
+    # superset walks).  Takes precedence over `rowtrav`.  Measured on
+    # v5e (benchmarks/sweep50k5.py): +4%% at 47.7k tris (35.7 vs 34.2
+    # Mrays/s, tiles=6) but -9%% at 5.8k (60.4 vs 66.4 — small dense
+    # scenes have few tiles per wave, so the queue bookkeeping costs
+    # more than the overlap saves).  "auto" = streamed only for scenes
+    # in packed-tri mode (the big-scene regime it wins in).
+    stream: str = "auto"            # "auto" | "on" | "off"
+    # Leaf tile tests per streamed-walk iteration (sweep: 2 -> 25.2,
+    # 4 -> 33.3, 6 -> 35.7, 8 -> 34.6 Mrays/s at 47.7k tris).
+    stream_tiles: int = 6
     # Fused-kernel sample regeneration gate: idle lanes start their next
     # sample only when the block's live fraction drops below this.  1.0 =
     # regenerate immediately (max occupancy, mixes primary rays into

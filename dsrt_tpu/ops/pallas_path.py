@@ -168,6 +168,8 @@ def _cosine_hemisphere(nx, ny, nz, state, mask):
 # ---------------------------------------------------------------------------
 
 STACK = 256          # wide-traversal stack bound: depth*(arity-1) << 256
+ROW_SSEG = 64        # per-row stack segment (rowtrav mode): depth*7 < 63
+RQCAP = 127          # streamed-walk range queue capacity (pairs; +dump)
 LEAF_CHAINS = 8      # independent leaf-test accumulator chains (ILP)
 STATS_ROWS = 1024    # telemetry buckets (block pid accumulates mod this)
 
@@ -175,12 +177,15 @@ STATS_ROWS = 1024    # telemetry buckets (block pid accumulates mod this)
 def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
                  spp_ref, px_ref, py_ref, valid_ref,
                  acc_r_ref, acc_g_ref, acc_b_ref, nray_ref, stack_ref,
+                 rq_ref,
                  *, n_mats: int,
                  max_depth: int, width: int, height: int, seed: int,
                  rr_start: int, rr_max_p: float, t_min: float, t_max: float,
                  sun_on: bool, packed: bool, ordered: bool,
                  pops: int = 3, regen_thresh: float = 1.0,
-                 defer_shadow: bool = True):
+                 defer_shadow: bool = True, rowtrav: bool = False,
+                 row_pops: int = 2, stream: bool = True,
+                 stream_tiles: int = 4):
     POPS = pops
     # deferred-shadow mode only matters when the sun is on
     fuse = defer_shadow and sun_on
@@ -243,17 +248,10 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
         jnp.int32, (8, 1), 0)
     n_rows = shape[0]
 
-    def _visit_bits(node, ray_sets):
-        """Load wide node `node` and box-test its 8 children against every
-        ray row of every set in `ray_sets` (a list of (ros, invs, clamp)
-        triples — the combined walk passes the extension rays AND the
-        pending sun-shadow rays; the verdict is the UNION, which enters a
-        superset of each set's own walk so no hit/occluder is ever
-        missed).  Returns (W (8,16), hitbits, leafbits, base, intmask) —
-        the verdict scalars pack child c at bit c.
-
-        Two static layouts, keyed off the table shape: dense sublane
-        rows ((8*Nw,16): direct (8,16) block + scalar field loads) and
+    def _load_wide(node):
+        """Load wide node `node`: (W (8,16), base, intmask).  Two static
+        layouts, keyed off the table shape: dense sublane rows
+        ((8*Nw,16): direct (8,16) block + scalar field loads) and
         lane-packed ((~Nw,128), 8 nodes per tile, bvh_build.
         lane_pack_wide): one (8,128) tile load, a dynamic lane roll to
         bring this node's 16-lane group to the front, a static slice,
@@ -266,10 +264,19 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
         else:                            # dense sublane rows
             W = wide_ref[pl.ds(8 * node, 8), :]
             combo = wide_ref[8 * node, 8].astype(jnp.int32)
+        return W, combo >> 8, combo & 255
+
+    def _visit_bits(node, ray_sets):
+        """Load wide node `node` and box-test its 8 children against every
+        ray row of every set in `ray_sets` (a list of (ros, invs, clamp)
+        triples — the combined walk passes the extension rays AND the
+        pending sun-shadow rays; the verdict is the UNION, which enters a
+        superset of each set's own walk so no hit/occluder is ever
+        missed).  Returns (W (8,16), hitbits, leafbits, base, intmask) —
+        the verdict scalars pack child c at bit c."""
+        W, base, intmask = _load_wide(node)
         minx, miny, minz = W[:, 0:1], W[:, 1:2], W[:, 2:3]
         maxx, maxy, maxz = W[:, 3:4], W[:, 4:5], W[:, 5:6]
-        base = combo >> 8
-        intmask = combo & 255
         acc = jnp.zeros((8, TILE_W), jnp.float32)
         for ros, invs, clamp in ray_sets:
             for r in range(n_rows):
@@ -293,6 +300,32 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
                                 clamp[r:r + 1, :]))
                 acc = acc + jnp.where(hi > lo, 1.0, 0.0)
         nodehit = jnp.sum(acc, axis=1, keepdims=True) > 0.0    # (8,1)
+        leafc = W[:, 7:8] > 0.0
+        hitbits = jnp.sum(jnp.where(nodehit, pow2_col, 0))
+        leafbits = jnp.sum(jnp.where(nodehit & leafc, pow2_col, 0))
+        return W, hitbits, leafbits, base, intmask
+
+    def _visit_row(node, oxr, oyr, ozr, ivxr, ivyr, ivzr, clamp_r):
+        """Single-ROW visit (rowtrav mode): box-test the 8 children of
+        `node` against one (1,128) ray row only.  Same verdict packing
+        as _visit_bits."""
+        W, base, intmask = _load_wide(node)
+        minx, miny, minz = W[:, 0:1], W[:, 1:2], W[:, 2:3]
+        maxx, maxy, maxz = W[:, 3:4], W[:, 4:5], W[:, 5:6]
+        tx0 = (minx - oxr) * ivxr
+        tx1 = (maxx - oxr) * ivxr
+        ty0 = (miny - oyr) * ivyr
+        ty1 = (maxy - oyr) * ivyr
+        tz0 = (minz - ozr) * ivzr
+        tz1 = (maxz - ozr) * ivzr
+        lo = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
+        hi = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.minimum(jnp.maximum(tz0, tz1), clamp_r))
+        nodehit = jnp.sum(jnp.where(hi > lo, 1.0, 0.0),
+                          axis=1, keepdims=True) > 0.0      # (8,1)
         leafc = W[:, 7:8] > 0.0
         hitbits = jnp.sum(jnp.where(nodehit, pow2_col, 0))
         leafbits = jnp.sum(jnp.where(nodehit & leafc, pow2_col, 0))
@@ -327,11 +360,14 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
         ideal = jnp.sum(jnp.where(lmask, W[:, 7:8], 0.0)).astype(jnp.int32)
         return r0, r1, ideal
 
-    def _push_children(sp, hitbits, leafbits, base, intmask):
+    def _push_children(sp, hitbits, leafbits, base, intmask, soff=0,
+                       dump=STACK - 1):
         """Push entered interior children.  The wide index of the
         interior child at slot c is base + popcount(intmask below c) —
         ranked over ALL interior slots (the build-time allocation), not
-        just the entered ones.  Descending slot order so pops ascend."""
+        just the entered ones.  Descending slot order so pops ascend.
+        `soff` selects a per-row stack region (rowtrav mode); `dump` is
+        the scratch slot masked pushes write to."""
         intbits = hitbits & ~leafbits & intmask
         k = jnp.int32(0)
         irank = jnp.int32(0)
@@ -343,7 +379,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
             irank = irank - ((intmask >> c) & 1)
             bc = (intbits >> c) & 1
             k = k - bc
-            idx = jnp.where(bc > 0, sp + k, STACK - 1)
+            idx = jnp.where(bc > 0, soff + sp + k, dump)
             stack_ref[idx] = base + irank
         return sp + npush
 
@@ -468,43 +504,48 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
             # one 3-round cyclic-roll tournament per WALK merges them.
             max_tile = tile_ref.shape[0] - 1
 
-            def tile_update(W, SR):
+            def tile_update_row(W, r, st):
+                """Test one (8,16) triangle tile against ray row r:
+                fields are (8,1) columns, Moller-Trumbore runs as
+                (8,1)x(1,128) broadcasts; candidate state is per
+                (tri-row slot x lane)."""
                 v0x, v0y, v0z = W[:, 0:1], W[:, 1:2], W[:, 2:3]
                 e1x, e1y, e1z = W[:, 3:4], W[:, 4:5], W[:, 5:6]
                 e2x, e2y, e2z = W[:, 6:7], W[:, 7:8], W[:, 8:9]
                 mat_f = W[:, 9:10]
                 fnx, fny, fnz = W[:, 10:11], W[:, 11:12], W[:, 12:13]
-                out = []
-                for r in range(n_rows):
-                    cl, mf, nx_, ny_, nz_ = SR[r]
-                    dxr = dx[r:r + 1, :]
-                    dyr = dy[r:r + 1, :]
-                    dzr = dz[r:r + 1, :]
-                    pvx = dyr * e2z - dzr * e2y
-                    pvy = dzr * e2x - dxr * e2z
-                    pvz = dxr * e2y - dyr * e2x
-                    det = e1x * pvx + e1y * pvy + e1z * pvz
-                    ok = jnp.abs(det) >= 1e-8
-                    inv_det = 1.0 / jnp.where(ok, det, 1.0)
-                    tvx = ox[r:r + 1, :] - v0x
-                    tvy = oy[r:r + 1, :] - v0y
-                    tvz = oz[r:r + 1, :] - v0z
-                    u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                    ok = ok & (u >= 0.0) & (u <= 1.0)
-                    qvx = tvy * e1z - tvz * e1y
-                    qvy = tvz * e1x - tvx * e1z
-                    qvz = tvx * e1y - tvy * e1x
-                    v = (dxr * qvx + dyr * qvy + dzr * qvz) * inv_det
-                    ok = ok & (v >= 0.0) & (u + v <= 1.0)
-                    t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
-                    ok = ok & (t >= tmin_f) & (t <= cl)
-                    cl = jnp.where(ok, t, cl)
-                    mf = jnp.where(ok, mat_f, mf)
-                    nx_ = jnp.where(ok, fnx, nx_)
-                    ny_ = jnp.where(ok, fny, ny_)
-                    nz_ = jnp.where(ok, fnz, nz_)
-                    out.append((cl, mf, nx_, ny_, nz_))
-                return tuple(out)
+                cl, mf, nx_, ny_, nz_ = st
+                dxr = dx[r:r + 1, :]
+                dyr = dy[r:r + 1, :]
+                dzr = dz[r:r + 1, :]
+                pvx = dyr * e2z - dzr * e2y
+                pvy = dzr * e2x - dxr * e2z
+                pvz = dxr * e2y - dyr * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                ok = jnp.abs(det) >= 1e-8
+                inv_det = 1.0 / jnp.where(ok, det, 1.0)
+                tvx = ox[r:r + 1, :] - v0x
+                tvy = oy[r:r + 1, :] - v0y
+                tvz = oz[r:r + 1, :] - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                ok = ok & (u >= 0.0) & (u <= 1.0)
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dxr * qvx + dyr * qvy + dzr * qvz) * inv_det
+                ok = ok & (v >= 0.0) & (u + v <= 1.0)
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = ok & (t >= tmin_f) & (t <= cl)
+                cl = jnp.where(ok, t, cl)
+                mf = jnp.where(ok, mat_f, mf)
+                nx_ = jnp.where(ok, fnx, nx_)
+                ny_ = jnp.where(ok, fny, ny_)
+                nz_ = jnp.where(ok, fnz, nz_)
+                return (cl, mf, nx_, ny_, nz_)
+
+            def tile_update(W, SR):
+                return tuple(tile_update_row(W, r, SR[r])
+                             for r in range(n_rows))
 
             def run_tiles(SR, r0, r1):
                 # tile granularity matches the old packed chains: up to
@@ -560,10 +601,206 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
             SR0 = tuple(
                 (zt + closest0[r:r + 1, :], zt, zt, zt, zt)
                 for r in range(n_rows))
-            (_, SR, closest, nv, nt, ni) = lax.while_loop(
-                tcond, tbody_w,
-                (sp0, SR0, closest0, jnp.int32(0), jnp.int32(0),
-                 jnp.int32(0)))
+
+            if stream:
+                # ---- streamed walk: node visits + leaf tiles in ONE ---
+                # straight-line iteration body.  Entered leaf ranges are
+                # enqueued (tile cursor pairs) to the SMEM range queue
+                # and drained at `stream_tiles` tile tests per iteration
+                # ALONGSIDE the next `pops` node visits — the tile
+                # load+roll chains overlap the node load chains instead
+                # of serializing after them in a lax.cond leaf branch.
+                # Identical accept set: every enqueued range is fully
+                # drained before the loop can end (cond checks sp, the
+                # queue, and the open cursor), pruning clamps only ever
+                # lag behind (= superset walks), and idle tile slots
+                # re-test clamped REAL tiles (idempotent accepts).
+                # Queue backpressure: node pops stall while the queue
+                # is within POPS of capacity, so enqueues never spill.
+                T = stream_tiles
+
+                def scond(c):
+                    return (c[0] > 0) | (c[3] > 0) | (c[1] < c[2])
+
+                def sbody(c):
+                    sp, cur, cend, rq, SR, nv, nt, ni = c
+                    closr = [jnp.min(SR[r][0], axis=0, keepdims=True)
+                             for r in range(n_rows)]
+                    closest = jnp.concatenate(closr, axis=0)
+                    # phase 1: T tile tests with inline queue refill —
+                    # FIRST, so the tile load addresses depend only on
+                    # loop-carried scalars (cur/cend/rq), not on this
+                    # iteration's visit verdicts: the tile chains issue
+                    # at iteration top and overlap the node visit chains
+                    # below (tiles drain the PREVIOUS iterations' queue)
+                    for j in range(T):
+                        need = (cur >= cend) & (rq > 0)
+                        rq = rq - need.astype(jnp.int32)
+                        qa = jnp.where(need, 2 * rq, 2 * RQCAP)
+                        cur = jnp.where(need, rq_ref[qa], cur)
+                        cend = jnp.where(need, rq_ref[qa + 1], cend)
+                        t_ = jnp.minimum(cur, max_tile)
+                        grp = tile_ref[pl.ds(8 * (t_ // 8), 8), :]
+                        Wt = pltpu.roll(grp, -16 * (t_ % 8), 1)[:, :16]
+                        SR = tile_update(Wt, SR)
+                        cur = cur + (cur < cend).astype(jnp.int32)
+                    # phase 2: pop + visit (every pop masked — the loop
+                    # runs on after the node stack empties to drain the
+                    # tile queue)
+                    can_pop = rq < RQCAP - POPS
+                    nodes, vlds = [], []
+                    for p in range(POPS):
+                        nodes.append(stack_ref[jnp.maximum(sp - 1 - p, 0)])
+                        vlds.append((sp >= p + 1) & can_pop)
+                    npop = jnp.int32(0)
+                    for v in vlds:
+                        npop = npop + v.astype(jnp.int32)
+                    sp = sp - npop
+                    outs = []
+                    for p in range(POPS):
+                        W, hb, lb, base, im = _visit_bits(
+                            nodes[p], [(ros, invs, closest)])
+                        hb = jnp.where(vlds[p], hb, 0)
+                        lb = jnp.where(vlds[p], lb, 0)
+                        outs.append((W, hb, lb, base, im))
+                    for W, hb, lb, base, im in reversed(outs):
+                        sp = _push_children(sp, hb, lb, base, im)
+                    nv = nv + npop
+                    # phase 3: enqueue entered leaf ranges
+                    for W, hb, lb, base, im in outs:
+                        r0, r1, idl = _leaf_range(W, lb)
+                        haslb = lb != 0
+                        qi = jnp.where(haslb, 2 * rq, 2 * RQCAP)
+                        rq_ref[qi] = r0 // 8
+                        rq_ref[qi + 1] = (r1 + 7) // 8
+                        rq = rq + haslb.astype(jnp.int32)
+                        nt = nt + jnp.where(haslb, r1 - r0, 0)
+                        ni = ni + jnp.where(haslb, idl, 0)
+                    return sp, cur, cend, rq, SR, nv, nt, ni
+
+                (_, _, _, _, SR, nv, nt, ni) = lax.while_loop(
+                    scond, sbody,
+                    (sp0, jnp.int32(0), jnp.int32(0), jnp.int32(0), SR0,
+                     jnp.int32(0), jnp.int32(0), jnp.int32(0)))
+            elif rowtrav:
+                # ---- per-row traversal: each ray row walks the wide ---
+                # BVH with its own cursor + stack segment and only box/
+                # leaf-tests its OWN 128 lanes (the block-union walk
+                # tests every popped node and leaf tile against ALL
+                # rows).  The n_rows x row_pops visit chains per
+                # iteration are textually independent — SMEM reads all
+                # happen in phase 1 and pushes in phase 2, so a row's
+                # stack stores never order-block another row's pops —
+                # the per-row analogue of the multi-pop ILP form.
+                # Identical accept set: each row enters every leaf its
+                # own 128-ray walk would enter.  `ordered` is ignored
+                # here (per-row fronts are already small).
+                R = n_rows
+                RP = row_pops
+                for r in range(R):
+                    stack_ref[r * ROW_SSEG] = jnp.int32(0)
+                sps0 = tuple(
+                    jnp.where(jnp.any(act[r:r + 1, :]),
+                              jnp.int32(1), jnp.int32(0))
+                    for r in range(R))
+
+                def rcond(c):
+                    t = c[0][0]
+                    for s in c[0][1:]:
+                        t = t + s
+                    return t > 0
+
+                def rbody(c):
+                    sps, SR, nv, nt, ni = c
+                    closr = [jnp.min(SR[r][0], axis=0, keepdims=True)
+                             for r in range(R)]
+                    # phase 1: pop + visit (SMEM reads only)
+                    infos = []
+                    for r in range(R):
+                        sp = sps[r]
+                        outs_r = []
+                        for p in range(RP):
+                            node = stack_ref[
+                                r * ROW_SSEG + jnp.maximum(sp - 1 - p, 0)]
+                            vld = sp >= (p + 1)
+                            W, hb, lb, base, im = _visit_row(
+                                node, ox[r:r + 1, :], oy[r:r + 1, :],
+                                oz[r:r + 1, :], inv_dx[r:r + 1, :],
+                                inv_dy[r:r + 1, :], inv_dz[r:r + 1, :],
+                                closr[r])
+                            hb = jnp.where(vld, hb, 0)
+                            lb = jnp.where(vld, lb, 0)
+                            outs_r.append((W, hb, lb, base, im, vld))
+                        infos.append(outs_r)
+                    # phase 2: pushes into per-row stack segments
+                    new_sps = []
+                    for r in range(R):
+                        sp = sps[r]
+                        npop = jnp.int32(0)
+                        for info in infos[r]:
+                            npop = npop + info[5].astype(jnp.int32)
+                        sp = sp - npop
+                        for W, hb, lb, base, im, vld in reversed(infos[r]):
+                            sp = _push_children(
+                                sp, hb, lb, base, im, soff=r * ROW_SSEG,
+                                dump=r * ROW_SSEG + ROW_SSEG - 1)
+                        new_sps.append(sp)
+                        nv = nv + npop
+                    # phase 3: leaf tiles, merged across rows — one trip-
+                    # counted loop per pop slot; every row streams its
+                    # own range's tiles (8 independent load+roll chains
+                    # per iteration); rows past their own range re-test
+                    # clamped REAL tiles (idempotent accepts — the
+                    # superset argument)
+                    anylb = jnp.int32(0)
+                    spans = []
+                    for p in range(RP):
+                        per = []
+                        for r in range(R):
+                            W, hb, lb = infos[r][p][:3]
+                            r0, r1, idl = _leaf_range(W, lb)
+                            per.append((r0 // 8, (r1 + 7) // 8 - r0 // 8))
+                            anylb = anylb | lb
+                            nt = nt + jnp.where(lb != 0, r1 - r0, 0)
+                            ni = ni + jnp.where(lb != 0, idl, 0)
+                        spans.append(per)
+
+                    def leaf_branch(SR):
+                        for p in range(RP):
+                            per = spans[p]
+                            nit = per[0][1]
+                            for r in range(1, R):
+                                nit = jnp.maximum(nit, per[r][1])
+
+                            def tbody(k, SR, per=per):
+                                out = []
+                                for r in range(R):
+                                    t_ = jnp.minimum(per[r][0] + k,
+                                                     max_tile)
+                                    grp = tile_ref[
+                                        pl.ds(8 * (t_ // 8), 8), :]
+                                    Wt = pltpu.roll(
+                                        grp, -16 * (t_ % 8), 1)[:, :16]
+                                    out.append(tile_update_row(
+                                        Wt, r, SR[r]))
+                                return tuple(out)
+
+                            SR = lax.fori_loop(0, nit, tbody, SR)
+                        return SR
+
+                    SR = lax.cond(anylb != 0, leaf_branch,
+                                  lambda a: a, SR)
+                    return tuple(new_sps), SR, nv, nt, ni
+
+                (_, SR, nv, nt, ni) = lax.while_loop(
+                    rcond, rbody,
+                    (sps0, SR0, jnp.int32(0), jnp.int32(0),
+                     jnp.int32(0)))
+            else:
+                (_, SR, closest, nv, nt, ni) = lax.while_loop(
+                    tcond, tbody_w,
+                    (sp0, SR0, closest0, jnp.int32(0), jnp.int32(0),
+                     jnp.int32(0)))
 
             # merge the tri-row candidates: 3-round cyclic-roll
             # tournament (strict < keeps the lower slot on exact ties)
@@ -1192,7 +1429,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
                                    "rr_start", "rr_max_p", "t_min", "t_max",
                                    "sun_on", "packed", "k", "block_h",
                                    "ordered", "pops", "regen_thresh",
-                                   "defer_shadow"))
+                                   "defer_shadow", "rowtrav", "row_pops",
+                                   "stream", "stream_tiles"))
 def _run_path(wide_tab, tri_tab, tile_tab, mat_pack, cam_vec, sun_vec,
               spp_vec, px, py, valid,
               n_mats: int,
@@ -1200,14 +1438,18 @@ def _run_path(wide_tab, tri_tab, tile_tab, mat_pack, cam_vec, sun_vec,
               rr_start: int, rr_max_p: float, t_min: float, t_max: float,
               sun_on: bool, packed: bool, k: int, block_h: int,
               ordered: bool, pops: int = 3, regen_thresh: float = 1.0,
-              defer_shadow: bool = True):
+              defer_shadow: bool = True, rowtrav: bool = False,
+              row_pops: int = 2, stream: bool = True,
+              stream_tiles: int = 4):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
                    rr_max_p=rr_max_p, t_min=t_min, t_max=t_max,
                    sun_on=sun_on, packed=packed, ordered=ordered,
                    pops=pops, regen_thresh=regen_thresh,
-                   defer_shadow=defer_shadow)
+                   defer_shadow=defer_shadow, rowtrav=rowtrav,
+                   row_pops=row_pops, stream=stream,
+                   stream_tiles=stream_tiles)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1230,7 +1472,12 @@ def _run_path(wide_tab, tri_tab, tile_tab, mat_pack, cam_vec, sun_vec,
             jax.ShapeDtypeStruct((min(n_blocks, STATS_ROWS), 7),
                                  jnp.int32),
         ),
-        scratch_shapes=[pltpu.SMEM((STACK,), jnp.int32)],
+        # rowtrav needs block_h per-row segments (>= STACK for block_h
+        # >= 8, so the union-walk sun pass's [0, STACK) region still fits)
+        scratch_shapes=[pltpu.SMEM(
+            (max(STACK, block_h * ROW_SSEG) if rowtrav else STACK,),
+            jnp.int32),
+            pltpu.SMEM((2 * RQCAP + 2,), jnp.int32)],
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=out_shape[0] * 128 * 24,
                                       transcendentals=out_shape[0] * 128 * 4),
@@ -1293,7 +1540,11 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         packed=packed, k=Kp, block_h=block_h,
         ordered=bool(_OPTS.ordered), pops=int(_OPTS.pops),
         regen_thresh=float(_OPTS.regen_thresh),
-        defer_shadow=bool(_OPTS.defer_shadow))
+        defer_shadow=bool(_OPTS.defer_shadow),
+        rowtrav=bool(_OPTS.rowtrav), row_pops=int(_OPTS.row_pops),
+        stream=(packed if _OPTS.stream == "auto"
+                else _OPTS.stream in ("on", True)),
+        stream_tiles=int(_OPTS.stream_tiles))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

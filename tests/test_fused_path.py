@@ -67,3 +67,47 @@ def test_fused_gate_rejects_unsupported():
     from dsrt_tpu.models.presets import rtiow_smoke_scene
     scene = rtiow_smoke_scene()  # spheres -> unsupported
     assert not pallas_path.fused_supported(scene, CFG)
+
+
+def test_fused_stream_walk_matches_union_walk():
+    """The streamed walk (leaf tiles folded into the visit iteration,
+    exec_opts.stream) must be bit-identical to the union walk: every
+    enqueued range is fully drained, pruning clamps only lag (superset
+    walks), idle tile slots re-test real tiles (idempotent accepts)."""
+    scene = iss_standin_scene(detail=2)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame_fused
+    from dsrt_tpu.exec_opts import OPTS
+    cam = point_camera_at((20.0, 30.0, 95.0), (0.0, 0.0, 0.0),
+                          vfov=CFG.vfov, width=W, height=H)
+    old = OPTS.stream
+    try:
+        OPTS.stream = "off"
+        ref = render_frame_fused(scene, cam, CFG)
+        OPTS.stream = "on"
+        img = render_frame_fused(scene, cam, CFG)
+    finally:
+        OPTS.stream = old
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_rowtrav_matches_union_walk():
+    """Per-row traversal (exec_opts.rowtrav; measured net-negative,
+    kept as an A/B knob) must still be bit-identical."""
+    scene = iss_standin_scene(detail=2)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame_fused
+    from dsrt_tpu.exec_opts import OPTS
+    cam = point_camera_at((20.0, 30.0, 95.0), (0.0, 0.0, 0.0),
+                          vfov=CFG.vfov, width=W, height=H)
+    olds, oldr = OPTS.stream, OPTS.rowtrav
+    try:
+        OPTS.stream = "off"
+        OPTS.rowtrav = False
+        ref = render_frame_fused(scene, cam, CFG)
+        OPTS.rowtrav = True
+        img = render_frame_fused(scene, cam, CFG)
+    finally:
+        OPTS.stream, OPTS.rowtrav = olds, oldr
+    np.testing.assert_array_equal(img, ref)
