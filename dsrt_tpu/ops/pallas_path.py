@@ -59,17 +59,39 @@ MANT = 0x00FFFFFF
 INV_2_24 = 1.0 / 16777216.0
 
 
+TEX_ROWS_MAX = 2048   # texture plane rows ((.,128) texels/channel) the
+#                       in-kernel one-hot gather accepts (~512x512 RGB)
+
+
+def _tex_plane_rows(scene) -> int:
+    """Rows of 128 texels per channel in the de-interleaved pool."""
+    if not scene.has_image_tex:
+        return 0
+    return max((int(scene.tex_pool.shape[0]) // 3 + TILE_W - 1) // TILE_W,
+               1)
+
+
 def fused_supported(scene, cfg) -> bool:
-    """Whether the fused megakernel covers this scene/config."""
+    """Whether the fused megakernel covers this scene/config.  Image-
+    textured and smooth-shaded (vn) triangle meshes are in scope — the
+    real NASA ISS OBJ carries per-triangle map_Kd textures
+    (/root/reference/inc/triangle_mesh.h:244-251) and the reference
+    samples them inside its one kernel (tex2D,
+    /root/reference/src/gpu_render.cu:232-259, UV interp :763-774) —
+    provided the texture pool fits the in-kernel gather budget."""
     if _OPTS.pallas == "off":
         return False
+    if scene.has_image_tex and _tex_plane_rows(scene) > TEX_ROWS_MAX:
+        return False
+    shaded = scene.has_image_tex or scene.has_smooth
+    extra = ((scene.tri_tile.shape[0] if shaded else 0)
+             + 3 * _tex_plane_rows(scene))
     return (scene.n_tris > 0 and scene.n_spheres == 0
             and scene.n_quads == 0
             and scene.n_media == 0 and scene.n_lights == 0
-            and not scene.has_image_tex and not scene.has_ptex
-            and not scene.has_smooth
+            and not scene.has_ptex
             and cfg.aperture == 0.0
-            and fits_vmem_fused_packed(scene) and backend_is_tpu())
+            and fits_vmem_fused_packed(scene, extra) and backend_is_tpu())
 
 
 # ---------------------------------------------------------------------------
@@ -174,8 +196,9 @@ LEAF_CHAINS = 8      # independent leaf-test accumulator chains (ILP)
 STATS_ROWS = 1024    # telemetry buckets (block pid accumulates mod this)
 
 
-def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
-                 spp_ref, px_ref, py_ref, valid_ref,
+def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
+                 cam_ref, sun_ref, spp_ref, hdr_ref,
+                 px_ref, py_ref, valid_ref,
                  acc_r_ref, acc_g_ref, acc_b_ref, nray_ref, stack_ref,
                  rq_ref,
                  *, n_mats: int,
@@ -185,9 +208,15 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
                  pops: int = 3, regen_thresh: float = 1.0,
                  defer_shadow: bool = True, rowtrav: bool = False,
                  row_pops: int = 2, stream: bool = True,
-                 stream_tiles: int = 4):
+                 stream_tiles: int = 4, smooth: bool = False,
+                 textured: bool = False, n_texs: int = 0):
     POPS = pops
-    # deferred-shadow mode only matters when the sun is on
+    # aux shading table (interpolated vn normals / UVs / texture ids)
+    # rides the leaf engine only when the scene needs it
+    shaded = smooth or textured
+    # deferred-shadow mode only matters when the sun is on; the chain
+    # walk has no shading-field tracking (trace_fused forces it off)
+    assert not (shaded and defer_shadow and sun_on)
     fuse = defer_shadow and sun_on
     pxf = px_ref[...].astype(jnp.float32)
     pyf = py_ref[...].astype(jnp.float32)
@@ -504,17 +533,25 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
             # one 3-round cyclic-roll tournament per WALK merges them.
             max_tile = tile_ref.shape[0] - 1
 
-            def tile_update_row(W, r, st):
+            def tile_update_row(W, r, st, Wa=None):
                 """Test one (8,16) triangle tile against ray row r:
                 fields are (8,1) columns, Moller-Trumbore runs as
                 (8,1)x(1,128) broadcasts; candidate state is per
-                (tri-row slot x lane)."""
+                (tri-row slot x lane).  Under `shaded`, `Wa` is the
+                matching tri_aux tile ([n0 n1 n2 uv0 uv1 uv2 tex],
+                models/scene.py) and accepts also record the
+                barycentric-interpolated UV / vn normal / texture id
+                (same formulas as the split path, ops/trace.py:158-192,
+                so streams stay bit-identical)."""
                 v0x, v0y, v0z = W[:, 0:1], W[:, 1:2], W[:, 2:3]
                 e1x, e1y, e1z = W[:, 3:4], W[:, 4:5], W[:, 5:6]
                 e2x, e2y, e2z = W[:, 6:7], W[:, 7:8], W[:, 8:9]
                 mat_f = W[:, 9:10]
                 fnx, fny, fnz = W[:, 10:11], W[:, 11:12], W[:, 12:13]
-                cl, mf, nx_, ny_, nz_ = st
+                if shaded:
+                    cl, mf, nx_, ny_, nz_, iu_, iv_, tx_ = st
+                else:
+                    cl, mf, nx_, ny_, nz_ = st
                 dxr = dx[r:r + 1, :]
                 dyr = dy[r:r + 1, :]
                 dzr = dz[r:r + 1, :]
@@ -538,14 +575,46 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
                 ok = ok & (t >= tmin_f) & (t <= cl)
                 cl = jnp.where(ok, t, cl)
                 mf = jnp.where(ok, mat_f, mf)
+                if shaded:
+                    wb = 1.0 - u - v
+                    if smooth:
+                        # n = w*n0 + u*n1 + v*n2 (normalize deferred to
+                        # walk end — selection commutes with it)
+                        nxi = wb * Wa[:, 0:1] + u * Wa[:, 3:4] \
+                            + v * Wa[:, 6:7]
+                        nyi = wb * Wa[:, 1:2] + u * Wa[:, 4:5] \
+                            + v * Wa[:, 7:8]
+                        nzi = wb * Wa[:, 2:3] + u * Wa[:, 5:6] \
+                            + v * Wa[:, 8:9]
+                        nx_ = jnp.where(ok, nxi, nx_)
+                        ny_ = jnp.where(ok, nyi, ny_)
+                        nz_ = jnp.where(ok, nzi, nz_)
+                    else:
+                        nx_ = jnp.where(ok, fnx, nx_)
+                        ny_ = jnp.where(ok, fny, ny_)
+                        nz_ = jnp.where(ok, fnz, nz_)
+                    tu = wb * Wa[:, 9:10] + u * Wa[:, 11:12] \
+                        + v * Wa[:, 13:14]
+                    tv = wb * Wa[:, 10:11] + u * Wa[:, 12:13] \
+                        + v * Wa[:, 14:15]
+                    iu_ = jnp.where(ok, tu, iu_)
+                    iv_ = jnp.where(ok, tv, iv_)
+                    tx_ = jnp.where(ok, Wa[:, 15:16], tx_)
+                    return (cl, mf, nx_, ny_, nz_, iu_, iv_, tx_)
                 nx_ = jnp.where(ok, fnx, nx_)
                 ny_ = jnp.where(ok, fny, ny_)
                 nz_ = jnp.where(ok, fnz, nz_)
                 return (cl, mf, nx_, ny_, nz_)
 
-            def tile_update(W, SR):
-                return tuple(tile_update_row(W, r, SR[r])
+            def tile_update(W, SR, Wa=None):
+                return tuple(tile_update_row(W, r, SR[r], Wa)
                              for r in range(n_rows))
+
+            def load_aux(t_):
+                if not shaded:
+                    return None
+                ga = aux_ref[pl.ds(8 * (t_ // 8), 8), :]
+                return pltpu.roll(ga, -16 * (t_ % 8), 1)[:, :16]
 
             def run_tiles(SR, r0, r1):
                 # tile granularity matches the old packed chains: up to
@@ -566,7 +635,9 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
                     g1 = tile_ref[pl.ds(8 * (t1_ // 8), 8), :]
                     W0 = pltpu.roll(g0, -16 * (t0_ % 8), 1)[:, :16]
                     W1 = pltpu.roll(g1, -16 * (t1_ % 8), 1)[:, :16]
-                    return tile_update(W1, tile_update(W0, SR))
+                    return tile_update(W1, tile_update(W0, SR,
+                                                      load_aux(t0_)),
+                                       load_aux(t1_))
 
                 return lax.fori_loop(0, n_it, tbody, SR)
 
@@ -598,9 +669,16 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
                 return sp, SR, closest, nv, nt, ni
 
             zt = jnp.zeros((8, TILE_W), jnp.float32)
-            SR0 = tuple(
-                (zt + closest0[r:r + 1, :], zt, zt, zt, zt)
-                for r in range(n_rows))
+            if shaded:
+                # + interpolated (iu, iv) and texture id (-1 = none)
+                SR0 = tuple(
+                    (zt + closest0[r:r + 1, :], zt, zt, zt, zt, zt, zt,
+                     zt - 1.0)
+                    for r in range(n_rows))
+            else:
+                SR0 = tuple(
+                    (zt + closest0[r:r + 1, :], zt, zt, zt, zt)
+                    for r in range(n_rows))
 
             if stream:
                 # ---- streamed walk: node visits + leaf tiles in ONE ---
@@ -642,7 +720,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
                         t_ = jnp.minimum(cur, max_tile)
                         grp = tile_ref[pl.ds(8 * (t_ // 8), 8), :]
                         Wt = pltpu.roll(grp, -16 * (t_ % 8), 1)[:, :16]
-                        SR = tile_update(Wt, SR)
+                        SR = tile_update(Wt, SR, load_aux(t_))
                         cur = cur + (cur < cend).astype(jnp.int32)
                     # phase 2: pop + visit (every pop masked — the loop
                     # runs on after the node stack empties to drain the
@@ -782,7 +860,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
                                     Wt = pltpu.roll(
                                         grp, -16 * (t_ % 8), 1)[:, :16]
                                     out.append(tile_update_row(
-                                        Wt, r, SR[r]))
+                                        Wt, r, SR[r], load_aux(t_)))
                                 return tuple(out)
 
                             SR = lax.fori_loop(0, nit, tbody, SR)
@@ -819,11 +897,25 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
             bnx = jnp.concatenate([fr[2] for fr in frows], axis=0)
             bny = jnp.concatenate([fr[3] for fr in frows], axis=0)
             bnz = jnp.concatenate([fr[4] for fr in frows], axis=0)
+            if smooth:
+                # normalize the interpolated vn normal — exact formula
+                # of the split path (ops/trace.py:164-167)
+                nlen = jnp.sqrt(bnx * bnx + bny * bny + bnz * bnz)
+                ninv = jnp.where(nlen > 0,
+                                 1.0 / jnp.maximum(nlen, 1e-38), 0.0)
+                bnx = bnx * ninv
+                bny = bny * ninv
+                bnz = bnz * ninv
             hitm = jnp.where(act & (closest < tmax_f), 1.0, 0.0)
             front_b = (dx * bnx + dy * bny + dz * bnz) < 0.0
             sgn = jnp.where(front_b, 1.0, -1.0)
-            return (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
-                    jnp.where(front_b, 1.0, 0.0), nv, nt, ni)
+            out = (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
+                   jnp.where(front_b, 1.0, 0.0))
+            if shaded:
+                out = out + (jnp.concatenate([fr[5] for fr in frows], 0),
+                             jnp.concatenate([fr[6] for fr in frows], 0),
+                             jnp.concatenate([fr[7] for fr in frows], 0))
+            return out + (nv, nt, ni)
 
         def cond(c):
             return c[0] > 0
@@ -1211,6 +1303,9 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
             acc_r = jnp.where(defer, acc_r + jnp.clip(Lr, 0.0, 1.0), acc_r)
             acc_g = jnp.where(defer, acc_g + jnp.clip(Lg, 0.0, 1.0), acc_g)
             acc_b = jnp.where(defer, acc_b + jnp.clip(Lb, 0.0, 1.0), acc_b)
+        elif shaded:
+            (hitm_f, bt, bm, nx, ny, nz, bfr, biu, biv, btex, cv_, ct_,
+             ci_) = _closest_hit(rox, roy, roz, rdx, rdy, rdz, alive)
         else:
             hitm_f, bt, bm, nx, ny, nz, bfr, cv_, ct_, ci_ = _closest_hit(
                 rox, roy, roz, rdx, rdy, rdz, alive)
@@ -1238,6 +1333,74 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
         alb_r = _mat_field(bm, 1)
         alb_g = _mat_field(bm, 2)
         alb_b = _mat_field(bm, 3)
+        if textured:
+            # albedo *= image texture at the interpolated UV — in-kernel
+            # equivalent of ops/textures.sample_image (tex2D contract:
+            # floor-frac wrap, V-flip nearest, white on OOB,
+            # src/gpu_render.cu:232-259).  The per-lane pool fetch is a
+            # one-hot matmul gather (benchmarks/proto_gather.py: exact
+            # at precision=HIGHEST): lane index -> (128,128) one-hot x
+            # poolT (128, 3*Rp) picks pool column j per lane, then an
+            # iota-compare row select per channel.  Runs under a scalar
+            # any-textured-hit branch so untextured waves pay nothing.
+            texm = surf & (btex >= 0.0)
+
+            def tex_branch(a):
+                alb_r, alb_g, alb_b = a
+                btex_i = btex.astype(jnp.int32)
+                wt = i0
+                ht = i0
+                ot = i0
+                for tt in range(n_texs):
+                    sel = btex_i == tt
+                    wt = jnp.where(sel, hdr_ref[3 * tt], wt)
+                    ht = jnp.where(sel, hdr_ref[3 * tt + 1], ht)
+                    ot = jnp.where(sel, hdr_ref[3 * tt + 2], ot)
+                uu = biu - jnp.floor(biu)
+                vv = biv - jnp.floor(biv)
+                it = (uu * (wt - 1).astype(jnp.float32)).astype(jnp.int32)
+                jt = ((1.0 - vv) * (ht - 1).astype(jnp.float32)
+                      ).astype(jnp.int32)
+                pidx = ot + jt * wt + it
+                Rp = texT_ref.shape[1] // 3
+                npl = Rp * TILE_W
+                okt = (btex_i >= 0) & (btex_i < n_texs) \
+                    & (pidx >= 0) & (pidx < npl)
+                pidx = jnp.clip(pidx, 0, npl - 1)
+                poolT = texT_ref[...]
+                c_all = pidx // TILE_W
+                j_all = pidx % TILE_W
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+                crange = jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1)
+                trs, tgs, tbs = [], [], []
+                for s in range(n_rows):
+                    jT = jnp.transpose(j_all[s:s + 1, :])
+                    cT = jnp.transpose(c_all[s:s + 1, :])
+                    onehot = (jT == lane).astype(jnp.float32)
+                    tmp = jax.lax.dot_general(
+                        onehot, poolT, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST)
+                    selm = cT == crange
+                    vr = jnp.sum(jnp.where(selm, tmp[:, :Rp], 0.0),
+                                 axis=1, keepdims=True)
+                    vg = jnp.sum(jnp.where(selm, tmp[:, Rp:2 * Rp], 0.0),
+                                 axis=1, keepdims=True)
+                    vb = jnp.sum(jnp.where(selm, tmp[:, 2 * Rp:], 0.0),
+                                 axis=1, keepdims=True)
+                    trs.append(jnp.transpose(vr))
+                    tgs.append(jnp.transpose(vg))
+                    tbs.append(jnp.transpose(vb))
+                tr = jnp.concatenate(trs, axis=0)
+                tg = jnp.concatenate(tgs, axis=0)
+                tb = jnp.concatenate(tbs, axis=0)
+                use = texm & okt    # !okt -> white (albedo unchanged)
+                return (jnp.where(use, alb_r * tr, alb_r),
+                        jnp.where(use, alb_g * tg, alb_g),
+                        jnp.where(use, alb_b * tb, alb_b))
+
+            alb_r, alb_g, alb_b = lax.cond(
+                jnp.any(texm), tex_branch, lambda a: a,
+                (alb_r, alb_g, alb_b))
 
         # ---- 4. specular -------------------------------------------------
         # The whole metal/dielectric chain (incl. the rejection-sampler
@@ -1430,9 +1593,10 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, mat_ref, cam_ref, sun_ref,
                                    "sun_on", "packed", "k", "block_h",
                                    "ordered", "pops", "regen_thresh",
                                    "defer_shadow", "rowtrav", "row_pops",
-                                   "stream", "stream_tiles"))
-def _run_path(wide_tab, tri_tab, tile_tab, mat_pack, cam_vec, sun_vec,
-              spp_vec, px, py, valid,
+                                   "stream", "stream_tiles", "smooth",
+                                   "textured", "n_texs"))
+def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
+              cam_vec, sun_vec, spp_vec, hdr_vec, px, py, valid,
               n_mats: int,
               max_depth: int, width: int, height: int, seed: int,
               rr_start: int, rr_max_p: float, t_min: float, t_max: float,
@@ -1440,7 +1604,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, mat_pack, cam_vec, sun_vec,
               ordered: bool, pops: int = 3, regen_thresh: float = 1.0,
               defer_shadow: bool = True, rowtrav: bool = False,
               row_pops: int = 2, stream: bool = True,
-              stream_tiles: int = 4):
+              stream_tiles: int = 4, smooth: bool = False,
+              textured: bool = False, n_texs: int = 0):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -1449,7 +1614,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, mat_pack, cam_vec, sun_vec,
                    pops=pops, regen_thresh=regen_thresh,
                    defer_shadow=defer_shadow, rowtrav=rowtrav,
                    row_pops=row_pops, stream=stream,
-                   stream_tiles=stream_tiles)
+                   stream_tiles=stream_tiles, smooth=smooth,
+                   textured=textured, n_texs=n_texs)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1461,7 +1627,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, mat_pack, cam_vec, sun_vec,
     return pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[full, full, full, smem, smem, smem, smem]
+        in_specs=[full, full, full, full, full, smem, smem, smem, smem,
+                  smem]
         + [ray_spec] * 3,
         out_specs=(ray_spec, ray_spec, ray_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -1481,8 +1648,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, mat_pack, cam_vec, sun_vec,
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=out_shape[0] * 128 * 24,
                                       transcendentals=out_shape[0] * 128 * 4),
-    )(wide_tab, tri_tab, tile_tab, mat_pack, cam_vec, sun_vec, spp_vec,
-      px, py, valid)
+    )(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack, cam_vec,
+      sun_vec, spp_vec, hdr_vec, px, py, valid)
 
 
 def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
@@ -1507,8 +1674,40 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
                 [a, jnp.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0)
         return a.reshape(Kp * TILE_H, TILE_W)
 
-    packed = not fits_vmem_fused(scene)
+    textured = bool(scene.has_image_tex)
+    smooth = bool(scene.has_smooth)
+    shaded = textured or smooth
+    n_texs = int(scene.n_textures) if textured else 0
+    Rp = _tex_plane_rows(scene)
+    extra = (int(scene.tri_tile.shape[0]) if shaded else 0) + 3 * Rp
+    packed = not fits_vmem_fused(scene, extra)
     tri_tab = scene.tri_pk8 if packed else scene.tri_pack
+    # shading tables: the aux tile table rides the leaf engine; the
+    # texture pool is de-interleaved into per-channel planes laid out
+    # for the kernel's one-hot matmul gather — poolT[j, ch*Rp + c] =
+    # channel ch of texel c*128 + j (texel k of the interleaved pool is
+    # pool[3k + ch], ops/textures.py:35)
+    if shaded:
+        aux_tab = scene.tri_aux_tile
+    else:
+        aux_tab = jnp.zeros((8, TILE_W), jnp.float32)
+    if textured:
+        texels = scene.tex_pool.reshape(-1, 3)
+        npad = Rp * TILE_W - texels.shape[0]
+        if npad:
+            texels = jnp.concatenate(
+                [texels, jnp.zeros((npad, 3), jnp.float32)], axis=0)
+        texT = jnp.concatenate(
+            [texels[:, ch].reshape(Rp, TILE_W).T for ch in range(3)],
+            axis=1)
+        hdr_vec = jnp.stack(
+            [scene.tex_w.astype(jnp.int32),
+             scene.tex_h.astype(jnp.int32),
+             (scene.tex_off // 3).astype(jnp.int32)],
+            axis=1).reshape(-1)
+    else:
+        texT = jnp.zeros((TILE_W, 3), jnp.float32)
+        hdr_vec = jnp.zeros((3,), jnp.int32)
 
     # Ldir = normalize(-sun_dir): the verbatim negation quirk
     # (src/gpu_render.cu:802-806)
@@ -1528,8 +1727,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
 
     spp_vec = jnp.array([cfg.resolved_spp()], jnp.int32)
     acc_r, acc_g, acc_b, stats = _run_path(
-        scene.bvh_wide, tri_tab, scene.tri_tile, scene.mat_pack, cam_vec,
-        sun_vec, spp_vec,
+        scene.bvh_wide, tri_tab, scene.tri_tile, aux_tab, texT,
+        scene.mat_pack, cam_vec, sun_vec, spp_vec, hdr_vec,
         fold(px.astype(jnp.int32)), fold(py.astype(jnp.int32)),
         fold(valid.astype(jnp.int32)),
         n_mats=scene.mat_pack.shape[0],
@@ -1540,11 +1739,13 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         packed=packed, k=Kp, block_h=block_h,
         ordered=bool(_OPTS.ordered), pops=int(_OPTS.pops),
         regen_thresh=float(_OPTS.regen_thresh),
-        defer_shadow=bool(_OPTS.defer_shadow),
+        # the deferred-shadow chain walk has no shading-field tracking
+        defer_shadow=bool(_OPTS.defer_shadow) and not shaded,
         rowtrav=bool(_OPTS.rowtrav), row_pops=int(_OPTS.row_pops),
         stream=(packed if _OPTS.stream == "auto"
                 else _OPTS.stream in ("on", True)),
-        stream_tiles=int(_OPTS.stream_tiles))
+        stream_tiles=int(_OPTS.stream_tiles),
+        smooth=smooth, textured=textured, n_texs=n_texs)
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

@@ -65,17 +65,18 @@ def fits_vmem_packed(scene) -> bool:
             <= _VMEM_BUDGET_ROWS)
 
 
-def fits_vmem_fused(scene) -> bool:
+def fits_vmem_fused(scene, extra_rows: int = 0) -> bool:
     """Fused megakernel, dense tri mode: wide-BVH rows + tri rows +
-    the tile-packed leaf table (vectorized leaf engine)."""
+    the tile-packed leaf table (vectorized leaf engine).  `extra_rows`
+    accounts for optional shading tables (aux tile / texture planes)."""
     return (scene.bvh_wide.shape[0] + scene.tri_pack.shape[0]
-            + scene.tri_tile.shape[0] <= _VMEM_BUDGET_ROWS)
+            + scene.tri_tile.shape[0] + extra_rows <= _VMEM_BUDGET_ROWS)
 
 
-def fits_vmem_fused_packed(scene) -> bool:
+def fits_vmem_fused_packed(scene, extra_rows: int = 0) -> bool:
     """Fused megakernel, packed tri fallback (64 B/tri) + tile table."""
     return (scene.bvh_wide.shape[0] + scene.tri_pk8.shape[0]
-            + scene.tri_tile.shape[0] <= _VMEM_BUDGET_ROWS)
+            + scene.tri_tile.shape[0] + extra_rows <= _VMEM_BUDGET_ROWS)
 
 
 def backend_is_tpu() -> bool:

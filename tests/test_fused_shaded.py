@@ -1,0 +1,164 @@
+"""Fused megakernel shading tables: image-textured and smooth-shaded
+triangle meshes stay on the fused fast path (the real NASA ISS OBJ
+carries per-triangle map_Kd textures, inc/triangle_mesh.h:244-251, and
+the reference samples them inside its one kernel: tex2D
+src/gpu_render.cu:232-259, UV interp :763-774) and must remain
+BIT-IDENTICAL to the split parity renderer, which is oracle-matched."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from dsrt_tpu.config import RenderConfig
+from dsrt_tpu.models.materials import Material
+from dsrt_tpu.models.obj import load_obj
+from dsrt_tpu.models.scene import SceneBuilder
+from dsrt_tpu.ops.camera import make_camera
+from dsrt_tpu.ops import pallas_path
+from dsrt_tpu.utils.image_io import write_png
+
+W, H = 96, 56
+CFG = RenderConfig(width=W, height=H, spp=4, max_depth=8)
+
+SMOOTH_OBJ = """
+v -1 -1 -2
+v  1 -1 -2
+v  0  1 -2
+v  2  1 -2
+vn -0.5 0 0.8660254
+vn  0.5 0 0.8660254
+vn  0   0.5 0.8660254
+f 1//1 2//2 3//3
+f 2//2 4//1 3//3
+"""
+
+
+def _require_fused(scene, cfg):
+    if not pallas_path.fused_supported(scene, cfg):
+        pytest.skip("fused path needs a TPU backend")
+
+
+def _write_checker(tmp_path, name="check.png"):
+    tex = np.zeros((4, 4, 3), np.uint8)
+    tex[::2, ::2] = [255, 40, 40]
+    tex[1::2, 1::2] = [255, 40, 40]
+    tex[::2, 1::2] = [40, 40, 255]
+    tex[1::2, ::2] = [40, 40, 255]
+    path = str(tmp_path / name)
+    write_png(path, tex)
+    return path
+
+
+def _textured_scene(tmp_path, two_tex=False):
+    """Textured quad (2 tris) + an untextured metal triangle, sun-lit;
+    optionally a second texture to exercise the multi-header select."""
+    path = _write_checker(tmp_path)
+    b = SceneBuilder(sun_enabled=True, sun_dir=(0.0, -0.3, -1.0),
+                     sun_radiance=(8.0, 8.0, 8.0))
+    mat = Material.lambertian((0.2, 0.9, 0.2), tex_path=path)
+    uv = lambda u, v: (u, 1.0 - v)
+    b.add_triangle((-1, -1, -2), (1, -1, -2), (1, 1, -2), mat,
+                   uv0=uv(0, 0), uv1=uv(1, 0), uv2=uv(1, 1),
+                   tex_path=path)
+    b.add_triangle((-1, -1, -2), (1, 1, -2), (-1, 1, -2), mat,
+                   uv0=uv(0, 0), uv1=uv(1, 1), uv2=uv(0, 1),
+                   tex_path=path)
+    if two_tex:
+        tex2 = np.zeros((3, 5, 3), np.uint8)
+        tex2[:, :, 1] = np.linspace(30, 220, 5, dtype=np.uint8)[None, :]
+        p2 = str(tmp_path / "grad.png")
+        write_png(p2, tex2)
+        m2 = Material.lambertian((0.9, 0.9, 0.2), tex_path=p2)
+        b.add_triangle((-2.2, -1, -2.5), (-1.2, -1, -2.5),
+                       (-1.7, 0.5, -2.5), m2,
+                       uv0=uv(0, 0), uv1=uv(1, 0), uv2=uv(0.5, 1),
+                       tex_path=p2)
+    b.add_triangle((1.2, -1, -2.5), (2.2, -1, -2.5), (1.7, 0.5, -2.5),
+                   Material.metal((0.8, 0.8, 0.9), fuzz=0.05))
+    return b.build()
+
+
+def _smooth_scene(tmp_path):
+    p = tmp_path / "tri.obj"
+    p.write_text(SMOOTH_OBJ)
+    mesh = load_obj(str(p), Material.lambertian((0.7, 0.7, 0.7)),
+                    smooth=True)
+    b = SceneBuilder(sun_enabled=True, sun_dir=(0.2, -0.4, -1.0),
+                     sun_radiance=(1.2, 1.2, 1.2))
+    b.add_mesh(mesh)
+    return b.build()
+
+
+def test_fused_gate_accepts_textured(tmp_path):
+    scene = _textured_scene(tmp_path)
+    assert scene.has_image_tex
+    if not pallas_path.backend_is_tpu():
+        pytest.skip("needs TPU backend")
+    assert pallas_path.fused_supported(scene, CFG)
+
+
+def test_fused_textured_matches_split(tmp_path):
+    scene = _textured_scene(tmp_path)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0, 1.0), (0, 0, -2), vfov=60, width=W, height=H)
+    ref = render_frame(scene, cam, CFG)
+    img = render_frame_fused(scene, cam, CFG)
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_two_textures_matches_split(tmp_path):
+    scene = _textured_scene(tmp_path, two_tex=True)
+    assert scene.n_textures == 2
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0, 1.0), (0, 0, -2), vfov=60, width=W, height=H)
+    ref = render_frame(scene, cam, CFG)
+    img = render_frame_fused(scene, cam, CFG)
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_smooth_matches_split(tmp_path):
+    scene = _smooth_scene(tmp_path)
+    assert scene.has_smooth
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0, 1.0), (0, 0, -2), vfov=60, width=W, height=H)
+    ref = render_frame(scene, cam, CFG)
+    img = render_frame_fused(scene, cam, CFG)
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_textured_stream_and_rowtrav_walks(tmp_path):
+    """The shaded leaf engine must stay bit-identical under the A/B
+    walk variants (streamed tile queue; per-row traversal)."""
+    scene = _textured_scene(tmp_path)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame_fused
+    from dsrt_tpu.exec_opts import OPTS
+    cam = make_camera((0, 0, 1.0), (0, 0, -2), vfov=60, width=W, height=H)
+    olds, oldr = OPTS.stream, OPTS.rowtrav
+    try:
+        OPTS.stream = "off"
+        OPTS.rowtrav = False
+        ref = render_frame_fused(scene, cam, CFG)
+        OPTS.stream = "on"
+        a = render_frame_fused(scene, cam, CFG)
+        OPTS.stream = "off"
+        OPTS.rowtrav = True
+        b = render_frame_fused(scene, cam, CFG)
+    finally:
+        OPTS.stream, OPTS.rowtrav = olds, oldr
+    np.testing.assert_array_equal(a, ref)
+    np.testing.assert_array_equal(b, ref)
+
+
+def test_fused_gate_rejects_oversized_pool(tmp_path):
+    """A texture pool past the in-kernel gather budget must fall back."""
+    scene = _textured_scene(tmp_path)
+    big = dataclasses.replace(scene, tex_pool=np.zeros(
+        (3 * (pallas_path.TEX_ROWS_MAX + 1) * 128,), np.float32))
+    assert not pallas_path.fused_supported(big, CFG)
