@@ -1,0 +1,101 @@
+"""Microbenchmark: decompose the fused kernel's per-WAVE fixed cost
+(~6.6 us/wave measured at block_h=8 — over half the frame at 5.8k tris).
+
+A Pallas while_loop with the wave loop's *shape* but a trivial body:
+  carriesN  — N (8,128) f32 loop carries, each touched once per iter
+  redK      — + K scalar any/sum reduces feeding a carried scalar
+  condC     — + C lax.conds over a tiny vector body
+Prints us/iteration for each variant on the real chip.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+from functools import partial
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import jax.lax as lax
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+ITERS = 20_000
+
+
+def make_kernel(n_carr: int, n_red: int, n_cond: int):
+    def kernel(seed_ref, out_ref):
+        s0 = seed_ref[...]
+
+        def cond(c):
+            return c[0] < ITERS
+
+        def body(c):
+            it, arrs = c
+            arrs = list(arrs)
+            s = jnp.float32(0.0)
+            for k in range(n_red):
+                s = s + jnp.sum(arrs[k % n_carr][k % 8, :])
+            for q in range(n_cond):
+                arrs[q % n_carr] = lax.cond(
+                    s + it.astype(jnp.float32) > -1.0,
+                    lambda a: a + 1e-9,
+                    lambda a: a,
+                    arrs[q % n_carr])
+            bump = s * 1e-12 + 1e-9
+            for i in range(n_carr):
+                arrs[i] = arrs[i] + bump
+            return (it + 1, tuple(arrs))
+
+        out = lax.while_loop(
+            cond, body,
+            (jnp.int32(0), tuple(s0 + jnp.float32(i)
+                                 for i in range(n_carr))))
+        acc = out[1][0]
+        for a in out[1][1:]:
+            acc = acc + a
+        out_ref[...] = acc
+
+    return kernel
+
+
+def run(n_carr, n_red, n_cond):
+    seed = jnp.zeros((8, 128), jnp.float32)
+    fn = pl.pallas_call(
+        make_kernel(n_carr, n_red, n_cond),
+        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+    )
+    fn = jax.jit(fn)
+    r = fn(seed)
+    r.block_until_ready()
+    best = None
+    for rep in range(3):
+        sd = seed + jnp.float32(rep) * 1e-7
+        t0 = time.perf_counter()
+        r = fn(sd)
+        r.block_until_ready()
+        dt = time.perf_counter() - t0
+        if dt > 0.005:
+            best = dt if best is None else min(best, dt)
+    return best / ITERS * 1e6
+
+
+def main():
+    for n_carr, n_red, n_cond in [
+        (4, 0, 0), (16, 0, 0), (32, 0, 0), (48, 0, 0),
+        (32, 4, 0), (32, 8, 0), (32, 12, 0),
+        (32, 8, 2), (32, 8, 4),
+    ]:
+        us = run(n_carr, n_red, n_cond)
+        print(f"carries={n_carr:2d} red={n_red:2d} cond={n_cond}: "
+              f"{us*1000:8.1f} ns/iter", flush=True)
+
+
+if __name__ == "__main__":
+    main()

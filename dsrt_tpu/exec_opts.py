@@ -54,10 +54,12 @@ class ExecOptions:
     defer_shadow: bool = False
     # Traversal visits per fused-kernel loop iteration (ILP width).  The
     # loop is latency-bound; overlapped pops retire more box tests per
-    # serial chain.  r3 re-sweep with the tile leaf engine: 4 best at
-    # 47.7k tris (35.5 vs 33.0 at 3; 6 == 4 within noise) and neutral at
-    # 5.8k (benchmarks/sweep50k3.py).
-    pops: int = 4
+    # serial chain.  r3 sweeps (benchmarks/sweep50k3/6/7.py, 47.7k tris):
+    # 2 -> 31.6, 4 -> 34.9, 6 -> 35.9, 8 -> 31.1 Mrays/s at the 8x128
+    # layout; at 32x32 p6 41.8 vs p4 41.2 vs p8 37.0.  8 loses to
+    # stack starvation (masked pops still pay the visit's vector+load
+    # work); 6 edges 4 within noise at both layouts.
+    pops: int = 6
     # Per-ROW traversal in the fused megakernel: each of the block_h ray
     # rows walks the wide BVH with its own cursor + SMEM stack and only
     # box/leaf-tests its OWN 128 lanes.  Hypothesis was that the block-
@@ -83,11 +85,12 @@ class ExecOptions:
     # drained before the walk can end; pruning clamps only ever lag =
     # superset walks).  Takes precedence over `rowtrav`.  Measured on
     # v5e (benchmarks/sweep50k5.py): +4%% at 47.7k tris (35.7 vs 34.2
-    # Mrays/s, tiles=6) but -9%% at 5.8k (60.4 vs 66.4 — small dense
-    # scenes have few tiles per wave, so the queue bookkeeping costs
-    # more than the overlap saves).  "auto" = streamed only for scenes
-    # in packed-tri mode (the big-scene regime it wins in).
-    stream: str = "auto"            # "auto" | "on" | "off"
+    # Mrays/s, tiles=6) under the r3-era knobs (pops 4, 8x128 layout),
+    # but NET-NEGATIVE under the current defaults (pops 6, 32x32:
+    # 32.9 streamed vs 41.8 union, sweep50k7.py — higher pops already
+    # fill the iteration with overlapped chains, and the queue's
+    # backpressure stalls them).  Off by default; kept as an A/B knob.
+    stream: str = "off"             # "auto" | "on" | "off"
     # Leaf tile tests per streamed-walk iteration (sweep: 2 -> 25.2,
     # 4 -> 33.3, 6 -> 35.7, 8 -> 34.6 Mrays/s at 47.7k tris).
     stream_tiles: int = 6
@@ -104,6 +107,17 @@ class ExecOptions:
     # global reorder cost (~25 ms/wave at 1.6M lanes) exceed the
     # coherence win on every scene measured; kept for experimentation.
     sort_rays: bool = False
+    # Pixel tile per 1024-lane packet ("THxTW", TH*TW == 1024).  The
+    # traversal front of a fused-kernel block is the UNION over its
+    # pixels' rays, so squarer tiles (smaller perimeter) walk tighter
+    # fronts than the legacy 8x128 strip.  Bit-identical at any shape
+    # (per-pixel LCG streams depend only on pixel coords); changes only
+    # which pixels share a block.  Measured on v5e at 47.7k tris
+    # (benchmarks/sweep50k7.py, union walk pops 6): 8x128 -> 36.1,
+    # 32x32 -> 41.8 (+16%%: cvis -20%%, ctst -11%%, and waves -14%% —
+    # uniform-depth tiles finish blocks sooner), 16x64 -> 41.4,
+    # 64x16 -> 38.9 Mrays/s.
+    layout: str = "32x32"
 
 
 OPTS = ExecOptions()

@@ -114,18 +114,28 @@ class MeshAccum:
             materials=self.mats, tex_paths=self.texs)
 
 
-def iss_standin_mesh(detail: int = 2) -> MeshData:
+def iss_standin_mesh(detail: int = 2, tex_path: str = "") -> MeshData:
     """ISS-like station, ~meters scale, centered at origin.
 
     detail=1 -> ~0.8k tris, detail=2 -> ~2.4k, detail=3 -> ~5k,
     detail=4 -> ~9k, detail=6 -> ~20k (the real ISS OBJ is tens of
     thousands).
+
+    With `tex_path` the solar-array and radiator quads carry that image
+    texture (per-triangle map_Kd, the real NASA OBJ's layout —
+    inc/triangle_mesh.h:244-251); their materials then follow the
+    builder's textured-albedo-forced-white contract.
     """
     m = MeshAccum()
     hull = Material.lambertian((0.73, 0.73, 0.73))
     truss_m = Material.lambertian((0.55, 0.55, 0.58))
-    panel = Material.lambertian((0.25, 0.2, 0.45))
-    radiator = Material.lambertian((0.85, 0.85, 0.88))
+    if tex_path:
+        panel = Material.lambertian((0.25, 0.2, 0.45), tex_path=tex_path)
+        radiator = Material.lambertian((0.85, 0.85, 0.88),
+                                       tex_path=tex_path)
+    else:
+        panel = Material.lambertian((0.25, 0.2, 0.45))
+        radiator = Material.lambertian((0.85, 0.85, 0.88))
     gold = Material.metal((0.8, 0.65, 0.3), fuzz=0.25)
     seg = 8 + 8 * detail
 
@@ -148,27 +158,29 @@ def iss_standin_mesh(detail: int = 2) -> MeshData:
                 y0, y1 = 2.5 * sy, (2.5 + 34.0) * sy
                 m.quad((x - 6, y0, -0.2), (x + 6, y0, -0.2),
                        (x + 6, y1, -0.2), (x - 6, y1, -0.2),
-                       panel, subdiv=wing)
+                       panel, tex=tex_path, subdiv=wing)
 
     # radiators
     for sx in (-1, 1):
         x = sx * 14.0
         m.quad((x - 1.5, -1.8, 3), (x + 1.5, -1.8, 3),
                (x + 1.5, -1.8, 25), (x - 1.5, -1.8, 25),
-               radiator, subdiv=2 * detail)
+               radiator, tex=tex_path, subdiv=2 * detail)
 
     return m.build()
 
 
 def iss_standin_scene(detail: int = 2, sun_dir=(0.35, 0.65, 0.4),
                       sun_radiance=(1e5, 9.5e4, 9e4), seed: int = 1337,
-                      bvh_method: str = "sah", wide_max_leaf: int = 8):
+                      bvh_method: str = "sah", wide_max_leaf: int = 8,
+                      tex_path: str = ""):
     """Stand-in for the per-frame ISS scene: mesh at origin, directional
     sun.  `sun_dir` here is the model->Sun direction exactly as the pose
-    pipeline supplies it (the renderer negates it, reference parity)."""
+    pipeline supplies it (the renderer negates it, reference parity).
+    `tex_path` textures the panel/radiator quads (see iss_standin_mesh)."""
     from dsrt_tpu.models.scene import SceneBuilder
     b = SceneBuilder(sun_enabled=True, sun_dir=sun_dir,
                      sun_radiance=sun_radiance, seed=seed,
                      bvh_method=bvh_method, wide_max_leaf=wide_max_leaf)
-    b.add_mesh(iss_standin_mesh(detail))
+    b.add_mesh(iss_standin_mesh(detail, tex_path=tex_path))
     return b.build()

@@ -36,16 +36,29 @@ TILE_W = 128
 PACKET = TILE_H * TILE_W
 
 
+def _layout_tile():
+    """Pixel tile per packet from exec_opts.layout ("THxTW").  Squarer
+    tiles shrink a block's traversal-front perimeter (the fused kernel
+    walks the UNION front of its block's rays); the mapping is a pure
+    pixel permutation, so images are bit-identical at any shape."""
+    from dsrt_tpu.exec_opts import OPTS
+    th, tw = (int(v) for v in OPTS.layout.split("x"))
+    assert th * tw == PACKET, OPTS.layout
+    return th, tw
+
+
 def lane_layout(width: int, height: int):
     """Pixel-to-lane mapping: (K, 1024) arrays px, py, valid where each
-    packet is an 8x128 pixel tile (spatially coherent for traversal)."""
-    tx = math.ceil(width / TILE_W)
-    ty = math.ceil(height / TILE_H)
-    hp, wp = ty * TILE_H, tx * TILE_W
+    packet is a TH x TW pixel tile (spatially coherent for traversal;
+    shape from exec_opts.layout, default 32x32)."""
+    th, tw = _layout_tile()
+    tx = math.ceil(width / tw)
+    ty = math.ceil(height / th)
+    hp, wp = ty * th, tx * tw
     ys, xs = np.mgrid[0:hp, 0:wp]
 
     def to_lanes(a):
-        return (a.reshape(ty, TILE_H, tx, TILE_W)
+        return (a.reshape(ty, th, tx, tw)
                 .transpose(0, 2, 1, 3)
                 .reshape(ty * tx, PACKET))
 
@@ -56,10 +69,12 @@ def lane_layout(width: int, height: int):
 
 
 def lanes_to_image(vals: jnp.ndarray, ty: int, tx: int) -> jnp.ndarray:
-    """(K, P) lane array -> (Hp, Wp) padded image."""
-    return (vals.reshape(ty, tx, TILE_H, TILE_W)
+    """(K, P) lane array -> (Hp, Wp) padded image (inverse of
+    lane_layout's mapping; reads the same exec_opts.layout)."""
+    th, tw = _layout_tile()
+    return (vals.reshape(ty, tx, th, tw)
             .transpose(0, 2, 1, 3)
-            .reshape(ty * TILE_H, tx * TILE_W))
+            .reshape(ty * th, tx * tw))
 
 
 @partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
