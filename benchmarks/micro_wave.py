@@ -24,7 +24,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-ITERS = 20_000
+ITERS = 200_000
 
 
 def make_kernel(n_carr: int, n_red: int, n_cond: int):
@@ -73,16 +73,23 @@ def run(n_carr, n_red, n_cond):
     )
     fn = jax.jit(fn)
     r = fn(seed)
-    r.block_until_ready()
+    float(jnp.sum(r))
+    # axon gotchas: block_until_ready can return EARLY (fence via a
+    # fetched scalar instead), and the result cache persists ACROSS
+    # processes keyed on input values (salt the seed with wall time)
+    salt = jnp.float32((time.time() % 1.0) * 1e-3)
     best = None
-    for rep in range(3):
-        sd = seed + jnp.float32(rep) * 1e-7
+    for rep in range(4):
+        sd = seed + salt + jnp.float32(rep + 1) * 1e-7
         t0 = time.perf_counter()
         r = fn(sd)
-        r.block_until_ready()
+        float(jnp.sum(r))
         dt = time.perf_counter() - t0
         if dt > 0.005:
             best = dt if best is None else min(best, dt)
+    if best is None:
+        raise RuntimeError("all reps under the 5 ms cache guard — "
+                           "raise ITERS")
     return best / ITERS * 1e6
 
 

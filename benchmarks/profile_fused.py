@@ -57,10 +57,30 @@ def main():
 
     accum, nr, stats = run(scene, cfg, cam, px, py, valid)
     accum.x.block_until_ready()
-    t0 = time.perf_counter()
-    accum, nr, stats = run(scene, cfg, cam, px, py, valid)
-    accum.x.block_until_ready()
-    dt = time.perf_counter() - t0
+    # fresh camera per rep (axon result-cache busting), min-of-3, and a
+    # hard floor so a cache hit can never pass as a measurement
+    # NOTE: the axon result cache persists ACROSS PROCESSES keyed on input
+    # values — a fixed eps schedule replays earlier runs' inputs and times
+    # cache hits.  Salt the perturbation with wall-clock time.
+    salt = (time.time() % 1.0) * 1e-3
+    dt = None
+    for rep in range(3):
+        eps = salt + (rep + 1) * 1e-4
+        cam2 = point_camera_at((40.0 + eps, 60.0, 190.0), (0.0, 0.0, 0.0),
+                               vfov=40.0,
+                               width=args.width, height=args.height)
+        t0 = time.perf_counter()
+        accum, nr, stats = run(scene, cfg, cam2, px, py, valid)
+        # block_until_ready can return EARLY under the axon tunnel; the
+        # reliable completion fence is fetching a device-computed scalar
+        float(jnp.sum(accum.x))
+        d = time.perf_counter() - t0
+        if d < 0.010:
+            print(f"  rep {rep}: {d*1e3:.2f} ms — CACHE HIT, discarded")
+            continue
+        dt = d if dt is None else min(dt, d)
+    if dt is None:
+        raise RuntimeError("all reps were cache hits; no measurement")
 
     s = np.asarray(jax.device_get(stats), np.int64)
     nrays, waves, cvis, ctst, svis, stst = (s[:, i].sum() for i in range(6))

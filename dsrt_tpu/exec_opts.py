@@ -118,6 +118,24 @@ class ExecOptions:
     # uniform-depth tiles finish blocks sooner), 16x64 -> 41.4,
     # 64x16 -> 38.9 Mrays/s.
     layout: str = "32x32"
+    # Pop width for the fused kernel's SEPARATE sun-shadow walk.  That
+    # walk averages ~2 visits per wave-iteration (the uniform-direction
+    # any-hit parks early), so the main walk's wide pop pipeline mostly
+    # burns masked pops' box vector work there: sweep50k8 'sunwalk'
+    # attribution was 15 ms of a 150 ms ISS frame at sun_pops == pops
+    # == 6.  Narrow is bit-identical (pop grouping never changes
+    # verdicts).
+    sun_pops: int = 2
+    # Perf-triage duplication knobs (comma list, e.g. "box,gluecos"):
+    # each named kernel segment is computed TWICE with the duplicate
+    # folded in via an identity (min/max/or of two equal values), so
+    # images stay bit-identical while the frame-time delta measures that
+    # segment's true marginal cost (benchmarks/sweep50k8.py).  Never set
+    # in production.  Segments: box (8-row child box test), load (wide
+    # node load), visitred (verdict reduces), push (stack pushes), leaf
+    # (tile MT engine), merge (per-iteration closest merge), gluecos
+    # (cosine-hemisphere sampler), gluereg (regen draws + camera ray).
+    dup: str = ""
 
 
 OPTS = ExecOptions()

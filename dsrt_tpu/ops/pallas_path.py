@@ -209,8 +209,12 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  defer_shadow: bool = True, rowtrav: bool = False,
                  row_pops: int = 2, stream: bool = True,
                  stream_tiles: int = 4, smooth: bool = False,
-                 textured: bool = False, n_texs: int = 0):
+                 textured: bool = False, n_texs: int = 0,
+                 dup: str = "", sun_pops: int = 2):
     POPS = pops
+    # perf-triage duplication set (exec_opts.ExecOptions.dup): named
+    # segments run twice, folded via an identity, to measure their cost
+    dup_set = frozenset(s for s in dup.split(",") if s)
     # aux shading table (interpolated vn normals / UVs / texture ids)
     # rides the leaf engine only when the scene needs it
     shaded = smooth or textured
@@ -293,6 +297,16 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         else:                            # dense sublane rows
             W = wide_ref[pl.ds(8 * node, 8), :]
             combo = wide_ref[8 * node, 8].astype(jnp.int32)
+        if "load" in dup_set:            # perf triage: 2x the node load
+            if wide_ref.shape[1] == 128:
+                grp2 = wide_ref[pl.ds(8 * (node // 8), 8), :]
+                W2 = pltpu.roll(grp2, -16 * (node % 8), 1)[:, :16]
+                combo2 = jnp.sum(W2[0:1, 8:9]).astype(jnp.int32)
+            else:
+                W2 = wide_ref[pl.ds(8 * node, 8), :]
+                combo2 = wide_ref[8 * node, 8].astype(jnp.int32)
+            W = jnp.maximum(W, W2)
+            combo = jnp.maximum(combo, combo2)
         return W, combo >> 8, combo & 255
 
     def _visit_bits(node, ray_sets):
@@ -306,32 +320,44 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         W, base, intmask = _load_wide(node)
         minx, miny, minz = W[:, 0:1], W[:, 1:2], W[:, 2:3]
         maxx, maxy, maxz = W[:, 3:4], W[:, 4:5], W[:, 5:6]
-        acc = jnp.zeros((8, TILE_W), jnp.float32)
-        for ros, invs, clamp in ray_sets:
-            for r in range(n_rows):
-                ivx = invs[0][r:r + 1, :] if invs[0].ndim else invs[0]
-                ivy = invs[1][r:r + 1, :] if invs[1].ndim else invs[1]
-                ivz = invs[2][r:r + 1, :] if invs[2].ndim else invs[2]
-                tx0 = (minx - ros[0][r:r + 1, :]) * ivx
-                tx1 = (maxx - ros[0][r:r + 1, :]) * ivx
-                ty0 = (miny - ros[1][r:r + 1, :]) * ivy
-                ty1 = (maxy - ros[1][r:r + 1, :]) * ivy
-                tz0 = (minz - ros[2][r:r + 1, :]) * ivz
-                tz1 = (maxz - ros[2][r:r + 1, :]) * ivz
-                lo = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1),
-                                jnp.minimum(ty0, ty1)),
-                    jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
-                hi = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1),
-                                jnp.maximum(ty0, ty1)),
-                    jnp.minimum(jnp.maximum(tz0, tz1),
-                                clamp[r:r + 1, :]))
-                acc = acc + jnp.where(hi > lo, 1.0, 0.0)
+
+        def box_rows():
+            acc = jnp.zeros((8, TILE_W), jnp.float32)
+            for ros, invs, clamp in ray_sets:
+                for r in range(n_rows):
+                    ivx = invs[0][r:r + 1, :] if invs[0].ndim else invs[0]
+                    ivy = invs[1][r:r + 1, :] if invs[1].ndim else invs[1]
+                    ivz = invs[2][r:r + 1, :] if invs[2].ndim else invs[2]
+                    tx0 = (minx - ros[0][r:r + 1, :]) * ivx
+                    tx1 = (maxx - ros[0][r:r + 1, :]) * ivx
+                    ty0 = (miny - ros[1][r:r + 1, :]) * ivy
+                    ty1 = (maxy - ros[1][r:r + 1, :]) * ivy
+                    tz0 = (minz - ros[2][r:r + 1, :]) * ivz
+                    tz1 = (maxz - ros[2][r:r + 1, :]) * ivz
+                    lo = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
+                    hi = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1),
+                                    clamp[r:r + 1, :]))
+                    acc = acc + jnp.where(hi > lo, 1.0, 0.0)
+            return acc
+
+        acc = box_rows()
+        if "box" in dup_set:             # perf triage: 2x the box rows
+            acc = jnp.maximum(acc, box_rows())
         nodehit = jnp.sum(acc, axis=1, keepdims=True) > 0.0    # (8,1)
         leafc = W[:, 7:8] > 0.0
         hitbits = jnp.sum(jnp.where(nodehit, pow2_col, 0))
         leafbits = jnp.sum(jnp.where(nodehit & leafc, pow2_col, 0))
+        if "visitred" in dup_set:        # perf triage: 2x the reduces
+            nodehit2 = jnp.sum(acc, axis=1, keepdims=True) > 0.0
+            hitbits = hitbits | jnp.sum(jnp.where(nodehit2, pow2_col, 0))
+            leafbits = leafbits | jnp.sum(
+                jnp.where(nodehit2 & leafc, pow2_col, 0))
         return W, hitbits, leafbits, base, intmask
 
     def _visit_row(node, oxr, oyr, ozr, ivxr, ivyr, ivzr, clamp_r):
@@ -428,26 +454,27 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             np_ = np_ + bc
         return sp + np_
 
-    def _multi_pop_visit(sp, ray_sets, octant=None):
-        """Pop up to POPS nodes, box-test each (independent chains, the
-        VLIW scheduler overlaps them), push all entered interior
-        children (later pops' children pushed first so the preorder-
-        earliest node's children pop next).  When the stack holds fewer
-        entries, the clamped reads return stale slots (always valid node
-        ids — every written slot held one) and their verdict bits are
-        masked to zero.  With `octant`, pushes run far-to-near along
-        that direction octant instead of slot order (ordered descent).
-        Returns (sp, [(r0, r1)], npop, [leafbits])."""
+    def _multi_pop_visit(sp, ray_sets, octant=None, npops=None):
+        """Pop up to `npops` (default POPS) nodes, box-test each
+        (independent chains, the VLIW scheduler overlaps them), push all
+        entered interior children (later pops' children pushed first so
+        the preorder-earliest node's children pop next).  When the stack
+        holds fewer entries, the clamped reads return stale slots
+        (always valid node ids — every written slot held one) and their
+        verdict bits are masked to zero.  With `octant`, pushes run
+        far-to-near along that direction octant instead of slot order
+        (ordered descent).  Returns (sp, [(r0, r1)], npop, [leafbits])."""
+        P = POPS if npops is None else npops
         nodes, valids = [], []
-        for p in range(POPS):
+        for p in range(P):
             nodes.append(stack_ref[jnp.maximum(sp - 1 - p, 0)])
             valids.append(None if p == 0 else (sp >= p + 1))
         npop = jnp.int32(1)
-        for p in range(1, POPS):
+        for p in range(1, P):
             npop = npop + valids[p].astype(jnp.int32)
         sp = sp - npop
         outs = []
-        for p in range(POPS):
+        for p in range(P):
             W, hb, lb, base, im = _visit_bits(nodes[p], ray_sets)
             if p > 0:
                 hb = jnp.where(valids[p], hb, 0)
@@ -457,13 +484,19 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             else:
                 prank = perm = None
             outs.append((W, hb, lb, base, im, prank, perm))
-        for p in range(POPS - 1, -1, -1):
+        for p in range(P - 1, -1, -1):
             W, hb, lb, base, im, prank, perm = outs[p]
             if octant is not None:
                 sp = _push_children_ordered(sp, hb, lb, im, base, prank,
                                             perm)
             else:
                 sp = _push_children(sp, hb, lb, base, im)
+        if "push" in dup_set:            # perf triage: 2x the pushes,
+            sp2 = sp                     # into a scratch stack segment
+            for p in range(P - 1, -1, -1):
+                W, hb, lb, base, im, prank, perm = outs[p]
+                sp2 = _push_children(sp2, hb, lb, base, im, soff=STACK,
+                                     dump=2 * STACK - 1)
         ranges = [_leaf_range(o[0], o[2]) for o in outs]
         return sp, ranges, npop, [o[2] for o in outs]
 
@@ -565,7 +598,9 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 tvy = oy[r:r + 1, :] - v0y
                 tvz = oz[r:r + 1, :] - v0z
                 u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-                ok = ok & (u >= 0.0) & (u <= 1.0)
+                # u<=1 is implied by v>=0 & u+v<=1 (and NaN u fails
+                # u>=0 anyway): identical acceptance set, 2 fewer ops
+                ok = ok & (u >= 0.0)
                 qvx = tvy * e1z - tvz * e1y
                 qvy = tvz * e1x - tvx * e1z
                 qvz = tvx * e1y - tvy * e1x
@@ -650,18 +685,47 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     sp, [(ros, invs, closest)], octant)
 
                 def leaf_branch(SR):
+                    if "unirange" in dup_set:
+                        # perf triage: ONE fori over the union of the
+                        # pops' ranges instead of POPS sequential loops
+                        # (empty ranges are (0,0); a genuine range never
+                        # starts at tile 0 unless it is the root leaf)
+                        r0u, r1u = None, None
+                        for r0, r1, _ in ranges:
+                            big = jnp.int32(1 << 29)
+                            r0x = jnp.where(r1 > 0, r0, big)
+                            r0u = r0x if r0u is None else \
+                                jnp.minimum(r0u, r0x)
+                            r1u = r1 if r1u is None else \
+                                jnp.maximum(r1u, r1)
+                        r0u = jnp.where(r1u > 0, r0u, 0)
+                        return run_tiles(SR, r0u, r1u)
                     for r0, r1, _ in ranges:
                         SR = run_tiles(SR, r0, r1)
+                        if "leaf" in dup_set:   # perf triage: 2x tiles
+                            SR = run_tiles(SR, r0, r1)  # idempotent
                     return SR
 
                 anylb = lbs[0]
                 for lb in lbs[1:]:
                     anylb = anylb | lb
-                SR = lax.cond(anylb != 0, leaf_branch, lambda a: a, SR)
+                if "nolc" in dup_set:
+                    # perf triage: skip the cond dispatch (the branch's
+                    # ~40 carried vregs may spill per iteration); empty
+                    # ranges cost a zero-trip fori only
+                    SR = leaf_branch(SR)
+                else:
+                    SR = lax.cond(anylb != 0, leaf_branch, lambda a: a,
+                                  SR)
                 # per-lane closest = min over the 8 tri-row candidates
                 rows = [jnp.min(SR[r][0], axis=0, keepdims=True)
                         for r in range(n_rows)]
                 closest = jnp.concatenate(rows, axis=0)
+                if "merge" in dup_set:          # perf triage: 2x merge
+                    rows2 = [jnp.min(SR[r][0], axis=0, keepdims=True)
+                             for r in range(n_rows)]
+                    closest = jnp.minimum(closest,
+                                          jnp.concatenate(rows2, axis=0))
                 nv = nv + npop
                 for (r0, r1, idl), lb in zip(ranges, lbs):
                     nt = nt + jnp.where(lb != 0, r1 - r0, 0)
@@ -882,15 +946,25 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
 
             # merge the tri-row candidates: 3-round cyclic-roll
             # tournament (strict < keeps the lower slot on exact ties)
-            frows = []
-            for r in range(n_rows):
-                fields = SR[r]
-                for shift in (4, 2, 1):
-                    rolled = tuple(pltpu.roll(f, shift, 0) for f in fields)
-                    take = rolled[0] < fields[0]
-                    fields = tuple(jnp.where(take, rf, f)
-                                   for rf, f in zip(rolled, fields))
-                frows.append(tuple(f[0:1, :] for f in fields))
+            def tournament():
+                frows = []
+                for r in range(n_rows):
+                    fields = SR[r]
+                    for shift in (4, 2, 1):
+                        rolled = tuple(pltpu.roll(f, shift, 0)
+                                       for f in fields)
+                        take = rolled[0] < fields[0]
+                        fields = tuple(jnp.where(take, rf, f)
+                                       for rf, f in zip(rolled, fields))
+                    frows.append(tuple(f[0:1, :] for f in fields))
+                return frows
+
+            frows = tournament()
+            if "tourn" in dup_set:       # perf triage: 2x the tournament
+                frows2 = tournament()
+                frows = [tuple(jnp.minimum(a, b)
+                               for a, b in zip(fa, fb))
+                         for fa, fb in zip(frows, frows2)]
             closest = jnp.concatenate([fr[0] for fr in frows], axis=0)
             bm = jnp.concatenate([fr[1] for fr in frows],
                                  axis=0).astype(jnp.int32)
@@ -1106,8 +1180,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
 
         def body(c):
             sp, sc, blocked, nv, nt = c
+            # the sun walk averages ~2 visits/wave-iteration: a full
+            # POPS-wide pop pipeline burns (POPS-2) masked pops' box
+            # vector work per iteration (sweep50k8 'sunwalk' = 15 ms of
+            # a 150 ms ISS frame before this) — walk narrow instead
             sp, ranges, npop, lbs = _multi_pop_visit(sp, [(ros, invs, sc)],
-                                                     octant)
+                                                     octant,
+                                                     npops=sun_pops)
 
             def mt_update(fields, guard, st):
                 sc, blocked = st
@@ -1245,8 +1324,14 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             livef = jnp.sum(jnp.where(alive, 1.0, 0.0))
             totalf = jnp.maximum(jnp.sum(jnp.where(valid, 1.0, 0.0)), 1.0)
             need = need & (livef < jnp.float32(regen_thresh) * totalf)
+        if "gluereg" in dup_set:         # perf triage: 2x regen math
+            jxu2, st_a = _draw(state, need)
+            jyu2, _ = _draw(st_a, need)
         jxu, state = _draw(state, need)
         jyu, state = _draw(state, need)
+        if "gluereg" in dup_set:
+            jxu = jnp.minimum(jxu, jxu2)
+            jyu = jnp.minimum(jyu, jyu2)
         sf = scnt.astype(jnp.float32)
         jx = (sf + jxu) / spp_f
         jy = (sf + jyu) / spp_f
@@ -1255,6 +1340,15 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         crx = ll[0] + u * hz[0] + v * vt[0] - cam_ox
         cry = ll[1] + u * hz[1] + v * vt[1] - cam_oy
         crz = ll[2] + u * hz[2] + v * vt[2] - cam_oz
+        if "gluereg" in dup_set:
+            u2 = (pxf + (sf + jxu2) / spp_f) * inv_w1
+            v2 = (pyf + (sf + jyu2) / spp_f) * inv_h1
+            crx = jnp.minimum(crx, ll[0] + u2 * hz[0] + v2 * vt[0]
+                              - cam_ox)
+            cry = jnp.minimum(cry, ll[1] + u2 * hz[1] + v2 * vt[1]
+                              - cam_oy)
+            crz = jnp.minimum(crz, ll[2] + u2 * hz[2] + v2 * vt[2]
+                              - cam_oz)
         rox = jnp.where(need, cam_ox, rox)
         roy = jnp.where(need, cam_oy, roy)
         roz = jnp.where(need, cam_oz, roz)
@@ -1274,7 +1368,11 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
 
         # ---- 0. Russian roulette (src/gpu_render.cu:727-738) -----------
         rr_mask = alive & (depth >= rr_start)
+        if "rr" in dup_set:              # perf triage: 2x the RR stage
+            u_rr2, _ = _draw(state, rr_mask)
         u_rr, state = _draw(state, rr_mask)
+        if "rr" in dup_set:
+            u_rr = jnp.minimum(u_rr, u_rr2)
         p_rr = jnp.minimum(jnp.maximum(thr_r, jnp.maximum(thr_g, thr_b)),
                            jnp.float32(rr_max_p))
         killed = rr_mask & (u_rr > p_rr)
@@ -1284,6 +1382,15 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         thr_r = jnp.where(scale, thr_r * inv_p, thr_r)
         thr_g = jnp.where(scale, thr_g * inv_p, thr_g)
         thr_b = jnp.where(scale, thr_b * inv_p, thr_b)
+        if "rr" in dup_set:
+            p_rr2 = jnp.minimum(jnp.maximum(thr_r,
+                                            jnp.maximum(thr_g, thr_b)),
+                                jnp.float32(rr_max_p))
+            inv_p2 = 1.0 / jnp.where(p_rr2 > 0, p_rr2, 1.0)
+            thr_r = jnp.minimum(thr_r, thr_r * jnp.where(scale, 1.0,
+                                                         inv_p2 * 0 + 1))
+            thr_g = jnp.minimum(thr_g, thr_g + inv_p2 * 0)
+            thr_b = jnp.minimum(thr_b, thr_b + inv_p2 * 0)
 
         # ---- 1. closest hit (+ deferred sun-shadow resolution) ---------
         nrays = nrays + jnp.sum(jnp.where(alive, 1, 0))
@@ -1476,11 +1583,19 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             return (thr_r, thr_g, thr_b, rox, roy, roz, rdx, rdy, rdz,
                     state, jnp.where(alive, 1.0, 0.0))
 
+        spec_in = (thr_r, thr_g, thr_b, rox, roy, roz, rdx, rdy, rdz,
+                   state, jnp.where(alive, 1.0, 0.0))
+        any_spec = jnp.any(metal_m | diel_m)
+        if "spec" in dup_set:            # perf triage: 2x the branch
+            dup_out = lax.cond(any_spec, spec_branch, lambda a: a, spec_in)
+        spec_out = lax.cond(any_spec, spec_branch, lambda a: a, spec_in)
+        if "spec" in dup_set:            # identical inputs -> identity
+            spec_out = tuple(
+                jnp.minimum(a, b) if a.dtype == jnp.float32
+                else a | b           # Mosaic has no maxui; or == identity
+                for a, b in zip(spec_out, dup_out))
         (thr_r, thr_g, thr_b, rox, roy, roz, rdx, rdy, rdz, state,
-         alive_f2) = lax.cond(
-            jnp.any(metal_m | diel_m), spec_branch, lambda a: a,
-            (thr_r, thr_g, thr_b, rox, roy, roz, rdx, rdy, rdz, state,
-             jnp.where(alive, 1.0, 0.0)))
+         alive_f2) = spec_out
         alive = alive_f2 > 0.5
 
         # ---- 5. sun MIS at diffuse hits (src/gpu_render.cu:800-836) ----
@@ -1488,16 +1603,31 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         if sun_on and fuse:
             # compute the would-be contribution NOW; the occlusion test
             # rides the next wave's combined walk (deferred shadow)
-            cos_sun = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)
-            newpend = diff & (cos_sun > 0.0)
-            pdf_b = cos_sun / jnp.float32(PI_F)
-            w_sun = pdf_b / (0.5 + 0.5 * pdf_b)
-            pcr = jnp.where(newpend, thr_r * alb_r * sun_r * w_sun, 0.0)
-            pcg = jnp.where(newpend, thr_g * alb_g * sun_g * w_sun, 0.0)
-            pcb = jnp.where(newpend, thr_b * alb_b * sun_b * w_sun, 0.0)
-            pox = px_ + sh_bias * nx
-            poy = py_ + sh_bias * ny
-            poz = pz_ + sh_bias * nz
+            def sun_pre():
+                cos_sun = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)
+                newpend = diff & (cos_sun > 0.0)
+                pdf_b = cos_sun / jnp.float32(PI_F)
+                w_sun = pdf_b / (0.5 + 0.5 * pdf_b)
+                pcr = jnp.where(newpend, thr_r * alb_r * sun_r * w_sun,
+                                0.0)
+                pcg = jnp.where(newpend, thr_g * alb_g * sun_g * w_sun,
+                                0.0)
+                pcb = jnp.where(newpend, thr_b * alb_b * sun_b * w_sun,
+                                0.0)
+                pox = px_ + sh_bias * nx
+                poy = py_ + sh_bias * ny
+                poz = pz_ + sh_bias * nz
+                return newpend, pcr, pcg, pcb, pox, poy, poz
+
+            newpend, pcr, pcg, pcb, pox, poy, poz = sun_pre()
+            if "sunpre" in dup_set:      # perf triage: 2x the precompute
+                d2 = sun_pre()
+                pcr = jnp.minimum(pcr, d2[1])
+                pcg = jnp.minimum(pcg, d2[2])
+                pcb = jnp.minimum(pcb, d2[3])
+                pox = jnp.minimum(pox, d2[4])
+                poy = jnp.minimum(poy, d2[5])
+                poz = jnp.minimum(poz, d2[6])
         elif sun_on:
             cos_sun = jnp.maximum(0.0, nx * sdx + ny * sdy + nz * sdz)
             pot = diff & (cos_sun > 0.0)
@@ -1505,7 +1635,22 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             sox = px_ + sh_bias * nx
             soy = py_ + sh_bias * ny
             soz = pz_ + sh_bias * nz
-            blocked, sv_, st_ = _sun_blocked(sox, soy, soz, pot)
+            if "sunwalk" in dup_set:     # perf triage: 2x the sun walk
+                blocked2, _, _ = _sun_blocked(sox, soy, soz, pot)
+
+            # whole walk under a scalar gate: a wave with no potential
+            # receiver (all-miss / all-specular / sun behind every
+            # surface) pays nothing
+            def sun_branch(_):
+                b, sv_, st_ = _sun_blocked(sox, soy, soz, pot)
+                return jnp.where(b, 1.0, 0.0), sv_, st_
+
+            blocked_f, sv_, st_ = lax.cond(
+                jnp.any(pot), sun_branch,
+                lambda _: (f0, jnp.int32(0), jnp.int32(0)), 0)
+            blocked = blocked_f > 0.5
+            if "sunwalk" in dup_set:
+                blocked = blocked & blocked2
             svis = svis + sv_
             stst = stst + st_
             unb = pot & ~blocked
@@ -1517,8 +1662,16 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
 
         # ---- 6-7. cosine BRDF sampling (no sphere lights in fused scope,
         # src/gpu_render.cu:850-866; ratio scattering_pdf/pdf == 1) -------
+        if "gluecos" in dup_set:         # perf triage: 2x the sampler
+            (bdx2, bdy2, bdz2), pdf_d2, _st2 = _cosine_hemisphere(
+                nx, ny, nz, state, diff)
         (bdx, bdy, bdz), pdf_b2, state = _cosine_hemisphere(
             nx, ny, nz, state, diff)
+        if "gluecos" in dup_set:         # identical inputs -> identity
+            bdx = jnp.minimum(bdx, bdx2)
+            bdy = jnp.minimum(bdy, bdy2)
+            bdz = jnp.minimum(bdz, bdz2)
+            pdf_b2 = jnp.minimum(pdf_b2, pdf_d2)
         ok_b = pdf_b2 > 0.0
         alive = alive & ~(diff & ~ok_b)
         mv2 = diff & ok_b
@@ -1594,7 +1747,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "ordered", "pops", "regen_thresh",
                                    "defer_shadow", "rowtrav", "row_pops",
                                    "stream", "stream_tiles", "smooth",
-                                   "textured", "n_texs"))
+                                   "textured", "n_texs", "dup",
+                                   "sun_pops"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, px, py, valid,
               n_mats: int,
@@ -1605,7 +1759,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               defer_shadow: bool = True, rowtrav: bool = False,
               row_pops: int = 2, stream: bool = True,
               stream_tiles: int = 4, smooth: bool = False,
-              textured: bool = False, n_texs: int = 0):
+              textured: bool = False, n_texs: int = 0, dup: str = "",
+              sun_pops: int = 2):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -1615,7 +1770,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    defer_shadow=defer_shadow, rowtrav=rowtrav,
                    row_pops=row_pops, stream=stream,
                    stream_tiles=stream_tiles, smooth=smooth,
-                   textured=textured, n_texs=n_texs)
+                   textured=textured, n_texs=n_texs, dup=dup,
+                   sun_pops=sun_pops)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1642,7 +1798,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
         # rowtrav needs block_h per-row segments (>= STACK for block_h
         # >= 8, so the union-walk sun pass's [0, STACK) region still fits)
         scratch_shapes=[pltpu.SMEM(
-            (max(STACK, block_h * ROW_SSEG) if rowtrav else STACK,),
+            ((max(STACK, block_h * ROW_SSEG) if rowtrav else STACK)
+             + (STACK if "push" in dup else 0),),
             jnp.int32),
             pltpu.SMEM((2 * RQCAP + 2,), jnp.int32)],
         cost_estimate=pl.CostEstimate(flops=flops_est,
@@ -1745,7 +1902,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         stream=(packed if _OPTS.stream == "auto"
                 else _OPTS.stream in ("on", True)),
         stream_tiles=int(_OPTS.stream_tiles),
-        smooth=smooth, textured=textured, n_texs=n_texs)
+        smooth=smooth, textured=textured, n_texs=n_texs,
+        dup=str(_OPTS.dup), sun_pops=int(_OPTS.sun_pops))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]
