@@ -257,6 +257,21 @@ def all_configs() -> list[dict]:
                 "n_tris": int(scene50k.n_tris), "rays": exact,
                 "sec_per_frame": round(dt, 3)})
 
+    # --- ISS-scale mixed geometry: the same ~48k-tri mesh plus free-
+    # flying spheres, in-kernel through the fused composition (scene_hit
+    # tris-then-spheres order, src/gpu_render.cu:509-551) ---------------
+    from dsrt_tpu.models.mesh_gen import iss_mixed_scene
+    cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
+    scene_mx = iss_mixed_scene(detail=12)
+    cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
+                          vfov=cfg.vfov, width=800, height=450)
+    mrays, dt, exact = _fused_mrays(scene_mx, cam, cfg)
+    out.append({"config": "iss50k_mixed_800x450_32spp",
+                "metric": "Mrays/sec/chip", "value": round(mrays, 3),
+                "n_tris": int(scene_mx.n_tris),
+                "n_spheres": int(scene_mx.n_spheres), "rays": exact,
+                "sec_per_frame": round(dt, 3)})
+
     # --- the literal north-star metric at REAL scale: sec/frame for the
     # 1080p @ 1000 spp rendezvous frame on the ~48k-tri scene (VERDICT r2
     # item 3; the 5.8k-tri line above is kept for continuity) ------------

@@ -126,6 +126,11 @@ class ExecOptions:
     # == 6.  Narrow is bit-identical (pop grouping never changes
     # verdicts).
     sun_pops: int = 2
+    # With defer_shadow, run the combined extension+shadow walk through
+    # the old CHAIN leaf engine instead of the tile engine (A/B only —
+    # the chain fallback is what made r2's defer_shadow measurement
+    # net-negative).
+    chain_fuse: bool = False
     # Perf-triage duplication knobs (comma list, e.g. "box,gluecos"):
     # each named kernel segment is computed TWICE with the duplicate
     # folded in via an identity (min/max/or of two equal values), so

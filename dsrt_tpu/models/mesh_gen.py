@@ -184,3 +184,25 @@ def iss_standin_scene(detail: int = 2, sun_dir=(0.35, 0.65, 0.4),
                      bvh_method=bvh_method, wide_max_leaf=wide_max_leaf)
     b.add_mesh(iss_standin_mesh(detail, tex_path=tex_path))
     return b.build()
+
+
+def iss_mixed_scene(detail: int = 4, **kw):
+    """ISS stand-in mesh PLUS free-flying primitives (a visiting-vehicle
+    sphere pair and a metal tank) — the mixed triangle+sphere scene_hit
+    composition (src/gpu_render.cu:509-551) the fused kernel now runs
+    in-kernel instead of falling back to the split pipeline."""
+    from dsrt_tpu.models.materials import Material
+    from dsrt_tpu.models.scene import SceneBuilder
+    b = SceneBuilder(sun_enabled=True, sun_dir=kw.pop("sun_dir",
+                                                      (0.35, 0.65, 0.4)),
+                     sun_radiance=kw.pop("sun_radiance",
+                                         (1e5, 9.5e4, 9e4)),
+                     seed=kw.pop("seed", 1337), **kw)
+    b.add_mesh(iss_standin_mesh(detail))
+    b.add_sphere((12.0, 6.0, -14.0), 2.2,
+                 Material.lambertian((0.82, 0.8, 0.78)))
+    b.add_sphere((14.5, 4.5, -10.5), 1.1,
+                 Material.lambertian((0.35, 0.36, 0.4)))
+    b.add_sphere((-10.0, -5.0, 12.0), 1.6,
+                 Material.metal((0.75, 0.76, 0.8), fuzz=0.15))
+    return b.build()

@@ -86,9 +86,13 @@ def fused_supported(scene, cfg) -> bool:
     shaded = scene.has_image_tex or scene.has_smooth
     extra = ((scene.tri_tile.shape[0] if shaded else 0)
              + 3 * _tex_plane_rows(scene))
-    return (scene.n_tris > 0 and scene.n_spheres == 0
-            and scene.n_quads == 0
-            and scene.n_media == 0 and scene.n_lights == 0
+    return (scene.n_tris > 0
+            and scene.n_spheres <= MIX_MAX_SPH
+            and scene.n_quads <= MIX_MAX_QUADS
+            and scene.n_lights <= MIX_MAX_LIGHTS
+            and not (scene.n_spheres and getattr(scene, "has_moving",
+                                                 False))
+            and scene.n_media == 0
             and not scene.has_ptex
             and cfg.aperture == 0.0
             and fits_vmem_fused_packed(scene, extra) and backend_is_tpu())
@@ -189,6 +193,13 @@ def _cosine_hemisphere(nx, ny, nz, state, mask):
 # the kernel
 # ---------------------------------------------------------------------------
 
+# mixed-scene bounds: spheres/quads run as unrolled per-wave loops after
+# the BVH result (scene_hit order, src/gpu_render.cu:509-551), area
+# lights as an unrolled select in the mixture sampler
+MIX_MAX_SPH = 12
+MIX_MAX_QUADS = 12
+MIX_MAX_LIGHTS = 8
+
 STACK = 256          # wide-traversal stack bound: depth*(arity-1) << 256
 ROW_SSEG = 64        # per-row stack segment (rowtrav mode): depth*7 < 63
 RQCAP = 127          # streamed-walk range queue capacity (pairs; +dump)
@@ -198,6 +209,7 @@ STATS_ROWS = 1024    # telemetry buckets (block pid accumulates mod this)
 
 def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  cam_ref, sun_ref, spp_ref, hdr_ref,
+                 sph_ref, quad_ref, lit_ref,
                  px_ref, py_ref, valid_ref,
                  acc_r_ref, acc_g_ref, acc_b_ref, nray_ref, stack_ref,
                  rq_ref,
@@ -210,7 +222,9 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  row_pops: int = 2, stream: bool = True,
                  stream_tiles: int = 4, smooth: bool = False,
                  textured: bool = False, n_texs: int = 0,
-                 dup: str = "", sun_pops: int = 2):
+                 dup: str = "", sun_pops: int = 2,
+                 chain_fuse: bool = False, n_sph: int = 0,
+                 n_quads: int = 0, n_lights: int = 0):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -321,44 +335,52 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         minx, miny, minz = W[:, 0:1], W[:, 1:2], W[:, 2:3]
         maxx, maxy, maxz = W[:, 3:4], W[:, 4:5], W[:, 5:6]
 
-        def box_rows():
+        def box_rows(ros, invs, clamp):
             acc = jnp.zeros((8, TILE_W), jnp.float32)
-            for ros, invs, clamp in ray_sets:
-                for r in range(n_rows):
-                    ivx = invs[0][r:r + 1, :] if invs[0].ndim else invs[0]
-                    ivy = invs[1][r:r + 1, :] if invs[1].ndim else invs[1]
-                    ivz = invs[2][r:r + 1, :] if invs[2].ndim else invs[2]
-                    tx0 = (minx - ros[0][r:r + 1, :]) * ivx
-                    tx1 = (maxx - ros[0][r:r + 1, :]) * ivx
-                    ty0 = (miny - ros[1][r:r + 1, :]) * ivy
-                    ty1 = (maxy - ros[1][r:r + 1, :]) * ivy
-                    tz0 = (minz - ros[2][r:r + 1, :]) * ivz
-                    tz1 = (maxz - ros[2][r:r + 1, :]) * ivz
-                    lo = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx0, tx1),
-                                    jnp.minimum(ty0, ty1)),
-                        jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
-                    hi = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx0, tx1),
-                                    jnp.maximum(ty0, ty1)),
-                        jnp.minimum(jnp.maximum(tz0, tz1),
-                                    clamp[r:r + 1, :]))
-                    acc = acc + jnp.where(hi > lo, 1.0, 0.0)
+            for r in range(n_rows):
+                ivx = invs[0][r:r + 1, :] if invs[0].ndim else invs[0]
+                ivy = invs[1][r:r + 1, :] if invs[1].ndim else invs[1]
+                ivz = invs[2][r:r + 1, :] if invs[2].ndim else invs[2]
+                tx0 = (minx - ros[0][r:r + 1, :]) * ivx
+                tx1 = (maxx - ros[0][r:r + 1, :]) * ivx
+                ty0 = (miny - ros[1][r:r + 1, :]) * ivy
+                ty1 = (maxy - ros[1][r:r + 1, :]) * ivy
+                tz0 = (minz - ros[2][r:r + 1, :]) * ivz
+                tz1 = (maxz - ros[2][r:r + 1, :]) * ivz
+                lo = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1),
+                                jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
+                hi = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1),
+                                jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1),
+                                clamp[r:r + 1, :]))
+                acc = acc + jnp.where(hi > lo, 1.0, 0.0)
             return acc
 
-        acc = box_rows()
-        if "box" in dup_set:             # perf triage: 2x the box rows
-            acc = jnp.maximum(acc, box_rows())
-        nodehit = jnp.sum(acc, axis=1, keepdims=True) > 0.0    # (8,1)
         leafc = W[:, 7:8] > 0.0
-        hitbits = jnp.sum(jnp.where(nodehit, pow2_col, 0))
-        leafbits = jnp.sum(jnp.where(nodehit & leafc, pow2_col, 0))
-        if "visitred" in dup_set:        # perf triage: 2x the reduces
-            nodehit2 = jnp.sum(acc, axis=1, keepdims=True) > 0.0
-            hitbits = hitbits | jnp.sum(jnp.where(nodehit2, pow2_col, 0))
-            leafbits = leafbits | jnp.sum(
-                jnp.where(nodehit2 & leafc, pow2_col, 0))
-        return W, hitbits, leafbits, base, intmask
+        hit_sets, leaf_sets = [], []
+        for s in ray_sets:
+            acc = box_rows(*s)
+            if "box" in dup_set:         # perf triage: 2x the box rows
+                acc = jnp.maximum(acc, box_rows(*s))
+            nodehit = jnp.sum(acc, axis=1, keepdims=True) > 0.0  # (8,1)
+            hb = jnp.sum(jnp.where(nodehit, pow2_col, 0))
+            lb = jnp.sum(jnp.where(nodehit & leafc, pow2_col, 0))
+            if "visitred" in dup_set:    # perf triage: 2x the reduces
+                nodehit2 = jnp.sum(acc, axis=1, keepdims=True) > 0.0
+                hb = hb | jnp.sum(jnp.where(nodehit2, pow2_col, 0))
+                lb = lb | jnp.sum(
+                    jnp.where(nodehit2 & leafc, pow2_col, 0))
+            hit_sets.append(hb)
+            leaf_sets.append(lb)
+        hitbits = hit_sets[0]
+        leafbits = leaf_sets[0]
+        for hb, lb in zip(hit_sets[1:], leaf_sets[1:]):
+            hitbits = hitbits | hb
+            leafbits = leafbits | lb
+        return W, hitbits, leafbits, base, intmask, leaf_sets
 
     def _visit_row(node, oxr, oyr, ozr, ivxr, ivyr, ivzr, clamp_r):
         """Single-ROW visit (rowtrav mode): box-test the 8 children of
@@ -463,7 +485,11 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         (always valid node ids — every written slot held one) and their
         verdict bits are masked to zero.  With `octant`, pushes run
         far-to-near along that direction octant instead of slot order
-        (ordered descent).  Returns (sp, [(r0, r1)], npop, [leafbits])."""
+        (ordered descent).  Returns (sp, [(r0, r1, idl)] over pops
+        (UNION-entered leaf ranges), npop, [leafbits] over pops, and
+        per-SET leaf ranges [[(r0, r1, idl)] over pops] — one list per
+        ray set — so a multi-set caller can scan each set's own entered
+        leaves only."""
         P = POPS if npops is None else npops
         nodes, valids = [], []
         for p in range(P):
@@ -475,17 +501,18 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         sp = sp - npop
         outs = []
         for p in range(P):
-            W, hb, lb, base, im = _visit_bits(nodes[p], ray_sets)
+            W, hb, lb, base, im, lb_sets = _visit_bits(nodes[p], ray_sets)
             if p > 0:
                 hb = jnp.where(valids[p], hb, 0)
                 lb = jnp.where(valids[p], lb, 0)
+                lb_sets = [jnp.where(valids[p], x, 0) for x in lb_sets]
             if octant is not None:
                 prank, perm = _node_order(W, nodes[p], octant)
             else:
                 prank = perm = None
-            outs.append((W, hb, lb, base, im, prank, perm))
+            outs.append((W, hb, lb, base, im, prank, perm, lb_sets))
         for p in range(P - 1, -1, -1):
-            W, hb, lb, base, im, prank, perm = outs[p]
+            W, hb, lb, base, im, prank, perm, _ls = outs[p]
             if octant is not None:
                 sp = _push_children_ordered(sp, hb, lb, im, base, prank,
                                             perm)
@@ -494,11 +521,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         if "push" in dup_set:            # perf triage: 2x the pushes,
             sp2 = sp                     # into a scratch stack segment
             for p in range(P - 1, -1, -1):
-                W, hb, lb, base, im, prank, perm = outs[p]
+                W, hb, lb, base, im, prank, perm, _ls = outs[p]
                 sp2 = _push_children(sp2, hb, lb, base, im, soff=STACK,
                                      dump=2 * STACK - 1)
         ranges = [_leaf_range(o[0], o[2]) for o in outs]
-        return sp, ranges, npop, [o[2] for o in outs]
+        ranges_sets = [[_leaf_range(o[0], o[7][s]) for o in outs]
+                       for s in range(len(ray_sets))]
+        return sp, ranges, npop, [o[2] for o in outs], ranges_sets
 
     def _closest_hit(ox, oy, oz, dx, dy, dz, act,
                      sox=None, soy=None, soz=None, pot=None):
@@ -551,8 +580,9 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             jnp.any(act) | jnp.any(pot))
         sp0 = jnp.where(any_work, jnp.int32(1), jnp.int32(0))
 
-        if not with_shadow:
-            # ---- vectorized tile leaf engine (the default path) -------
+        if not with_shadow or not chain_fuse:
+            # ---- vectorized tile leaf engine (the default path; also
+            # the fused combined walk unless OPTS.chain_fuse) ----------
             # Leaf triangles stream as (8,16) TILES (one vector load +
             # lane roll from the tile-packed table, _tile_pack) whose
             # field c is the (8,1) column — the Moller-Trumbore test then
@@ -679,13 +709,79 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             def tcond(c):
                 return c[0] > 0
 
-            def tbody_w(c):
-                sp, SR, closest, nv, nt, ni = c
-                sp, ranges, npop, lbs = _multi_pop_visit(
-                    sp, [(ros, invs, closest)], octant)
+            def shadow_tile(W, blocked, sc):
+                """Occlusion along the uniform sun direction against one
+                (8,16) triangle tile: the p-vector and determinant are
+                per-TRIANGLE columns (direction scalar), so only the
+                origin-dependent half of Moller-Trumbore pays per-row
+                vector work.  Any accepted tri marks the lane blocked
+                (idempotent; clamp rows sc gate pot/blocked lanes)."""
+                v0x, v0y, v0z = W[:, 0:1], W[:, 1:2], W[:, 2:3]
+                e1x, e1y, e1z = W[:, 3:4], W[:, 4:5], W[:, 5:6]
+                e2x, e2y, e2z = W[:, 6:7], W[:, 7:8], W[:, 8:9]
+                spvx = sdy * e2z - sdz * e2y      # (8,1) columns
+                spvy = sdz * e2x - sdx * e2z
+                spvz = sdx * e2y - sdy * e2x
+                sdet = e1x * spvx + e1y * spvy + e1z * spvz
+                sok0 = jnp.abs(sdet) >= 1e-8
+                sinv = 1.0 / jnp.where(sok0, sdet, 1.0)
+                hit_rows = []
+                for r in range(n_rows):
+                    stx = sox[r:r + 1, :] - v0x
+                    sty = soy[r:r + 1, :] - v0y
+                    stz = soz[r:r + 1, :] - v0z
+                    su = (stx * spvx + sty * spvy + stz * spvz) * sinv
+                    ok = sok0 & (su >= 0.0)
+                    sqx = sty * e1z - stz * e1y
+                    sqy = stz * e1x - stx * e1z
+                    sqz = stx * e1y - sty * e1x
+                    sv_ = (sdx * sqx + sdy * sqy + sdz * sqz) * sinv
+                    ok = ok & (sv_ >= 0.0) & (su + sv_ <= 1.0)
+                    st_ = (e2x * sqx + e2y * sqy + e2z * sqz) * sinv
+                    ok = ok & (st_ >= tmin_f) & (st_ <= sc[r:r + 1, :])
+                    hit_rows.append(jnp.max(jnp.where(ok, 1.0, 0.0),
+                                            axis=0, keepdims=True))
+                return jnp.maximum(blocked,
+                                   jnp.concatenate(hit_rows, axis=0))
 
-                def leaf_branch(SR):
-                    if "unirange" in dup_set:
+            def run_shadow_tiles(blocked, sc, r0, r1):
+                tile0 = r0 // 8
+                n_it = ((r1 + 7) // 8 - tile0 + 1) // 2
+
+                def tb(k, blocked):
+                    t0_ = jnp.minimum(tile0 + 2 * k, max_tile)
+                    t1_ = jnp.minimum(tile0 + 2 * k + 1, max_tile)
+                    g0 = tile_ref[pl.ds(8 * (t0_ // 8), 8), :]
+                    g1 = tile_ref[pl.ds(8 * (t1_ // 8), 8), :]
+                    W0 = pltpu.roll(g0, -16 * (t0_ % 8), 1)[:, :16]
+                    W1 = pltpu.roll(g1, -16 * (t1_ % 8), 1)[:, :16]
+                    return shadow_tile(W1, shadow_tile(W0, blocked, sc),
+                                       sc)
+
+                return lax.fori_loop(0, n_it, tb, blocked)
+
+            def tbody_w(c):
+                if with_shadow:
+                    sp, SR, closest, blocked, nv, nt, ni, sv, st = c
+                    # blocked lanes (and non-pot lanes) carry a t_min
+                    # clamp row: their slab tests and tri accepts can
+                    # never pass (automatic parking)
+                    sc = jnp.minimum(sc_pot,
+                                     jnp.where(blocked > 0.5, tmin_f,
+                                               tmax_f))
+                    rsets = [(ros, invs, closest), (sros, s_invs, sc)]
+                else:
+                    sp, SR, closest, nv, nt, ni = c
+                    rsets = [(ros, invs, closest)]
+                sp, ranges, npop, lbs, ranges_sets = _multi_pop_visit(
+                    sp, rsets, octant)
+
+                def leaf_branch(a):
+                    if with_shadow:
+                        SR, blocked = a
+                    else:
+                        SR = a
+                    if "unirange" in dup_set and not with_shadow:
                         # perf triage: ONE fori over the union of the
                         # pops' ranges instead of POPS sequential loops
                         # (empty ranges are (0,0); a genuine range never
@@ -700,16 +796,27 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                 jnp.maximum(r1u, r1)
                         r0u = jnp.where(r1u > 0, r0u, 0)
                         return run_tiles(SR, r0u, r1u)
-                    for r0, r1, _ in ranges:
+                    # extension rays scan THEIR entered leaves only
+                    for r0, r1, _ in ranges_sets[0]:
                         SR = run_tiles(SR, r0, r1)
                         if "leaf" in dup_set:   # perf triage: 2x tiles
                             SR = run_tiles(SR, r0, r1)  # idempotent
+                    if with_shadow:
+                        # ... and shadow rays theirs (the cheap
+                        # scalar-direction any-hit)
+                        for r0, r1, _ in ranges_sets[1]:
+                            blocked = run_shadow_tiles(blocked, sc,
+                                                       r0, r1)
+                        return SR, blocked
                     return SR
 
                 anylb = lbs[0]
                 for lb in lbs[1:]:
                     anylb = anylb | lb
-                if "nolc" in dup_set:
+                if with_shadow:
+                    SR, blocked = lax.cond(anylb != 0, leaf_branch,
+                                           lambda a: a, (SR, blocked))
+                elif "nolc" in dup_set:
                     # perf triage: skip the cond dispatch (the branch's
                     # ~40 carried vregs may spill per iteration); empty
                     # ranges cost a zero-trip fori only
@@ -727,9 +834,14 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     closest = jnp.minimum(closest,
                                           jnp.concatenate(rows2, axis=0))
                 nv = nv + npop
-                for (r0, r1, idl), lb in zip(ranges, lbs):
-                    nt = nt + jnp.where(lb != 0, r1 - r0, 0)
-                    ni = ni + jnp.where(lb != 0, idl, 0)
+                for r0, r1, idl in ranges_sets[0]:
+                    nt = nt + (r1 - r0)      # 0 when not entered
+                    ni = ni + idl
+                if with_shadow:
+                    for r0, r1, _idl in ranges_sets[1]:
+                        st = st + (r1 - r0)
+                        sv = sv + (r1 > r0).astype(jnp.int32)
+                    return sp, SR, closest, blocked, nv, nt, ni, sv, st
                 return sp, SR, closest, nv, nt, ni
 
             zt = jnp.zeros((8, TILE_W), jnp.float32)
@@ -744,7 +856,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     (zt + closest0[r:r + 1, :], zt, zt, zt, zt)
                     for r in range(n_rows))
 
-            if stream:
+            if stream and not with_shadow:
                 # ---- streamed walk: node visits + leaf tiles in ONE ---
                 # straight-line iteration body.  Entered leaf ranges are
                 # enqueued (tile cursor pairs) to the SMEM range queue
@@ -800,7 +912,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     sp = sp - npop
                     outs = []
                     for p in range(POPS):
-                        W, hb, lb, base, im = _visit_bits(
+                        W, hb, lb, base, im, _ls = _visit_bits(
                             nodes[p], [(ros, invs, closest)])
                         hb = jnp.where(vlds[p], hb, 0)
                         lb = jnp.where(vlds[p], lb, 0)
@@ -824,7 +936,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     scond, sbody,
                     (sp0, jnp.int32(0), jnp.int32(0), jnp.int32(0), SR0,
                      jnp.int32(0), jnp.int32(0), jnp.int32(0)))
-            elif rowtrav:
+            elif rowtrav and not with_shadow:
                 # ---- per-row traversal: each ray row walks the wide ---
                 # BVH with its own cursor + stack segment and only box/
                 # leaf-tests its OWN 128 lanes (the block-union walk
@@ -938,6 +1050,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     rcond, rbody,
                     (sps0, SR0, jnp.int32(0), jnp.int32(0),
                      jnp.int32(0)))
+            elif with_shadow:
+                (_, SR, closest, blkd_f, nv, nt, ni, sv, st) = \
+                    lax.while_loop(
+                        tcond, tbody_w,
+                        (sp0, SR0, closest0, f0, jnp.int32(0),
+                         jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                         jnp.int32(0)))
             else:
                 (_, SR, closest, nv, nt, ni) = lax.while_loop(
                     tcond, tbody_w,
@@ -983,13 +1102,29 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             hitm = jnp.where(act & (closest < tmax_f), 1.0, 0.0)
             front_b = (dx * bnx + dy * bny + dz * bnz) < 0.0
             sgn = jnp.where(front_b, 1.0, -1.0)
-            out = (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
-                   jnp.where(front_b, 1.0, 0.0))
+            fl = (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
+                  jnp.where(front_b, 1.0, 0.0))
             if shaded:
-                out = out + (jnp.concatenate([fr[5] for fr in frows], 0),
-                             jnp.concatenate([fr[6] for fr in frows], 0),
-                             jnp.concatenate([fr[7] for fr in frows], 0))
-            return out + (nv, nt, ni)
+                aux3 = (jnp.concatenate([fr[5] for fr in frows], 0),
+                        jnp.concatenate([fr[6] for fr in frows], 0),
+                        jnp.concatenate([fr[7] for fr in frows], 0))
+            if n_sph or n_quads:
+                if shaded:
+                    (*fl, aux3) = _sphere_quad_pass(
+                        ox, oy, oz, dx, dy, dz, act, *fl, aux=aux3)
+                    fl = tuple(fl)
+                else:
+                    fl = _sphere_quad_pass(ox, oy, oz, dx, dy, dz, act,
+                                           *fl)
+            if with_shadow:
+                if n_sph or n_quads:
+                    blkd_f = jnp.maximum(blkd_f,
+                                         _prim_shadow(sox, soy, soz,
+                                                      pot))
+                return fl + (blkd_f, nv, nt, ni, sv, st)
+            if shaded:
+                fl = fl + aux3
+            return fl + (nv, nt, ni)
 
         def cond(c):
             return c[0] > 0
@@ -1003,7 +1138,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 sc = jnp.minimum(sc_pot, jnp.where(blkd > 0.5, tmin_f,
                                                    tmax_f))
                 ray_sets.append((sros, s_invs, sc))
-            sp, ranges, npop, lbs = _multi_pop_visit(sp, ray_sets, octant)
+            (sp, ranges, npop, lbs,
+             _rs) = _multi_pop_visit(sp, ray_sets, octant)
 
             def mt_update(fields, guard, st):
                 cl, m, nx_, ny_, nz_, blk = st
@@ -1147,8 +1283,14 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         sgn = jnp.where(front_b, 1.0, -1.0)
         out = (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
                jnp.where(front_b, 1.0, 0.0))
+        if n_sph or n_quads:
+            out = _sphere_quad_pass(ox, oy, oz, dx, dy, dz, act, *out)
         if with_shadow:
-            out = out + (blkd,)
+            if n_sph or n_quads:
+                blkd = jnp.maximum(blkd, _prim_shadow(sox, soy, soz,
+                                                      pot))
+            # chain fuse cannot split extension/shadow scan counts
+            return out + (blkd, nv, nt, ni, jnp.int32(0), jnp.int32(0))
         return out + (nv, nt, ni)
 
     def _sun_blocked(sox, soy, soz, pot):
@@ -1184,9 +1326,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             # POPS-wide pop pipeline burns (POPS-2) masked pops' box
             # vector work per iteration (sweep50k8 'sunwalk' = 15 ms of
             # a 150 ms ISS frame before this) — walk narrow instead
-            sp, ranges, npop, lbs = _multi_pop_visit(sp, [(ros, invs, sc)],
-                                                     octant,
-                                                     npops=sun_pops)
+            sp, ranges, npop, lbs, _rs = _multi_pop_visit(
+                sp, [(ros, invs, sc)], octant, npops=sun_pops)
 
             def mt_update(fields, guard, st):
                 sc, blocked = st
@@ -1277,7 +1418,155 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
 
         _, _, blocked, nv, nt = lax.while_loop(
             cond, body, (sp0, sc0, f0, jnp.int32(0), jnp.int32(0)))
+        if n_sph or n_quads:
+            blocked = jnp.maximum(blocked, _prim_shadow(sox, soy, soz,
+                                                        pot))
         return blocked > 0.5, nv, nt
+
+    def _sphere_quad_pass(ox, oy, oz, dx, dy, dz, act,
+                          hitm, bt, bm, bnx, bny, bnz, bfr,
+                          aux=None):
+        """Sequential sphere then quad loops after the BVH result, the
+        exact split-path semantics (ops/trace.py sphere_pass/quad_pass:
+        `<=` tie acceptance so a later primitive wins, per-primitive
+        face flip, scene_hit order src/gpu_render.cu:509-551).  `aux`
+        is the (iu, iv, btex) triple on shaded walks (primitive hits
+        reset the texture id).  SMEM layouts: sph_ref [cx cy cz r mat]
+        x n_sph; quad_ref [q(3) u(3) v(3) n(3) w(3) d area mat] x
+        n_quads."""
+        closest = bt
+        a = dx * dx + dy * dy + dz * dz
+        for i in range(n_sph):
+            cx = sph_ref[5 * i]
+            cy = sph_ref[5 * i + 1]
+            cz = sph_ref[5 * i + 2]
+            r = sph_ref[5 * i + 3]
+            mid = sph_ref[5 * i + 4].astype(jnp.int32)
+            ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+            half_b = ocx * dx + ocy * dy + ocz * dz
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = half_b * half_b - a * cq
+            has = disc >= 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            root1 = (-half_b - sq) / a
+            root2 = (-half_b + sq) / a
+            r1ok = (root1 >= tmin_f) & (root1 <= closest)
+            root = jnp.where(r1ok, root1, root2)
+            ok = has & (root >= tmin_f) & (root <= closest) & act
+            inv_r = 1.0 / jnp.where(r != 0, r, 1.0)
+            nx = (ox + root * dx - cx) * inv_r
+            ny = (oy + root * dy - cy) * inv_r
+            nz = (oz + root * dz - cz) * inv_r
+            front = (dx * nx + dy * ny + dz * nz) < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            hitm = jnp.where(ok, 1.0, hitm)
+            bt = jnp.where(ok, root, bt)
+            bm = jnp.where(ok, mid, bm)
+            bnx = jnp.where(ok, sgn * nx, bnx)
+            bny = jnp.where(ok, sgn * ny, bny)
+            bnz = jnp.where(ok, sgn * nz, bnz)
+            bfr = jnp.where(ok, jnp.where(front, 1.0, 0.0), bfr)
+            if aux is not None:
+                aux = (jnp.where(ok, 0.0, aux[0]),
+                       jnp.where(ok, 0.0, aux[1]),
+                       jnp.where(ok, -1.0, aux[2]))
+            closest = jnp.where(ok, root, closest)
+        for i in range(n_quads):
+            b = 18 * i
+            qnx, qny, qnz = (quad_ref[b + 9], quad_ref[b + 10],
+                             quad_ref[b + 11])
+            denom = dx * qnx + dy * qny + dz * qnz
+            okq = jnp.abs(denom) >= 1e-8
+            t = (quad_ref[b + 15]
+                 - (ox * qnx + oy * qny + oz * qnz)) / jnp.where(
+                     okq, denom, 1.0)
+            okq = okq & (t >= tmin_f) & (t <= closest) & act
+            px_ = ox + t * dx - quad_ref[b]
+            py_ = oy + t * dy - quad_ref[b + 1]
+            pz_ = oz + t * dz - quad_ref[b + 2]
+            uex, uey, uez = quad_ref[b + 3], quad_ref[b + 4], quad_ref[b + 5]
+            vex, vey, vez = quad_ref[b + 6], quad_ref[b + 7], quad_ref[b + 8]
+            wx, wy, wz = quad_ref[b + 12], quad_ref[b + 13], quad_ref[b + 14]
+            cx_ = py_ * vez - pz_ * vey
+            cy_ = pz_ * vex - px_ * vez
+            cz_ = px_ * vey - py_ * vex
+            alpha = wx * cx_ + wy * cy_ + wz * cz_
+            cx_ = uey * pz_ - uez * py_
+            cy_ = uez * px_ - uex * pz_
+            cz_ = uex * py_ - uey * px_
+            beta = wx * cx_ + wy * cy_ + wz * cz_
+            okq = okq & (alpha >= 0.0) & (alpha <= 1.0) \
+                & (beta >= 0.0) & (beta <= 1.0)
+            front = denom < 0.0
+            sgn = jnp.where(front, 1.0, -1.0)
+            mid = quad_ref[b + 17].astype(jnp.int32)
+            hitm = jnp.where(okq, 1.0, hitm)
+            bt = jnp.where(okq, t, bt)
+            bm = jnp.where(okq, mid, bm)
+            bnx = jnp.where(okq, sgn * qnx, bnx)
+            bny = jnp.where(okq, sgn * qny, bny)
+            bnz = jnp.where(okq, sgn * qnz, bnz)
+            bfr = jnp.where(okq, jnp.where(front, 1.0, 0.0), bfr)
+            if aux is not None:
+                aux = (jnp.where(okq, 0.0, aux[0]),
+                       jnp.where(okq, 0.0, aux[1]),
+                       jnp.where(okq, -1.0, aux[2]))
+            closest = jnp.where(okq, t, closest)
+        if aux is not None:
+            return hitm, bt, bm, bnx, bny, bnz, bfr, aux
+        return hitm, bt, bm, bnx, bny, bnz, bfr
+
+    def _prim_shadow(sox, soy, soz, pot):
+        """Sphere/quad any-hit along the uniform sun direction (the
+        split path shadows against the whole scene via scene_hit,
+        ops/shade.py:296-300)."""
+        occ = jnp.zeros(shape, jnp.float32)
+        a = sdx * sdx + sdy * sdy + sdz * sdz   # scalar
+        for i in range(n_sph):
+            cx = sph_ref[5 * i]
+            cy = sph_ref[5 * i + 1]
+            cz = sph_ref[5 * i + 2]
+            r = sph_ref[5 * i + 3]
+            ocx, ocy, ocz = sox - cx, soy - cy, soz - cz
+            half_b = ocx * sdx + ocy * sdy + ocz * sdz
+            cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+            disc = half_b * half_b - a * cq
+            has = disc >= 0.0
+            sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+            root1 = (-half_b - sq) / a
+            root2 = (-half_b + sq) / a
+            r1ok = (root1 >= tmin_f) & (root1 <= tmax_f)
+            root = jnp.where(r1ok, root1, root2)
+            ok = has & (root >= tmin_f) & (root <= tmax_f) & pot
+            occ = jnp.where(ok, 1.0, occ)
+        for i in range(n_quads):
+            b = 18 * i
+            qnx, qny, qnz = (quad_ref[b + 9], quad_ref[b + 10],
+                             quad_ref[b + 11])
+            denom = sdx * qnx + sdy * qny + sdz * qnz   # scalar
+            okq = jnp.abs(denom) >= 1e-8
+            t = (quad_ref[b + 15]
+                 - (sox * qnx + soy * qny + soz * qnz)) / jnp.where(
+                     okq, denom, 1.0)
+            okq = okq & (t >= tmin_f) & (t <= tmax_f) & pot
+            px_ = sox + t * sdx - quad_ref[b]
+            py_ = soy + t * sdy - quad_ref[b + 1]
+            pz_ = soz + t * sdz - quad_ref[b + 2]
+            uex, uey, uez = quad_ref[b + 3], quad_ref[b + 4], quad_ref[b + 5]
+            vex, vey, vez = quad_ref[b + 6], quad_ref[b + 7], quad_ref[b + 8]
+            wx, wy, wz = quad_ref[b + 12], quad_ref[b + 13], quad_ref[b + 14]
+            cx_ = py_ * vez - pz_ * vey
+            cy_ = pz_ * vex - px_ * vez
+            cz_ = px_ * vey - py_ * vex
+            alpha = wx * cx_ + wy * cy_ + wz * cz_
+            cx_ = uey * pz_ - uez * py_
+            cy_ = uez * px_ - uex * pz_
+            cz_ = uex * py_ - uey * px_
+            beta = wx * cx_ + wy * cy_ + wz * cz_
+            okq = okq & (alpha >= 0.0) & (alpha <= 1.0) \
+                & (beta >= 0.0) & (beta <= 1.0)
+            occ = jnp.where(okq, 1.0, occ)
+        return occ
 
     def _mat_field(bm, col):
         """Per-lane material scalar via static unroll (n_mats is tiny)."""
@@ -1397,8 +1686,10 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         if fuse:
             nrays = nrays + jnp.sum(jnp.where(pot, 1, 0))
             (hitm_f, bt, bm, nx, ny, nz, bfr, blkd_f, cv_, ct_,
-             ci_) = _closest_hit(rox, roy, roz, rdx, rdy, rdz, alive,
-                                 pox, poy, poz, pot)
+             ci_, sv_, st_) = _closest_hit(rox, roy, roz, rdx, rdy, rdz,
+                                           alive, pox, poy, poz, pot)
+            svis = svis + sv_
+            stst = stst + st_
             # resolve LAST wave's sun MIS (contribution precomputed at
             # shade time; the occlusion verdict is what was outstanding)
             unb = pot & ~(blkd_f > 0.5)
@@ -1660,30 +1951,133 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             Lg = jnp.where(unb, Lg + thr_g * alb_g * sun_g * w_sun, Lg)
             Lb = jnp.where(unb, Lb + thr_b * alb_b * sun_b * w_sun, Lb)
 
-        # ---- 6-7. cosine BRDF sampling (no sphere lights in fused scope,
-        # src/gpu_render.cu:850-866; ratio scattering_pdf/pdf == 1) -------
-        if "gluecos" in dup_set:         # perf triage: 2x the sampler
-            (bdx2, bdy2, bdz2), pdf_d2, _st2 = _cosine_hemisphere(
+        # ---- 6-9. next-direction sampling ------------------------------
+        if n_lights == 0:
+            # cosine BRDF only (src/gpu_render.cu:850-866; the ratio
+            # scattering_pdf/pdf uses identical floats -> 1)
+            if "gluecos" in dup_set:     # perf triage: 2x the sampler
+                (bdx2, bdy2, bdz2), pdf_d2, _st2 = _cosine_hemisphere(
+                    nx, ny, nz, state, diff)
+            (bdx, bdy, bdz), pdf_b2, state = _cosine_hemisphere(
                 nx, ny, nz, state, diff)
-        (bdx, bdy, bdz), pdf_b2, state = _cosine_hemisphere(
-            nx, ny, nz, state, diff)
-        if "gluecos" in dup_set:         # identical inputs -> identity
-            bdx = jnp.minimum(bdx, bdx2)
-            bdy = jnp.minimum(bdy, bdy2)
-            bdz = jnp.minimum(bdz, bdz2)
-            pdf_b2 = jnp.minimum(pdf_b2, pdf_d2)
-        ok_b = pdf_b2 > 0.0
-        alive = alive & ~(diff & ~ok_b)
-        mv2 = diff & ok_b
-        thr_r = jnp.where(mv2, thr_r * alb_r, thr_r)
-        thr_g = jnp.where(mv2, thr_g * alb_g, thr_g)
-        thr_b = jnp.where(mv2, thr_b * alb_b, thr_b)
-        rox = jnp.where(mv2, px_, rox)
-        roy = jnp.where(mv2, py_, roy)
-        roz = jnp.where(mv2, pz_, roz)
-        rdx = jnp.where(mv2, bdx, rdx)
-        rdy = jnp.where(mv2, bdy, rdy)
-        rdz = jnp.where(mv2, bdz, rdz)
+            if "gluecos" in dup_set:     # identical inputs -> identity
+                bdx = jnp.minimum(bdx, bdx2)
+                bdy = jnp.minimum(bdy, bdy2)
+                bdz = jnp.minimum(bdz, bdz2)
+                pdf_b2 = jnp.minimum(pdf_b2, pdf_d2)
+            ok_b = pdf_b2 > 0.0
+            alive = alive & ~(diff & ~ok_b)
+            mv2 = diff & ok_b
+            thr_r = jnp.where(mv2, thr_r * alb_r, thr_r)
+            thr_g = jnp.where(mv2, thr_g * alb_g, thr_g)
+            thr_b = jnp.where(mv2, thr_b * alb_b, thr_b)
+            rox = jnp.where(mv2, px_, rox)
+            roy = jnp.where(mv2, py_, roy)
+            roz = jnp.where(mv2, pz_, roz)
+            rdx = jnp.where(mv2, bdx, rdx)
+            rdy = jnp.where(mv2, bdy, rdy)
+            rdz = jnp.where(mv2, bdz, rdz)
+        else:
+            # 50/50 area-light vs BRDF mixture with the reference's
+            # asymmetric pdfs (src/gpu_render.cu:869-927); sphere AND
+            # quad lights both consume exactly two uniforms so the
+            # per-pixel draw schedule is kind-independent
+            # (ops/shade.py:307-375).  lit_ref layout per light:
+            # [kind, c(3), r, q(3), u(3), v(3), n(3), area] (18).
+            choose, state = _draw(state, diff)
+            light_m = diff & (choose < 0.5)
+            brdf_m = diff & ~(choose < 0.5)
+            uk, state = _draw(state, light_m)
+            k = jnp.minimum((uk * jnp.float32(n_lights)
+                             ).astype(jnp.int32), n_lights - 1)
+            flds = [jnp.zeros(shape, jnp.float32) for _ in range(18)]
+            for i in range(n_lights):
+                sel = k == i
+                for f in range(18):
+                    flds[f] = jnp.where(sel, lit_ref[18 * i + f],
+                                        flds[f])
+            (lknd, lcx, lcy, lcz, lrad, qx, qy, qz, qux, quy, quz,
+             qvx_, qvy_, qvz_, qnx, qny, qnz, qarea) = flds
+            u1, state = _draw(state, light_m)
+            u2, state = _draw(state, light_m)
+            # sphere sample (ops/shade.py sphere_light_from_uniforms)
+            z = 2.0 * u1 - 1.0
+            phi = 2.0 * jnp.float32(PI_F) * u2
+            rl = jnp.sqrt(jnp.maximum(0.0, 1.0 - z * z))
+            plx = lcx + rl * jnp.cos(phi) * lrad
+            ply = lcy + rl * jnp.sin(phi) * lrad
+            plz = lcz + z * lrad
+            tlx = plx - px_
+            tly = ply - py_
+            tlz = plz - pz_
+            dist2 = tlx * tlx + tly * tly + tlz * tlz
+            dist = jnp.sqrt(dist2)
+            oks = dist > 0.0
+            invd = 1.0 / jnp.where(oks, dist, 1.0)
+            wsx = jnp.where(oks, tlx * invd, 0.0)
+            wsy = jnp.where(oks, tly * invd, 0.0)
+            wsz = jnp.where(oks, tlz * invd, 1.0)
+            nlx, nly, nlz = _normalize3(plx - lcx, ply - lcy, plz - lcz)
+            cos_ls = jnp.maximum(0.0, -(nlx * wsx + nly * wsy
+                                        + nlz * wsz))
+            oks = oks & (cos_ls > 0.0)
+            sarea = 4.0 * jnp.float32(PI_F) * lrad * lrad
+            pdf_s = jnp.where(oks,
+                              dist2 / jnp.where(oks, cos_ls * sarea,
+                                                1.0), 0.0)
+            # quad sample (ops/shade.py quad_light_from_uniforms)
+            qlx = qx + u1 * qux + u2 * qvx_
+            qly = qy + u1 * quy + u2 * qvy_
+            qlz = qz + u1 * quz + u2 * qvz_
+            tqx = qlx - px_
+            tqy = qly - py_
+            tqz = qlz - pz_
+            qd2 = tqx * tqx + tqy * tqy + tqz * tqz
+            qd = jnp.sqrt(qd2)
+            okq = qd > 1e-3
+            qinv = 1.0 / jnp.where(okq, qd, 1.0)
+            wqx = jnp.where(okq, tqx * qinv, 0.0)
+            wqy = jnp.where(okq, tqy * qinv, 0.0)
+            wqz = jnp.where(okq, tqz * qinv, 1.0)
+            cos_lq = jnp.abs(wqx * qnx + wqy * qny + wqz * qnz)
+            okq = okq & (cos_lq > 1e-8) & (qarea > 0.0)
+            pdf_q = jnp.where(okq,
+                              qd2 / jnp.where(okq, cos_lq * qarea, 1.0),
+                              0.0)
+            is_q = lknd > 0.5
+            wix = jnp.where(is_q, wqx, wsx)
+            wiy = jnp.where(is_q, wqy, wsy)
+            wiz = jnp.where(is_q, wqz, wsz)
+            pdf_lc = jnp.where(is_q, pdf_q, pdf_s)
+            cos_li = jnp.maximum(0.0, wix * nx + wiy * ny + wiz * nz)
+            l_ok = (pdf_lc > 0.0) & (cos_li > 0.0)
+            pdf_light = pdf_lc / jnp.float32(n_lights)
+            pdf_val_l = 0.5 * pdf_light + 0.5 * (cos_li
+                                                 / jnp.float32(PI_F))
+            # BRDF branch (asymmetric 0.5 pdf, src/gpu_render.cu:917)
+            (bdx, bdy, bdz), pdf_b2, state = _cosine_hemisphere(
+                nx, ny, nz, state, brdf_m)
+            b_ok = pdf_b2 > 0.0
+            pdf_val_b = 0.5 * pdf_b2
+            dsx = jnp.where(light_m, wix, bdx)
+            dsy = jnp.where(light_m, wiy, bdy)
+            dsz = jnp.where(light_m, wiz, bdz)
+            pdf_val = jnp.where(light_m, pdf_val_l, pdf_val_b)
+            okm = (light_m & l_ok) | (~light_m & b_ok)
+            alive = alive & ~(diff & ~okm)
+            mv2 = diff & okm
+            cos_o = jnp.maximum(0.0, dsx * nx + dsy * ny + dsz * nz)
+            weight = (cos_o / jnp.float32(PI_F)) / jnp.where(
+                pdf_val > 0, pdf_val, 1.0)
+            thr_r = jnp.where(mv2, thr_r * alb_r * weight, thr_r)
+            thr_g = jnp.where(mv2, thr_g * alb_g * weight, thr_g)
+            thr_b = jnp.where(mv2, thr_b * alb_b * weight, thr_b)
+            rox = jnp.where(mv2, px_, rox)
+            roy = jnp.where(mv2, py_, roy)
+            roz = jnp.where(mv2, pz_, roz)
+            rdx = jnp.where(mv2, dsx, rdx)
+            rdy = jnp.where(mv2, dsy, rdy)
+            rdz = jnp.where(mv2, dsz, rdz)
 
         # ---- termination bookkeeping ------------------------------------
         depth = depth + alive_in.astype(jnp.int32)
@@ -1748,9 +2142,11 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "defer_shadow", "rowtrav", "row_pops",
                                    "stream", "stream_tiles", "smooth",
                                    "textured", "n_texs", "dup",
-                                   "sun_pops"))
+                                   "sun_pops", "chain_fuse", "n_sph",
+                                   "n_quads", "n_lights"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
-              cam_vec, sun_vec, spp_vec, hdr_vec, px, py, valid,
+              cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
+              lit_vec, px, py, valid,
               n_mats: int,
               max_depth: int, width: int, height: int, seed: int,
               rr_start: int, rr_max_p: float, t_min: float, t_max: float,
@@ -1760,7 +2156,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               row_pops: int = 2, stream: bool = True,
               stream_tiles: int = 4, smooth: bool = False,
               textured: bool = False, n_texs: int = 0, dup: str = "",
-              sun_pops: int = 2):
+              sun_pops: int = 2, chain_fuse: bool = False,
+              n_sph: int = 0, n_quads: int = 0, n_lights: int = 0):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -1771,7 +2168,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    row_pops=row_pops, stream=stream,
                    stream_tiles=stream_tiles, smooth=smooth,
                    textured=textured, n_texs=n_texs, dup=dup,
-                   sun_pops=sun_pops)
+                   sun_pops=sun_pops, chain_fuse=chain_fuse,
+                   n_sph=n_sph, n_quads=n_quads, n_lights=n_lights)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -1784,7 +2182,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
         kern,
         grid=(n_blocks,),
         in_specs=[full, full, full, full, full, smem, smem, smem, smem,
-                  smem]
+                  smem, smem, smem, smem]
         + [ray_spec] * 3,
         out_specs=(ray_spec, ray_spec, ray_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -1806,7 +2204,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                                       bytes_accessed=out_shape[0] * 128 * 24,
                                       transcendentals=out_shape[0] * 128 * 4),
     )(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack, cam_vec,
-      sun_vec, spp_vec, hdr_vec, px, py, valid)
+      sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec, lit_vec, px, py,
+      valid)
 
 
 def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
@@ -1883,9 +2282,49 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
     ]).astype(jnp.float32)
 
     spp_vec = jnp.array([cfg.resolved_spp()], jnp.int32)
+
+    # mixed-scene SMEM tables (host-resolved indirections)
+    n_sph = int(scene.n_spheres)
+    n_quads = int(scene.n_quads)
+    n_lights = int(scene.n_lights)
+    if n_sph:
+        sph_vec = jnp.concatenate([
+            scene.sph_center[:n_sph],
+            scene.sph_radius[:n_sph, None],
+            scene.sph_mat[:n_sph, None].astype(jnp.float32)],
+            axis=1).reshape(-1)
+    else:
+        sph_vec = jnp.zeros((1,), jnp.float32)
+    if n_quads:
+        quad_vec = jnp.concatenate([
+            scene.quad_q[:n_quads], scene.quad_u[:n_quads],
+            scene.quad_v[:n_quads], scene.quad_n[:n_quads],
+            scene.quad_w[:n_quads], scene.quad_d[:n_quads, None],
+            scene.quad_area[:n_quads, None],
+            scene.quad_mat[:n_quads, None].astype(jnp.float32)],
+            axis=1).reshape(-1)
+    else:
+        quad_vec = jnp.zeros((1,), jnp.float32)
+    if n_lights:
+        recs = []
+        for i in range(n_lights):
+            li = scene.light_idx[i]
+            kind = scene.light_kind[i].astype(jnp.float32)
+            sj = jnp.clip(li, 0, scene.sph_center.shape[0] - 1)
+            qj = jnp.clip(li, 0, scene.quad_q.shape[0] - 1)
+            recs.append(jnp.concatenate([
+                kind[None],
+                scene.sph_center[sj], scene.sph_radius[sj][None],
+                scene.quad_q[qj], scene.quad_u[qj], scene.quad_v[qj],
+                scene.quad_n[qj], scene.quad_area[qj][None]]))
+        lit_vec = jnp.concatenate(recs)
+    else:
+        lit_vec = jnp.zeros((1,), jnp.float32)
+
     acc_r, acc_g, acc_b, stats = _run_path(
         scene.bvh_wide, tri_tab, scene.tri_tile, aux_tab, texT,
         scene.mat_pack, cam_vec, sun_vec, spp_vec, hdr_vec,
+        sph_vec, quad_vec, lit_vec,
         fold(px.astype(jnp.int32)), fold(py.astype(jnp.int32)),
         fold(valid.astype(jnp.int32)),
         n_mats=scene.mat_pack.shape[0],
@@ -1903,7 +2342,9 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
                 else _OPTS.stream in ("on", True)),
         stream_tiles=int(_OPTS.stream_tiles),
         smooth=smooth, textured=textured, n_texs=n_texs,
-        dup=str(_OPTS.dup), sun_pops=int(_OPTS.sun_pops))
+        dup=str(_OPTS.dup), sun_pops=int(_OPTS.sun_pops),
+        chain_fuse=bool(_OPTS.chain_fuse),
+        n_sph=n_sph, n_quads=n_quads, n_lights=n_lights)
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]
