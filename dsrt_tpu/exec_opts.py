@@ -131,6 +131,19 @@ class ExecOptions:
     # the chain fallback is what made r2's defer_shadow measurement
     # net-negative).
     chain_fuse: bool = False
+    # Half-block leaf masking: the union walk's visit computes SEPARATE
+    # box verdicts for the block's two row halves, and the tile leaf
+    # engine scans each half's entered leaf ranges with only that
+    # half's 4 MT row updates.  ~93%% of entered ranges are single-half
+    # at ISS scale (half-scan count 1.355M vs 1.264M full scans), so
+    # the leaf row work nearly halves; the price is ~3 extra reduces on
+    # the serial visit chain (the first cut paid ~9 and measured NET-
+    # NEGATIVE -12 ms until the union/set-0 range reduces were elided).
+    # Measured (800x450@16spp, min-of-3): 47.7k tris 153.8 -> 146.3 ms
+    # (+5%%), 5.8k tris 94.0 -> 96.5 ms (-2.6%%) — hence "auto" = only
+    # lane-packed (big) scenes.  Bit-identical: per-half verdicts are
+    # exact for their rows and closest-hit accepts are idempotent.
+    half_leaf: str = "auto"     # "auto" | "on" | "off"
     # Perf-triage duplication knobs (comma list, e.g. "box,gluecos"):
     # each named kernel segment is computed TWICE with the duplicate
     # folded in via an identity (min/max/or of two equal values), so

@@ -224,7 +224,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  textured: bool = False, n_texs: int = 0,
                  dup: str = "", sun_pops: int = 2,
                  chain_fuse: bool = False, n_sph: int = 0,
-                 n_quads: int = 0, n_lights: int = 0):
+                 n_quads: int = 0, n_lights: int = 0,
+                 half_leaf: bool = False):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -323,7 +324,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             combo = jnp.maximum(combo, combo2)
         return W, combo >> 8, combo & 255
 
-    def _visit_bits(node, ray_sets):
+    def _visit_bits(node, ray_sets, half0=False):
         """Load wide node `node` and box-test its 8 children against every
         ray row of every set in `ray_sets` (a list of (ros, invs, clamp)
         triples — the combined walk passes the extension rays AND the
@@ -359,9 +360,59 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 acc = acc + jnp.where(hi > lo, 1.0, 0.0)
             return acc
 
+        def box_rows_half(ros, invs, clamp):
+            """Set-0 box rows split into two half-block accumulators
+            (rows [0, n_rows/2) and [n_rows/2, n_rows)) so the leaf
+            engine can scan each half's entered leaves with half the
+            row work (exec_opts.half_leaf)."""
+            halves = []
+            hr = n_rows // 2
+            for rows in (range(hr), range(hr, n_rows)):
+                acc = jnp.zeros((8, TILE_W), jnp.float32)
+                for r in rows:
+                    ivx = invs[0][r:r + 1, :] if invs[0].ndim else invs[0]
+                    ivy = invs[1][r:r + 1, :] if invs[1].ndim else invs[1]
+                    ivz = invs[2][r:r + 1, :] if invs[2].ndim else invs[2]
+                    tx0 = (minx - ros[0][r:r + 1, :]) * ivx
+                    tx1 = (maxx - ros[0][r:r + 1, :]) * ivx
+                    ty0 = (miny - ros[1][r:r + 1, :]) * ivy
+                    ty1 = (maxy - ros[1][r:r + 1, :]) * ivy
+                    tz0 = (minz - ros[2][r:r + 1, :]) * ivz
+                    tz1 = (maxz - ros[2][r:r + 1, :]) * ivz
+                    lo = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1),
+                                    jnp.minimum(ty0, ty1)),
+                        jnp.maximum(jnp.minimum(tz0, tz1), tmin_f))
+                    hi = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1),
+                                    jnp.maximum(ty0, ty1)),
+                        jnp.minimum(jnp.maximum(tz0, tz1),
+                                    clamp[r:r + 1, :]))
+                    acc = acc + jnp.where(hi > lo, 1.0, 0.0)
+                halves.append(acc)
+            return halves
+
         leafc = W[:, 7:8] > 0.0
         hit_sets, leaf_sets = [], []
-        for s in ray_sets:
+        leaf_half = None
+        for si, s in enumerate(ray_sets):
+            if half0 and si == 0:
+                acc_lo, acc_hi = box_rows_half(*s)
+                if "box" in dup_set:
+                    a2lo, a2hi = box_rows_half(*s)
+                    acc_lo = jnp.maximum(acc_lo, a2lo)
+                    acc_hi = jnp.maximum(acc_hi, a2hi)
+                nh_lo = jnp.sum(acc_lo, axis=1, keepdims=True) > 0.0
+                nh_hi = jnp.sum(acc_hi, axis=1, keepdims=True) > 0.0
+                lb_lo = jnp.sum(jnp.where(nh_lo & leafc, pow2_col, 0))
+                lb_hi = jnp.sum(jnp.where(nh_hi & leafc, pow2_col, 0))
+                nodehit = nh_lo | nh_hi
+                hb = jnp.sum(jnp.where(nodehit, pow2_col, 0))
+                lb = lb_lo | lb_hi
+                leaf_half = (lb_lo, lb_hi)
+                hit_sets.append(hb)
+                leaf_sets.append(lb)
+                continue
             acc = box_rows(*s)
             if "box" in dup_set:         # perf triage: 2x the box rows
                 acc = jnp.maximum(acc, box_rows(*s))
@@ -380,7 +431,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         for hb, lb in zip(hit_sets[1:], leaf_sets[1:]):
             hitbits = hitbits | hb
             leafbits = leafbits | lb
-        return W, hitbits, leafbits, base, intmask, leaf_sets
+        return W, hitbits, leafbits, base, intmask, leaf_sets, leaf_half
 
     def _visit_row(node, oxr, oyr, ozr, ivxr, ivyr, ivzr, clamp_r):
         """Single-ROW visit (rowtrav mode): box-test the 8 children of
@@ -422,11 +473,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             perm = wide_ref[8 * node + octant, 10].astype(jnp.int32)
         return prank, perm
 
-    def _leaf_range(W, leafbits):
+    def _leaf_range(W, leafbits, with_ideal=True):
         """Union tri range [r0, r1) over entered leaf children, plus the
         entered children's OWN triangle count (the range minus the
         non-entered siblings caught inside it — telemetry for how much
-        of the contiguous scan is provably-miss overscan)."""
+        of the contiguous scan is provably-miss overscan; skipped when
+        `with_ideal` is off — every reduce here rides the serial visit
+        chain)."""
         lmask = (pow2_col & leafbits) > 0
         offc = W[:, 6:7]
         endc = offc + W[:, 7:8]
@@ -434,6 +487,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         r1f = jnp.max(jnp.where(lmask, endc, jnp.float32(-1.0)))
         r0 = jnp.where(leafbits > 0, r0f, 0.0).astype(jnp.int32)
         r1 = jnp.where(leafbits > 0, r1f, 0.0).astype(jnp.int32)
+        if not with_ideal:
+            return r0, r1, jnp.int32(0)
         ideal = jnp.sum(jnp.where(lmask, W[:, 7:8], 0.0)).astype(jnp.int32)
         return r0, r1, ideal
 
@@ -476,7 +531,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             np_ = np_ + bc
         return sp + np_
 
-    def _multi_pop_visit(sp, ray_sets, octant=None, npops=None):
+    def _multi_pop_visit(sp, ray_sets, octant=None, npops=None,
+                         half0=False):
         """Pop up to `npops` (default POPS) nodes, box-test each
         (independent chains, the VLIW scheduler overlaps them), push all
         entered interior children (later pops' children pushed first so
@@ -501,18 +557,23 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         sp = sp - npop
         outs = []
         for p in range(P):
-            W, hb, lb, base, im, lb_sets = _visit_bits(nodes[p], ray_sets)
+            W, hb, lb, base, im, lb_sets, lb_half = _visit_bits(
+                nodes[p], ray_sets, half0=half0)
             if p > 0:
                 hb = jnp.where(valids[p], hb, 0)
                 lb = jnp.where(valids[p], lb, 0)
                 lb_sets = [jnp.where(valids[p], x, 0) for x in lb_sets]
+                if lb_half is not None:
+                    lb_half = tuple(jnp.where(valids[p], x, 0)
+                                    for x in lb_half)
             if octant is not None:
                 prank, perm = _node_order(W, nodes[p], octant)
             else:
                 prank = perm = None
-            outs.append((W, hb, lb, base, im, prank, perm, lb_sets))
+            outs.append((W, hb, lb, base, im, prank, perm, lb_sets,
+                         lb_half))
         for p in range(P - 1, -1, -1):
-            W, hb, lb, base, im, prank, perm, _ls = outs[p]
+            W, hb, lb, base, im, prank, perm = outs[p][:7]
             if octant is not None:
                 sp = _push_children_ordered(sp, hb, lb, im, base, prank,
                                             perm)
@@ -521,13 +582,29 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         if "push" in dup_set:            # perf triage: 2x the pushes,
             sp2 = sp                     # into a scratch stack segment
             for p in range(P - 1, -1, -1):
-                W, hb, lb, base, im, prank, perm, _ls = outs[p]
+                W, hb, lb, base, im, prank, perm = outs[p][:7]
                 sp2 = _push_children(sp2, hb, lb, base, im, soff=STACK,
                                      dump=2 * STACK - 1)
-        ranges = [_leaf_range(o[0], o[2]) for o in outs]
-        ranges_sets = [[_leaf_range(o[0], o[7][s]) for o in outs]
-                       for s in range(len(ray_sets))]
-        return sp, ranges, npop, [o[2] for o in outs], ranges_sets
+        if half0:
+            # every reduce below rides the serial visit chain: with the
+            # halves' own ranges in hand, neither the union ranges nor
+            # set 0's ranges are needed (the leaf engine scans per half)
+            ranges = None
+            ranges_sets = [None] + [
+                [_leaf_range(o[0], o[7][s]) for o in outs]
+                for s in range(1, len(ray_sets))]
+            ranges_half = (
+                [_leaf_range(o[0], o[8][0], with_ideal=False)
+                 for o in outs],
+                [_leaf_range(o[0], o[8][1], with_ideal=False)
+                 for o in outs])
+        else:
+            ranges = [_leaf_range(o[0], o[2]) for o in outs]
+            ranges_sets = [[_leaf_range(o[0], o[7][s]) for o in outs]
+                           for s in range(len(ray_sets))]
+            ranges_half = None
+        return (sp, ranges, npop, [o[2] for o in outs], ranges_sets,
+                ranges_half)
 
     def _closest_hit(ox, oy, oz, dx, dy, dz, act,
                      sox=None, soy=None, soz=None, pot=None):
@@ -671,8 +748,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 nz_ = jnp.where(ok, fnz, nz_)
                 return (cl, mf, nx_, ny_, nz_)
 
-            def tile_update(W, SR, Wa=None):
+            def tile_update(W, SR, Wa=None, rows=None):
+                if rows is None:
+                    return tuple(tile_update_row(W, r, SR[r], Wa)
+                                 for r in range(n_rows))
+                keep = set(rows)
                 return tuple(tile_update_row(W, r, SR[r], Wa)
+                             if r in keep else SR[r]
                              for r in range(n_rows))
 
             def load_aux(t_):
@@ -681,7 +763,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 ga = aux_ref[pl.ds(8 * (t_ // 8), 8), :]
                 return pltpu.roll(ga, -16 * (t_ % 8), 1)[:, :16]
 
-            def run_tiles(SR, r0, r1):
+            def run_tiles(SR, r0, r1, rows=None):
                 # tile granularity matches the old packed chains: up to
                 # 7 boundary extras per side, all REAL triangle records
                 # or zero padding — testing a superset of the range is
@@ -701,8 +783,9 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     W0 = pltpu.roll(g0, -16 * (t0_ % 8), 1)[:, :16]
                     W1 = pltpu.roll(g1, -16 * (t1_ % 8), 1)[:, :16]
                     return tile_update(W1, tile_update(W0, SR,
-                                                      load_aux(t0_)),
-                                       load_aux(t1_))
+                                                      load_aux(t0_),
+                                                      rows=rows),
+                                       load_aux(t1_), rows=rows)
 
                 return lax.fori_loop(0, n_it, tbody, SR)
 
@@ -773,15 +856,17 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 else:
                     sp, SR, closest, nv, nt, ni = c
                     rsets = [(ros, invs, closest)]
-                sp, ranges, npop, lbs, ranges_sets = _multi_pop_visit(
-                    sp, rsets, octant)
+                (sp, ranges, npop, lbs, ranges_sets,
+                 ranges_half) = _multi_pop_visit(sp, rsets, octant,
+                                                 half0=half_leaf)
 
                 def leaf_branch(a):
                     if with_shadow:
                         SR, blocked = a
                     else:
                         SR = a
-                    if "unirange" in dup_set and not with_shadow:
+                    if ("unirange" in dup_set and not with_shadow
+                            and not half_leaf):
                         # perf triage: ONE fori over the union of the
                         # pops' ranges instead of POPS sequential loops
                         # (empty ranges are (0,0); a genuine range never
@@ -797,10 +882,22 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                         r0u = jnp.where(r1u > 0, r0u, 0)
                         return run_tiles(SR, r0u, r1u)
                     # extension rays scan THEIR entered leaves only
-                    for r0, r1, _ in ranges_sets[0]:
-                        SR = run_tiles(SR, r0, r1)
-                        if "leaf" in dup_set:   # perf triage: 2x tiles
-                            SR = run_tiles(SR, r0, r1)  # idempotent
+                    if half_leaf:
+                        # ... and each half-block of rows scans only
+                        # the leaves ITS rays entered: a range entered
+                        # by one half alone costs half the MT row work,
+                        # and an empty half range is a zero-trip fori
+                        hr = n_rows // 2
+                        for rl, rh in zip(*ranges_half):
+                            SR = run_tiles(SR, rl[0], rl[1],
+                                           rows=range(hr))
+                            SR = run_tiles(SR, rh[0], rh[1],
+                                           rows=range(hr, n_rows))
+                    else:
+                        for r0, r1, _ in ranges_sets[0]:
+                            SR = run_tiles(SR, r0, r1)
+                            if "leaf" in dup_set:  # perf triage: 2x
+                                SR = run_tiles(SR, r0, r1)  # idempotent
                     if with_shadow:
                         # ... and shadow rays theirs (the cheap
                         # scalar-direction any-hit)
@@ -834,9 +931,16 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     closest = jnp.minimum(closest,
                                           jnp.concatenate(rows2, axis=0))
                 nv = nv + npop
-                for r0, r1, idl in ranges_sets[0]:
-                    nt = nt + (r1 - r0)      # 0 when not entered
-                    ni = ni + idl
+                if half_leaf:
+                    # nt counts HALF-scans here (a tri scanned by both
+                    # halves counts twice — proportional to MT row work)
+                    for rl, rh in zip(*ranges_half):
+                        nt = nt + (rl[1] - rl[0]) + (rh[1] - rh[0])
+                        ni = ni + rl[2] + rh[2]
+                else:
+                    for r0, r1, idl in ranges_sets[0]:
+                        nt = nt + (r1 - r0)      # 0 when not entered
+                        ni = ni + idl
                 if with_shadow:
                     for r0, r1, _idl in ranges_sets[1]:
                         st = st + (r1 - r0)
@@ -912,7 +1016,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     sp = sp - npop
                     outs = []
                     for p in range(POPS):
-                        W, hb, lb, base, im, _ls = _visit_bits(
+                        W, hb, lb, base, im, _ls, _lh = _visit_bits(
                             nodes[p], [(ros, invs, closest)])
                         hb = jnp.where(vlds[p], hb, 0)
                         lb = jnp.where(vlds[p], lb, 0)
@@ -1139,7 +1243,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                                    tmax_f))
                 ray_sets.append((sros, s_invs, sc))
             (sp, ranges, npop, lbs,
-             _rs) = _multi_pop_visit(sp, ray_sets, octant)
+             _rs, _rh) = _multi_pop_visit(sp, ray_sets, octant)
 
             def mt_update(fields, guard, st):
                 cl, m, nx_, ny_, nz_, blk = st
@@ -1326,7 +1430,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             # POPS-wide pop pipeline burns (POPS-2) masked pops' box
             # vector work per iteration (sweep50k8 'sunwalk' = 15 ms of
             # a 150 ms ISS frame before this) — walk narrow instead
-            sp, ranges, npop, lbs, _rs = _multi_pop_visit(
+            sp, ranges, npop, lbs, _rs, _rh = _multi_pop_visit(
                 sp, [(ros, invs, sc)], octant, npops=sun_pops)
 
             def mt_update(fields, guard, st):
@@ -2143,7 +2247,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "stream", "stream_tiles", "smooth",
                                    "textured", "n_texs", "dup",
                                    "sun_pops", "chain_fuse", "n_sph",
-                                   "n_quads", "n_lights"))
+                                   "n_quads", "n_lights", "half_leaf"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, px, py, valid,
@@ -2157,7 +2261,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               stream_tiles: int = 4, smooth: bool = False,
               textured: bool = False, n_texs: int = 0, dup: str = "",
               sun_pops: int = 2, chain_fuse: bool = False,
-              n_sph: int = 0, n_quads: int = 0, n_lights: int = 0):
+              n_sph: int = 0, n_quads: int = 0, n_lights: int = 0,
+              half_leaf: bool = False):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -2169,7 +2274,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    stream_tiles=stream_tiles, smooth=smooth,
                    textured=textured, n_texs=n_texs, dup=dup,
                    sun_pops=sun_pops, chain_fuse=chain_fuse,
-                   n_sph=n_sph, n_quads=n_quads, n_lights=n_lights)
+                   n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
+                   half_leaf=half_leaf)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -2344,7 +2450,9 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         smooth=smooth, textured=textured, n_texs=n_texs,
         dup=str(_OPTS.dup), sun_pops=int(_OPTS.sun_pops),
         chain_fuse=bool(_OPTS.chain_fuse),
-        n_sph=n_sph, n_quads=n_quads, n_lights=n_lights)
+        n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
+        half_leaf=(packed if _OPTS.half_leaf == "auto"
+                   else _OPTS.half_leaf in ("on", True)))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]
