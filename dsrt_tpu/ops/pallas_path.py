@@ -634,6 +634,23 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         ros = (ox, oy, oz)
         invs = (inv_dx, inv_dy, inv_dz)
         closest0 = jnp.where(act, tmax_f, tmin_f)
+        if n_sph or n_quads:
+            # primitives FIRST, seeding the walk clamp: rays that hit a
+            # sphere/quad then prune every BVH subtree behind it (the
+            # post-walk order doubled the union front on mixed scenes:
+            # cvis 162k -> 362k at ISS scale).  The final hit is
+            # unchanged: a tri is accepted only at t <= clamp, and the
+            # end-of-walk merge gives primitives the <=-tie win exactly
+            # like the split path's later-pass ordering.
+            prim0 = _sphere_quad_pass(
+                ox, oy, oz, dx, dy, dz, act,
+                f0, closest0, i0, f0, f0, f1, f0,
+                aux=((f0, f0, f0 - 1.0) if shaded else None))
+            if shaded:
+                (hitm_p, bt_p, bm_p, pnx, pny, pnz, pfr, paux) = prim0
+            else:
+                hitm_p, bt_p, bm_p, pnx, pny, pnz, pfr = prim0
+            closest0 = bt_p
         if with_shadow:
             sros = (sox, soy, soz)
             s_invs = (1.0 / sdx, 1.0 / sdy, 1.0 / sdz)   # scalars
@@ -1213,13 +1230,19 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                         jnp.concatenate([fr[6] for fr in frows], 0),
                         jnp.concatenate([fr[7] for fr in frows], 0))
             if n_sph or n_quads:
+                # <=-tie merge: the pre-walk primitive hit wins unless a
+                # triangle beat it STRICTLY (split-path later-pass order)
+                selp = (hitm_p > 0.5) & (bt_p <= closest)
+                fl = (jnp.where(selp, 1.0, fl[0]),
+                      jnp.where(selp, bt_p, fl[1]),
+                      jnp.where(selp, bm_p, fl[2]),
+                      jnp.where(selp, pnx, fl[3]),
+                      jnp.where(selp, pny, fl[4]),
+                      jnp.where(selp, pnz, fl[5]),
+                      jnp.where(selp, pfr, fl[6]))
                 if shaded:
-                    (*fl, aux3) = _sphere_quad_pass(
-                        ox, oy, oz, dx, dy, dz, act, *fl, aux=aux3)
-                    fl = tuple(fl)
-                else:
-                    fl = _sphere_quad_pass(ox, oy, oz, dx, dy, dz, act,
-                                           *fl)
+                    aux3 = tuple(jnp.where(selp, pa, a)
+                                 for pa, a in zip(paux, aux3))
             if with_shadow:
                 if n_sph or n_quads:
                     blkd_f = jnp.maximum(blkd_f,
@@ -1388,7 +1411,14 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         out = (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
                jnp.where(front_b, 1.0, 0.0))
         if n_sph or n_quads:
-            out = _sphere_quad_pass(ox, oy, oz, dx, dy, dz, act, *out)
+            selp = (hitm_p > 0.5) & (bt_p <= closest)
+            out = (jnp.where(selp, 1.0, out[0]),
+                   jnp.where(selp, bt_p, out[1]),
+                   jnp.where(selp, bm_p, out[2]),
+                   jnp.where(selp, pnx, out[3]),
+                   jnp.where(selp, pny, out[4]),
+                   jnp.where(selp, pnz, out[5]),
+                   jnp.where(selp, pfr, out[6]))
         if with_shadow:
             if n_sph or n_quads:
                 blkd = jnp.maximum(blkd, _prim_shadow(sox, soy, soz,
