@@ -42,9 +42,9 @@ DETAIL = 4      # ~5.8k-triangle stand-in (ISS OBJ is tens of thousands)
 
 @partial(jax.jit, static_argnames=("cfg",))
 def _run_fused(scene, cfg, cam, px, py, valid):
-    # n_tris is scene meta (static): tri scenes take the wide-BVH
-    # megakernel, sphere scenes the sibling (ops/pallas_sphere.py)
-    if scene.n_tris > 0:
+    # n_tris/n_quads are scene meta (static): tri/quad scenes take the
+    # wide-BVH megakernel, sphere-only the sibling (ops/pallas_sphere.py)
+    if scene.n_tris > 0 or scene.n_quads > 0:
         from dsrt_tpu.ops.pallas_path import trace_fused
         return trace_fused(scene, cfg, cam, px, py, valid)
     from dsrt_tpu.ops.pallas_sphere import trace_fused_spheres

@@ -86,7 +86,7 @@ def fused_supported(scene, cfg) -> bool:
     shaded = scene.has_image_tex or scene.has_smooth
     extra = ((scene.tri_tile.shape[0] if shaded else 0)
              + 3 * _tex_plane_rows(scene))
-    return (scene.n_tris > 0
+    return ((scene.n_tris > 0 or scene.n_quads > 0)
             and scene.n_spheres <= MIX_MAX_SPH
             and scene.n_quads <= MIX_MAX_QUADS
             and scene.n_lights <= MIX_MAX_LIGHTS
@@ -197,7 +197,7 @@ def _cosine_hemisphere(nx, ny, nz, state, mask):
 # the BVH result (scene_hit order, src/gpu_render.cu:509-551), area
 # lights as an unrolled select in the mixture sampler
 MIX_MAX_SPH = 12
-MIX_MAX_QUADS = 12
+MIX_MAX_QUADS = 24       # a Cornell box with two boxes is 18 quads
 MIX_MAX_LIGHTS = 8
 
 STACK = 256          # wide-traversal stack bound: depth*(arity-1) << 256

@@ -216,9 +216,11 @@ def fused_kind(scene, cfg) -> str | None:
 @partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
 def _render_fused(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
                   ty: int, tx: int):
-    # n_tris is scene META (static under jit): tri scenes take the
-    # wide-BVH megakernel, sphere scenes its sibling
-    if scene.n_tris > 0:
+    # n_tris/n_quads are scene META (static under jit): scenes with
+    # tris or quads take the wide-BVH megakernel (quads run in its
+    # pre-walk primitive pass; a 0-tri walk is a no-op), sphere-only
+    # scenes its sibling
+    if scene.n_tris > 0 or scene.n_quads > 0:
         from dsrt_tpu.ops.pallas_path import trace_fused
         accum, nrays = trace_fused(scene, cfg, cam, px, py, valid)
     else:

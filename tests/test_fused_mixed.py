@@ -138,6 +138,23 @@ def test_fused_sphere_light_matches_split():
     assert diff.max() <= 255 // CFG.spp + 1, diff.max()
 
 
+def test_fused_quads_only_cornell_matches_split():
+    """A quads-ONLY scene (no triangles) also runs the wide-BVH kernel:
+    the pre-walk primitive pass does all the intersection work and the
+    0-tri walk is a no-op (render._render_fused routes n_quads > 0)."""
+    from dsrt_tpu.models.presets import cornell_box_scene
+    scene = cornell_box_scene()
+    assert scene.n_tris == 0 and scene.n_quads > 0
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0.5, 0.5, -1.3), (0.5, 0.5, 0.5), vfov=40,
+                      width=W, height=H)
+    ref = render_frame(scene, cam, CFG)
+    img = render_frame_fused(scene, cam, CFG)
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
+
+
 def test_fused_mixed_defer_shadow_matches():
     """The deferred-shadow (combined tile walk) variant must also
     resolve primitive occluders for the pending sun term."""
