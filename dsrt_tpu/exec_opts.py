@@ -131,19 +131,20 @@ class ExecOptions:
     # the chain fallback is what made r2's defer_shadow measurement
     # net-negative).
     chain_fuse: bool = False
-    # Half-block leaf masking: the union walk's visit computes SEPARATE
-    # box verdicts for the block's two row halves, and the tile leaf
-    # engine scans each half's entered leaf ranges with only that
-    # half's 4 MT row updates.  ~93%% of entered ranges are single-half
-    # at ISS scale (half-scan count 1.355M vs 1.264M full scans), so
-    # the leaf row work nearly halves; the price is ~3 extra reduces on
-    # the serial visit chain (the first cut paid ~9 and measured NET-
-    # NEGATIVE -12 ms until the union/set-0 range reduces were elided).
-    # Measured (800x450@16spp, min-of-3): 47.7k tris 153.8 -> 146.3 ms
-    # (+5%%), 5.8k tris 94.0 -> 96.5 ms (-2.6%%) — hence "auto" = only
-    # lane-packed (big) scenes.  Bit-identical: per-half verdicts are
-    # exact for their rows and closest-hit accepts are idempotent.
-    half_leaf: str = "auto"     # "auto" | "on" | "off"
+    # Row-group leaf masking: the union walk's visit computes SEPARATE
+    # box verdicts for the block's row halves ("half", 2 groups) or
+    # quarters ("quarter", 4 groups), and the tile leaf engine scans
+    # each group's entered leaf ranges with only that group's MT row
+    # updates.  ~93%% of entered ranges are single-half at ISS scale
+    # (half-scan count 1.355M vs 1.264M full scans), so halves nearly
+    # halve the leaf row work; the price is extra reduces on the serial
+    # visit chain (~3/pop for halves after eliding the union/set-0
+    # range reduces, ~7/pop for quarters).  Measured (800x450@16spp,
+    # min-of-3): halves 47.7k tris 153.8 -> 146.3 ms (+5%%), 5.8k tris
+    # 94.0 -> 96.5 ms (-2.6%%) — hence "auto" = halves on lane-packed
+    # (big) scenes only.  Bit-identical: per-group verdicts are exact
+    # for their rows and closest-hit accepts are idempotent.
+    leaf_split: str = "auto"    # "auto" | "off" | "half" | "quarter"
     # Perf-triage duplication knobs (comma list, e.g. "box,gluecos"):
     # each named kernel segment is computed TWICE with the duplicate
     # folded in via an identity (min/max/or of two equal values), so

@@ -225,7 +225,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  dup: str = "", sun_pops: int = 2,
                  chain_fuse: bool = False, n_sph: int = 0,
                  n_quads: int = 0, n_lights: int = 0,
-                 half_leaf: bool = False):
+                 leaf_parts: int = 1):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -324,7 +324,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             combo = jnp.maximum(combo, combo2)
         return W, combo >> 8, combo & 255
 
-    def _visit_bits(node, ray_sets, half0=False):
+    def _visit_bits(node, ray_sets, split0=1):
         """Load wide node `node` and box-test its 8 children against every
         ray row of every set in `ray_sets` (a list of (ros, invs, clamp)
         triples — the combined walk passes the extension rays AND the
@@ -360,16 +360,16 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 acc = acc + jnp.where(hi > lo, 1.0, 0.0)
             return acc
 
-        def box_rows_half(ros, invs, clamp):
-            """Set-0 box rows split into two half-block accumulators
-            (rows [0, n_rows/2) and [n_rows/2, n_rows)) so the leaf
-            engine can scan each half's entered leaves with half the
-            row work (exec_opts.half_leaf)."""
+        def box_rows_split(ros, invs, clamp, parts):
+            """Set-0 box rows split into `parts` row-group accumulators
+            (groups of n_rows/parts consecutive rows) so the leaf
+            engine can scan each group's entered leaves with only that
+            group's MT row updates (exec_opts.leaf_split)."""
             halves = []
-            hr = n_rows // 2
-            for rows in (range(hr), range(hr, n_rows)):
+            pr = n_rows // parts
+            for pi in range(parts):
                 acc = jnp.zeros((8, TILE_W), jnp.float32)
-                for r in rows:
+                for r in range(pi * pr, (pi + 1) * pr):
                     ivx = invs[0][r:r + 1, :] if invs[0].ndim else invs[0]
                     ivy = invs[1][r:r + 1, :] if invs[1].ndim else invs[1]
                     ivz = invs[2][r:r + 1, :] if invs[2].ndim else invs[2]
@@ -396,20 +396,23 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         hit_sets, leaf_sets = [], []
         leaf_half = None
         for si, s in enumerate(ray_sets):
-            if half0 and si == 0:
-                acc_lo, acc_hi = box_rows_half(*s)
+            if split0 > 1 and si == 0:
+                accs = box_rows_split(*s, split0)
                 if "box" in dup_set:
-                    a2lo, a2hi = box_rows_half(*s)
-                    acc_lo = jnp.maximum(acc_lo, a2lo)
-                    acc_hi = jnp.maximum(acc_hi, a2hi)
-                nh_lo = jnp.sum(acc_lo, axis=1, keepdims=True) > 0.0
-                nh_hi = jnp.sum(acc_hi, axis=1, keepdims=True) > 0.0
-                lb_lo = jnp.sum(jnp.where(nh_lo & leafc, pow2_col, 0))
-                lb_hi = jnp.sum(jnp.where(nh_hi & leafc, pow2_col, 0))
-                nodehit = nh_lo | nh_hi
+                    accs = [jnp.maximum(a, b) for a, b in
+                            zip(accs, box_rows_split(*s, split0))]
+                nhs = [jnp.sum(a, axis=1, keepdims=True) > 0.0
+                       for a in accs]
+                lbs_g = [jnp.sum(jnp.where(nh & leafc, pow2_col, 0))
+                         for nh in nhs]
+                nodehit = nhs[0]
+                for nh in nhs[1:]:
+                    nodehit = nodehit | nh
                 hb = jnp.sum(jnp.where(nodehit, pow2_col, 0))
-                lb = lb_lo | lb_hi
-                leaf_half = (lb_lo, lb_hi)
+                lb = lbs_g[0]
+                for x in lbs_g[1:]:
+                    lb = lb | x
+                leaf_half = tuple(lbs_g)
                 hit_sets.append(hb)
                 leaf_sets.append(lb)
                 continue
@@ -532,7 +535,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         return sp + np_
 
     def _multi_pop_visit(sp, ray_sets, octant=None, npops=None,
-                         half0=False):
+                         split0=1):
         """Pop up to `npops` (default POPS) nodes, box-test each
         (independent chains, the VLIW scheduler overlaps them), push all
         entered interior children (later pops' children pushed first so
@@ -558,7 +561,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         outs = []
         for p in range(P):
             W, hb, lb, base, im, lb_sets, lb_half = _visit_bits(
-                nodes[p], ray_sets, half0=half0)
+                nodes[p], ray_sets, split0=split0)
             if p > 0:
                 hb = jnp.where(valids[p], hb, 0)
                 lb = jnp.where(valids[p], lb, 0)
@@ -585,19 +588,19 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 W, hb, lb, base, im, prank, perm = outs[p][:7]
                 sp2 = _push_children(sp2, hb, lb, base, im, soff=STACK,
                                      dump=2 * STACK - 1)
-        if half0:
+        if split0 > 1:
             # every reduce below rides the serial visit chain: with the
-            # halves' own ranges in hand, neither the union ranges nor
-            # set 0's ranges are needed (the leaf engine scans per half)
+            # row groups' own ranges in hand, neither the union ranges
+            # nor set 0's ranges are needed (the leaf engine scans per
+            # group)
             ranges = None
             ranges_sets = [None] + [
                 [_leaf_range(o[0], o[7][s]) for o in outs]
                 for s in range(1, len(ray_sets))]
-            ranges_half = (
-                [_leaf_range(o[0], o[8][0], with_ideal=False)
-                 for o in outs],
-                [_leaf_range(o[0], o[8][1], with_ideal=False)
-                 for o in outs])
+            ranges_half = tuple(
+                [_leaf_range(o[0], o[8][g], with_ideal=False)
+                 for o in outs]
+                for g in range(split0))
         else:
             ranges = [_leaf_range(o[0], o[2]) for o in outs]
             ranges_sets = [[_leaf_range(o[0], o[7][s]) for o in outs]
@@ -875,7 +878,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     rsets = [(ros, invs, closest)]
                 (sp, ranges, npop, lbs, ranges_sets,
                  ranges_half) = _multi_pop_visit(sp, rsets, octant,
-                                                 half0=half_leaf)
+                                                 split0=leaf_parts)
 
                 def leaf_branch(a):
                     if with_shadow:
@@ -883,7 +886,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     else:
                         SR = a
                     if ("unirange" in dup_set and not with_shadow
-                            and not half_leaf):
+                            and leaf_parts == 1):
                         # perf triage: ONE fori over the union of the
                         # pops' ranges instead of POPS sequential loops
                         # (empty ranges are (0,0); a genuine range never
@@ -899,17 +902,18 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                         r0u = jnp.where(r1u > 0, r0u, 0)
                         return run_tiles(SR, r0u, r1u)
                     # extension rays scan THEIR entered leaves only
-                    if half_leaf:
-                        # ... and each half-block of rows scans only
-                        # the leaves ITS rays entered: a range entered
-                        # by one half alone costs half the MT row work,
-                        # and an empty half range is a zero-trip fori
-                        hr = n_rows // 2
-                        for rl, rh in zip(*ranges_half):
-                            SR = run_tiles(SR, rl[0], rl[1],
-                                           rows=range(hr))
-                            SR = run_tiles(SR, rh[0], rh[1],
-                                           rows=range(hr, n_rows))
+                    if leaf_parts > 1:
+                        # ... and each row group scans only the leaves
+                        # ITS rays entered: a range entered by one
+                        # group alone costs 1/leaf_parts of the MT row
+                        # work, and an empty group range is a zero-trip
+                        # fori
+                        pr = n_rows // leaf_parts
+                        for grp in zip(*ranges_half):
+                            for gi, rg in enumerate(grp):
+                                SR = run_tiles(
+                                    SR, rg[0], rg[1],
+                                    rows=range(gi * pr, (gi + 1) * pr))
                     else:
                         for r0, r1, _ in ranges_sets[0]:
                             SR = run_tiles(SR, r0, r1)
@@ -948,12 +952,14 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     closest = jnp.minimum(closest,
                                           jnp.concatenate(rows2, axis=0))
                 nv = nv + npop
-                if half_leaf:
-                    # nt counts HALF-scans here (a tri scanned by both
-                    # halves counts twice — proportional to MT row work)
-                    for rl, rh in zip(*ranges_half):
-                        nt = nt + (rl[1] - rl[0]) + (rh[1] - rh[0])
-                        ni = ni + rl[2] + rh[2]
+                if leaf_parts > 1:
+                    # nt counts GROUP-scans here (a tri scanned by k of
+                    # the row groups counts k times — proportional to
+                    # MT row work within one leaf_split setting)
+                    for grp in zip(*ranges_half):
+                        for rg in grp:
+                            nt = nt + (rg[1] - rg[0])
+                            ni = ni + rg[2]
                 else:
                     for r0, r1, idl in ranges_sets[0]:
                         nt = nt + (r1 - r0)      # 0 when not entered
@@ -2277,7 +2283,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "stream", "stream_tiles", "smooth",
                                    "textured", "n_texs", "dup",
                                    "sun_pops", "chain_fuse", "n_sph",
-                                   "n_quads", "n_lights", "half_leaf"))
+                                   "n_quads", "n_lights", "leaf_parts"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, px, py, valid,
@@ -2292,7 +2298,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               textured: bool = False, n_texs: int = 0, dup: str = "",
               sun_pops: int = 2, chain_fuse: bool = False,
               n_sph: int = 0, n_quads: int = 0, n_lights: int = 0,
-              half_leaf: bool = False):
+              leaf_parts: int = 1):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -2305,7 +2311,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    textured=textured, n_texs=n_texs, dup=dup,
                    sun_pops=sun_pops, chain_fuse=chain_fuse,
                    n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
-                   half_leaf=half_leaf)
+                   leaf_parts=leaf_parts)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -2342,6 +2348,25 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
     )(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack, cam_vec,
       sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec, lit_vec, px, py,
       valid)
+
+
+def _resolve_leaf_parts(packed: bool, block_h: int) -> int:
+    """Row groups for the leaf engine's masked scans (exec_opts.
+    leaf_split): "auto" = halves on lane-packed (big) scenes only —
+    the setting measured net-positive at ISS scale and net-negative on
+    small scenes.  Clamped to divide the block's row count."""
+    mode = _OPTS.leaf_split
+    if mode == "off":
+        parts = 1
+    elif mode == "quarter":
+        parts = 4
+    elif mode == "half" or (mode == "auto" and packed):
+        parts = 2
+    else:
+        parts = 1
+    while parts > 1 and block_h % parts:
+        parts //= 2
+    return parts
 
 
 def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
@@ -2481,8 +2506,7 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         dup=str(_OPTS.dup), sun_pops=int(_OPTS.sun_pops),
         chain_fuse=bool(_OPTS.chain_fuse),
         n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
-        half_leaf=(packed if _OPTS.half_leaf == "auto"
-                   else _OPTS.half_leaf in ("on", True)))
+        leaf_parts=_resolve_leaf_parts(packed, block_h))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]
