@@ -197,7 +197,13 @@ def iss_mixed_scene(detail: int = 4, **kw):
                                                       (0.35, 0.65, 0.4)),
                      sun_radiance=kw.pop("sun_radiance",
                                          (1e5, 9.5e4, 9e4)),
-                     seed=kw.pop("seed", 1337), **kw)
+                     seed=kw.pop("seed", 1337),
+                     # same traversal-quality knobs as iss_standin_scene
+                     # (SceneBuilder's parity default is a MEDIAN BVH:
+                     # leaving it cost 2.2x the node visits and halved
+                     # the r3 mixed-scene benchmark before this)
+                     bvh_method=kw.pop("bvh_method", "sah"),
+                     wide_max_leaf=kw.pop("wide_max_leaf", 8), **kw)
     b.add_mesh(iss_standin_mesh(detail))
     b.add_sphere((12.0, 6.0, -14.0), 2.2,
                  Material.lambertian((0.82, 0.8, 0.78)))

@@ -639,12 +639,16 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         closest0 = jnp.where(act, tmax_f, tmin_f)
         if n_sph or n_quads:
             # primitives FIRST, seeding the walk clamp: rays that hit a
-            # sphere/quad then prune every BVH subtree behind it (the
-            # post-walk order doubled the union front on mixed scenes:
-            # cvis 162k -> 362k at ISS scale).  The final hit is
-            # unchanged: a tri is accepted only at t <= clamp, and the
-            # end-of-walk merge gives primitives the <=-tie win exactly
-            # like the split path's later-pass ordering.
+            # sphere/quad then prune every BVH subtree behind it (helps
+            # enclosing-geometry scenes like Cornell walls; free
+            # elsewhere).  NOTE the r3 "mixed scenes double the union
+            # front" measurement that motivated this was a confound —
+            # iss_mixed_scene was silently building a MEDIAN BVH while
+            # the plain benchmark used SAH; with matching builders the
+            # mixed walk costs the same as the plain one.  The final
+            # hit is unchanged: a tri is accepted only at t <= clamp,
+            # and the end-of-walk merge gives primitives the <=-tie win
+            # exactly like the split path's later-pass ordering.
             prim0 = _sphere_quad_pass(
                 ox, oy, oz, dx, dy, dz, act,
                 f0, closest0, i0, f0, f0, f1, f0,
