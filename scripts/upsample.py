@@ -7,12 +7,16 @@ Real-ESRGAN needs packages (realesrgan/basicsr) and network weight
 downloads that are not available in a hermetic environment, so this script
 layers fallbacks:
 
-1. realesrgan (if importable + weights cached locally) — reference parity;
-2. torch bicubic upsampling (always available with CPU torch);
-3. PIL bicubic.
+1. jax — the TPU-native RRDBNet inference (dsrt_tpu/models/esrgan.py):
+   the official release weights run jitted on TPU, torch only
+   deserializes the .pth once (needs cached/downloadable weights);
+2. realesrgan (if importable + weights cached locally) — the reference's
+   own torch/CUDA stack, kept for parity;
+3. torch bicubic upsampling (always available with CPU torch);
+4. PIL bicubic.
 
 Usage: python scripts/upsample.py --in dir_or_image --out out_dir
-       [--scale 4] [--backend auto|realesrgan|torch|pil]
+       [--scale 4] [--backend auto|jax|realesrgan|torch|pil]
 """
 
 from __future__ import annotations
@@ -111,6 +115,19 @@ def process_folder(in_path: str, out_dir: str, scale: int = 4,
         files = [in_path]
 
     upsampler = None
+    jax_params = None
+    if backend in ("auto", "jax"):
+        try:
+            from dsrt_tpu.models.esrgan import load_torch_checkpoint
+            jax_params = load_torch_checkpoint(fetch_weights(scale),
+                                               scale=scale)
+            backend = "jax"
+        except Exception as e:
+            if backend == "jax":
+                raise
+            print(f"jax RRDBNet unavailable ({e}); falling back",
+                  file=sys.stderr)
+            backend = "auto"
     if backend in ("auto", "realesrgan"):
         try:
             upsampler = build_realesrgan(scale)
@@ -124,7 +141,10 @@ def process_folder(in_path: str, out_dir: str, scale: int = 4,
     n = 0
     for f in files:
         img = load_image_rgb8(f)
-        if backend == "realesrgan":
+        if backend == "jax":
+            from dsrt_tpu.models.esrgan import upscale_u8
+            out = upscale_u8(jax_params, img, scale)
+        elif backend == "realesrgan":
             out, _ = upsampler.enhance(img[:, :, ::-1], outscale=scale)
             out = out[:, :, ::-1]
         elif backend == "torch":
@@ -146,7 +166,7 @@ def main(argv=None) -> int:
     p.add_argument("--out", required=True)
     p.add_argument("--scale", type=int, default=4, choices=(2, 4))
     p.add_argument("--backend", default="auto",
-                   choices=("auto", "realesrgan", "torch", "pil"))
+                   choices=("auto", "jax", "realesrgan", "torch", "pil"))
     args = p.parse_args(argv)
     process_folder(args.in_path, args.out, args.scale, args.backend)
     return 0
