@@ -145,6 +145,17 @@ class ExecOptions:
     # (big) scenes only.  Bit-identical: per-group verdicts are exact
     # for their rows and closest-hit accepts are idempotent.
     leaf_split: str = "auto"    # "auto" | "off" | "half" | "quarter"
+    # HBM-resident triangle tables for the fused megakernel: when the
+    # tri tile/pk8 tables no longer fit the VMEM budget (~90k tris),
+    # keep only the wide-BVH node table resident and DMA each visit's
+    # entered leaf window (a few (8,128) tile groups — wide nodes own
+    # CONTIGUOUS tri blocks, Scene.wide_max_span bounds the span) from
+    # HBM into a per-pop VMEM scratch slot, overlapping the POPS copies
+    # with the visit chains.  Lifts the fused-path scene ceiling to
+    # wide-BVH-in-VMEM (~1M tris).  "auto" = only when VMEM mode does
+    # not fit; "on" forces it (testing); "off" falls back to the split
+    # pipeline for oversized scenes.
+    hbm_tris: str = "auto"      # "auto" | "on" | "off"
     # Perf-triage duplication knobs (comma list, e.g. "box,gluecos"):
     # each named kernel segment is computed TWICE with the duplicate
     # folded in via an identity (min/max/or of two equal values), so

@@ -183,6 +183,7 @@ def _i32(a):
              "n_media",
              "max_leaf", "n_textures", "sun_enabled", "has_image_tex",
              "has_ptex", "has_smooth", "has_moving", "seed",
+             "wide_max_span",
          ])
 @dataclasses.dataclass(frozen=True)
 class Scene:
@@ -317,6 +318,10 @@ class Scene:
     # any moving sphere present (center2 != center somewhere)
     has_moving: bool
     seed: int
+    # max triangles spanned by ONE wide node's contiguous leaf block
+    # ([min ptr, max end) over its leaf children) — sizes the fused
+    # kernel's HBM-streamed leaf window (exec_opts.hbm_tris)
+    wide_max_span: int = 64
 
 
 @dataclasses.dataclass
@@ -598,6 +603,14 @@ class SceneBuilder:
             bvh_wide = wide.table
         else:
             bvh_wide = lane_pack_wide(wide.table)
+        # max contiguous tri span of one wide node's leaf children —
+        # sizes the HBM-streamed leaf window (see Scene.wide_max_span)
+        wt = wide.table.reshape(-1, 8, 16)
+        leafm = wt[:, :, 7] > 0
+        ends = np.where(leafm, wt[:, :, 6] + wt[:, :, 7], -1.0).max(1)
+        begs = np.where(leafm, wt[:, :, 6], np.inf).min(1)
+        spans = np.where(ends > 0, ends - begs, 0.0)
+        wide_max_span = int(spans.max()) if spans.size else 64
         # aux fused-kernel table (row-aligned with tri_pack's 8-padding)
         tp_rows = tri_pack.shape[0]
         tri_aux = np.zeros((tp_rows, 16), np.float32)
@@ -778,4 +791,5 @@ class SceneBuilder:
             has_smooth=bool(has_smooth),
             has_moving=has_moving,
             seed=int(self.seed),
+            wide_max_span=max(wide_max_span, 1),
         )

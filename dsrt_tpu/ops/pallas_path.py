@@ -46,6 +46,7 @@ from dsrt_tpu.exec_opts import OPTS as _OPTS
 from dsrt_tpu.ops.linalg import V3
 from dsrt_tpu.ops.pallas_trace import (_load_many, fits_vmem_fused,
                                        fits_vmem_fused_packed,
+                                       fits_vmem_fused_hbm,
                                        backend_is_tpu, TILE_H, TILE_W)
 from dsrt_tpu.models.materials import (DIELECTRIC, DIFFUSE_LIGHT, LAMBERTIAN,
                                        METAL)
@@ -86,6 +87,10 @@ def fused_supported(scene, cfg) -> bool:
     shaded = scene.has_image_tex or scene.has_smooth
     extra = ((scene.tri_tile.shape[0] if shaded else 0)
              + 3 * _tex_plane_rows(scene))
+    fits = fits_vmem_fused_packed(scene, extra)
+    if not fits and _hbm_eligible(scene):
+        # HBM-streamed leaf mode: only the wide BVH stays VMEM-resident
+        fits = fits_vmem_fused_hbm(scene, extra)
     return ((scene.n_tris > 0 or scene.n_quads > 0)
             and scene.n_spheres <= MIX_MAX_SPH
             and scene.n_quads <= MIX_MAX_QUADS
@@ -95,7 +100,38 @@ def fused_supported(scene, cfg) -> bool:
             and scene.n_media == 0
             and not scene.has_ptex
             and cfg.aperture == 0.0
-            and fits_vmem_fused_packed(scene, extra) and backend_is_tpu())
+            and fits and backend_is_tpu())
+
+
+def _hbm_gw(scene) -> int:
+    """Leaf window size in (8,128) tile groups: covers any wide node's
+    contiguous leaf span plus tile/group misalignment and the engine's
+    trailing duplicate tile."""
+    span = max(int(getattr(scene, "wide_max_span", 64)), 1)
+    tiles = (span + 7) // 8 + 2
+    return (tiles + 7) // 8 + 1
+
+
+def _hbm_eligible(scene) -> bool:
+    """Whether the HBM-streamed leaf mode can serve this scene at all
+    (knob not off, v1 scope: unshaded tri scenes with a real tile
+    table at least one window big)."""
+    if _OPTS.hbm_tris == "off":
+        return False
+    if scene.has_image_tex or scene.has_smooth:
+        return False    # aux-table windows not implemented (v1)
+    return (scene.n_tris > 0
+            and scene.tri_tile.shape[0] >= 8 * _hbm_gw(scene))
+
+
+def _hbm_mode(scene, extra_rows: int) -> bool:
+    """Resolve exec_opts.hbm_tris for this scene: "auto" engages only
+    when the VMEM-resident mode no longer fits."""
+    if not _hbm_eligible(scene):
+        return False
+    if _OPTS.hbm_tris == "on":
+        return True
+    return not fits_vmem_fused_packed(scene, extra_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -212,7 +248,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  sph_ref, quad_ref, lit_ref,
                  px_ref, py_ref, valid_ref,
                  acc_r_ref, acc_g_ref, acc_b_ref, nray_ref, stack_ref,
-                 rq_ref,
+                 rq_ref, tilewin_ref, dmasem_ref,
                  *, n_mats: int,
                  max_depth: int, width: int, height: int, seed: int,
                  rr_start: int, rr_max_p: float, t_min: float, t_max: float,
@@ -225,7 +261,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  dup: str = "", sun_pops: int = 2,
                  chain_fuse: bool = False, n_sph: int = 0,
                  n_quads: int = 0, n_lights: int = 0,
-                 leaf_parts: int = 1):
+                 leaf_parts: int = 1, hbm: bool = False, gw: int = 2):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -295,6 +331,51 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
     pow2_col = jnp.int32(1) << jax.lax.broadcasted_iota(
         jnp.int32, (8, 1), 0)
     n_rows = shape[0]
+
+    # --- HBM-streamed leaf windows (exec_opts.hbm_tris) ----------------
+    # When the triangle tile table lives in HBM, each entered leaf range
+    # is DMA'd into a per-pop VMEM window slot of `gw` (8,128) tile
+    # groups before scanning.  A wide node's leaf children cover ONE
+    # contiguous tri block (bvh_build.collapse_wide regroups), and gw is
+    # sized from Scene.wide_max_span, so one window always covers the
+    # whole range; the trailing-duplicate / clamped tiles the engine
+    # re-tests are real in-window records (idempotent accepts).
+
+    def _tile_fetch(t_, win=None):
+        """(8,16) tile `t_` from the VMEM table, or from window slot
+        `win = (slot, gs)` (gs = first group resident in the slot)."""
+        if win is None:
+            grp = tile_ref[pl.ds(8 * (t_ // 8), 8), :]
+            return pltpu.roll(grp, -16 * (t_ % 8), 1)[:, :16]
+        slot, gs = win
+        lt = jnp.clip(t_ - 8 * gs, 0, 8 * gw - 1)
+        grp = tilewin_ref[pl.ds(slot * 8 * gw + 8 * (lt // 8), 8), :]
+        return pltpu.roll(grp, -16 * (lt % 8), 1)[:, :16]
+
+    def _leaf_windows(rlist):
+        """Start one async copy per (r0, r1, ...) leaf range into its
+        per-pop window slot (64 tris/group -> slot group gs = r0//64,
+        clamped so the window stays inside the table).  All copies are
+        issued before any wait, so they overlap each other and the
+        surrounding scalar work.  Returns [(gs, copy)] aligned with
+        rlist; empty ranges start nothing (their wait is skipped under
+        the same predicate)."""
+        gtot = tile_ref.shape[0] // 8
+        out = []
+        for p, rng_ in enumerate(rlist):
+            r0, r1 = rng_[0], rng_[1]
+            gs = jnp.clip(r0 // 64, 0, gtot - gw)
+            cp = pltpu.make_async_copy(
+                tile_ref.at[pl.ds(8 * gs, 8 * gw)],
+                tilewin_ref.at[pl.ds(p * 8 * gw, 8 * gw)],
+                dmasem_ref.at[p])
+
+            @pl.when(r1 > r0)
+            def _start(cp=cp):
+                cp.start()
+
+            out.append((gs, cp))
+        return out
 
     def _load_wide(node):
         """Load wide node `node`: (W (8,16), base, intmask).  Two static
@@ -787,7 +868,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 ga = aux_ref[pl.ds(8 * (t_ // 8), 8), :]
                 return pltpu.roll(ga, -16 * (t_ % 8), 1)[:, :16]
 
-            def run_tiles(SR, r0, r1, rows=None):
+            def run_tiles(SR, r0, r1, rows=None, win=None):
                 # tile granularity matches the old packed chains: up to
                 # 7 boundary extras per side, all REAL triangle records
                 # or zero padding — testing a superset of the range is
@@ -796,16 +877,15 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 # 2 tiles per iteration: the two load+roll chains are
                 # independent (ILP); a clamped duplicate tile at the end
                 # re-tests identical triangles (idempotent accepts).
+                # `win` routes the loads through an HBM leaf window slot.
                 tile0 = r0 // 8
                 n_it = ((r1 + 7) // 8 - tile0 + 1) // 2
 
                 def tbody(k, SR):
                     t0_ = jnp.minimum(tile0 + 2 * k, max_tile)
                     t1_ = jnp.minimum(tile0 + 2 * k + 1, max_tile)
-                    g0 = tile_ref[pl.ds(8 * (t0_ // 8), 8), :]
-                    g1 = tile_ref[pl.ds(8 * (t1_ // 8), 8), :]
-                    W0 = pltpu.roll(g0, -16 * (t0_ % 8), 1)[:, :16]
-                    W1 = pltpu.roll(g1, -16 * (t1_ % 8), 1)[:, :16]
+                    W0 = _tile_fetch(t0_, win)
+                    W1 = _tile_fetch(t1_, win)
                     return tile_update(W1, tile_update(W0, SR,
                                                       load_aux(t0_),
                                                       rows=rows),
@@ -890,7 +970,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     else:
                         SR = a
                     if ("unirange" in dup_set and not with_shadow
-                            and leaf_parts == 1):
+                            and leaf_parts == 1 and not hbm):
                         # perf triage: ONE fori over the union of the
                         # pops' ranges instead of POPS sequential loops
                         # (empty ranges are (0,0); a genuine range never
@@ -906,7 +986,19 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                         r0u = jnp.where(r1u > 0, r0u, 0)
                         return run_tiles(SR, r0u, r1u)
                     # extension rays scan THEIR entered leaves only
-                    if leaf_parts > 1:
+                    if hbm:
+                        # HBM mode: start every pop's leaf-window copy
+                        # first (they overlap each other and the wait-
+                        # free scans before them), then wait + scan
+                        wins = _leaf_windows(ranges_sets[0])
+                        for p, ((r0, r1, _), (gs, cp)) in enumerate(
+                                zip(ranges_sets[0], wins)):
+                            @pl.when(r1 > r0)
+                            def _wait(cp=cp):
+                                cp.wait()
+
+                            SR = run_tiles(SR, r0, r1, win=(p, gs))
+                    elif leaf_parts > 1:
                         # ... and each row group scans only the leaves
                         # ITS rays entered: a range entered by one
                         # group alone costs 1/leaf_parts of the MT row
@@ -1542,10 +1634,75 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     blk = jnp.maximum(blk, sts[g][1])
                 return scm, blk
 
-            def leaf_branch(a):
-                for r0, r1, _ in ranges:
-                    a = run_chains(a, r0, r1)
-                return a
+            if hbm:
+                # HBM mode: occlusion-test DMA'd tile windows (same MT
+                # columns as the defer-mode shadow_tile; boundary-extra
+                # tiles are real scene triangles, and a real
+                # intersection inside [t_min, sc] is a true occluder
+                # whichever leaf it came from)
+                max_tile_s = tile_ref.shape[0] - 1
+
+                def shadow_tile_w(W, blocked, sc):
+                    v0x, v0y, v0z = W[:, 0:1], W[:, 1:2], W[:, 2:3]
+                    e1x, e1y, e1z = W[:, 3:4], W[:, 4:5], W[:, 5:6]
+                    e2x, e2y, e2z = W[:, 6:7], W[:, 7:8], W[:, 8:9]
+                    spvx = sdy * e2z - sdz * e2y      # (8,1) columns
+                    spvy = sdz * e2x - sdx * e2z
+                    spvz = sdx * e2y - sdy * e2x
+                    sdet = e1x * spvx + e1y * spvy + e1z * spvz
+                    sok0 = jnp.abs(sdet) >= 1e-8
+                    sinv = 1.0 / jnp.where(sok0, sdet, 1.0)
+                    hit_rows = []
+                    for r in range(n_rows):
+                        stx = sox[r:r + 1, :] - v0x
+                        sty = soy[r:r + 1, :] - v0y
+                        stz = soz[r:r + 1, :] - v0z
+                        su = (stx * spvx + sty * spvy
+                              + stz * spvz) * sinv
+                        ok = sok0 & (su >= 0.0)
+                        sqx = sty * e1z - stz * e1y
+                        sqy = stz * e1x - stx * e1z
+                        sqz = stx * e1y - sty * e1x
+                        sv_ = (sdx * sqx + sdy * sqy + sdz * sqz) * sinv
+                        ok = ok & (sv_ >= 0.0) & (su + sv_ <= 1.0)
+                        st_ = (e2x * sqx + e2y * sqy + e2z * sqz) * sinv
+                        ok = ok & (st_ >= tmin_f) & (st_ <= sc[r:r + 1, :])
+                        hit_rows.append(jnp.max(jnp.where(ok, 1.0, 0.0),
+                                                axis=0, keepdims=True))
+                    return jnp.maximum(blocked,
+                                       jnp.concatenate(hit_rows, axis=0))
+
+                def leaf_branch(a):
+                    sc, blocked = a
+                    wins = _leaf_windows(ranges)
+                    for p, ((r0, r1, _), (gs, cp)) in enumerate(
+                            zip(ranges, wins)):
+                        @pl.when(r1 > r0)
+                        def _wait(cp=cp):
+                            cp.wait()
+
+                        tile0 = r0 // 8
+                        n_it = ((r1 + 7) // 8 - tile0 + 1) // 2
+
+                        def tb(k, blocked, tile0=tile0, p=p, gs=gs):
+                            t0_ = jnp.minimum(tile0 + 2 * k, max_tile_s)
+                            t1_ = jnp.minimum(tile0 + 2 * k + 1,
+                                              max_tile_s)
+                            W0 = _tile_fetch(t0_, (p, gs))
+                            W1 = _tile_fetch(t1_, (p, gs))
+                            return shadow_tile_w(
+                                W1, shadow_tile_w(W0, blocked, sc), sc)
+
+                        blocked = lax.fori_loop(0, n_it, tb, blocked)
+                    # any-hit collapse so the park check sees occluded
+                    # lanes (the chain engine collapses per accept)
+                    sc = jnp.where(blocked > 0.5, tmin_f, sc)
+                    return sc, blocked
+            else:
+                def leaf_branch(a):
+                    for r0, r1, _ in ranges:
+                        a = run_chains(a, r0, r1)
+                    return a
 
             anylb = lbs[0]
             for lb in lbs[1:]:
@@ -2287,7 +2444,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "stream", "stream_tiles", "smooth",
                                    "textured", "n_texs", "dup",
                                    "sun_pops", "chain_fuse", "n_sph",
-                                   "n_quads", "n_lights", "leaf_parts"))
+                                   "n_quads", "n_lights", "leaf_parts",
+                                   "hbm", "gw"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, px, py, valid,
@@ -2302,7 +2460,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               textured: bool = False, n_texs: int = 0, dup: str = "",
               sun_pops: int = 2, chain_fuse: bool = False,
               n_sph: int = 0, n_quads: int = 0, n_lights: int = 0,
-              leaf_parts: int = 1):
+              leaf_parts: int = 1, hbm: bool = False, gw: int = 2):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -2315,11 +2473,15 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    textured=textured, n_texs=n_texs, dup=dup,
                    sun_pops=sun_pops, chain_fuse=chain_fuse,
                    n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
-                   leaf_parts=leaf_parts)
+                   leaf_parts=leaf_parts, hbm=hbm, gw=gw)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # HBM mode: the triangle tables stay off-core (tri_tab is unused by
+    # the tile engine; tile_tab is DMA'd per entered leaf window)
+    tri_spec = pl.BlockSpec(memory_space=pltpu.ANY) if hbm else full
+    nslots = max(pops, sun_pops)
     out_shape = (k * TILE_H, TILE_W)
     n_blocks = (k * TILE_H) // block_h
     flops_est = int(wide_tab.shape[0]) * 60 * out_shape[0] * TILE_W \
@@ -2327,8 +2489,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
     return pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[full, full, full, full, full, smem, smem, smem, smem,
-                  smem, smem, smem, smem]
+        in_specs=[full, tri_spec, tri_spec, full, full, smem, smem, smem,
+                  smem, smem, smem, smem, smem]
         + [ray_spec] * 3,
         out_specs=(ray_spec, ray_spec, ray_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -2345,7 +2507,10 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
             ((max(STACK, block_h * ROW_SSEG) if rowtrav else STACK)
              + (STACK if "push" in dup else 0),),
             jnp.int32),
-            pltpu.SMEM((2 * RQCAP + 2,), jnp.int32)],
+            pltpu.SMEM((2 * RQCAP + 2,), jnp.int32),
+            pltpu.VMEM(((nslots * 8 * gw) if hbm else 8, TILE_W),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((nslots if hbm else 1,))],
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=out_shape[0] * 128 * 24,
                                       transcendentals=out_shape[0] * 128 * 4),
@@ -2402,6 +2567,10 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
     Rp = _tex_plane_rows(scene)
     extra = (int(scene.tri_tile.shape[0]) if shaded else 0) + 3 * Rp
     packed = not fits_vmem_fused(scene, extra)
+    # HBM-streamed leaf mode: tri tables stay in HBM, incompatible with
+    # the knobs that read them straight from VMEM (stream / rowtrav /
+    # chain_fuse / defer_shadow / row-group masking) — all forced off
+    hbm = _hbm_mode(scene, extra)
     tri_tab = scene.tri_pk8 if packed else scene.tri_pack
     # shading tables: the aux tile table rides the leaf engine; the
     # texture pool is de-interleaved into per-channel planes laid out
@@ -2501,16 +2670,19 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         ordered=bool(_OPTS.ordered), pops=int(_OPTS.pops),
         regen_thresh=float(_OPTS.regen_thresh),
         # the deferred-shadow chain walk has no shading-field tracking
-        defer_shadow=bool(_OPTS.defer_shadow) and not shaded,
-        rowtrav=bool(_OPTS.rowtrav), row_pops=int(_OPTS.row_pops),
-        stream=(packed if _OPTS.stream == "auto"
-                else _OPTS.stream in ("on", True)),
+        defer_shadow=bool(_OPTS.defer_shadow) and not shaded and not hbm,
+        rowtrav=bool(_OPTS.rowtrav) and not hbm,
+        row_pops=int(_OPTS.row_pops),
+        stream=(False if hbm else
+                (packed if _OPTS.stream == "auto"
+                 else _OPTS.stream in ("on", True))),
         stream_tiles=int(_OPTS.stream_tiles),
         smooth=smooth, textured=textured, n_texs=n_texs,
         dup=str(_OPTS.dup), sun_pops=int(_OPTS.sun_pops),
-        chain_fuse=bool(_OPTS.chain_fuse),
+        chain_fuse=bool(_OPTS.chain_fuse) and not hbm,
         n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
-        leaf_parts=_resolve_leaf_parts(packed, block_h))
+        leaf_parts=(1 if hbm else _resolve_leaf_parts(packed, block_h)),
+        hbm=hbm, gw=_hbm_gw(scene))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

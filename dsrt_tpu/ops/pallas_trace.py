@@ -79,6 +79,13 @@ def fits_vmem_fused_packed(scene, extra_rows: int = 0) -> bool:
             + scene.tri_tile.shape[0] + extra_rows <= _VMEM_BUDGET_ROWS)
 
 
+def fits_vmem_fused_hbm(scene, extra_rows: int = 0) -> bool:
+    """Fused megakernel, HBM-streamed leaf mode (exec_opts.hbm_tris):
+    only the wide-BVH table stays VMEM-resident; triangle tile tables
+    are DMA'd per entered leaf window."""
+    return (scene.bvh_wide.shape[0] + extra_rows <= _VMEM_BUDGET_ROWS)
+
+
 def backend_is_tpu() -> bool:
     try:
         plat = jax.devices()[0].platform
