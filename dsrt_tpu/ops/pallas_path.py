@@ -89,8 +89,10 @@ def fused_supported(scene, cfg) -> bool:
              + 3 * _tex_plane_rows(scene))
     fits = fits_vmem_fused_packed(scene, extra)
     if not fits and _hbm_eligible(scene):
-        # HBM-streamed leaf mode: only the wide BVH stays VMEM-resident
-        fits = fits_vmem_fused_hbm(scene, extra)
+        # HBM-streamed leaf mode: only the wide BVH (+ the texture
+        # planes, which the in-kernel gather needs resident) stays in
+        # VMEM; tri tile + aux tables ride leaf-window DMAs
+        fits = fits_vmem_fused_hbm(scene, 3 * _tex_plane_rows(scene))
     return ((scene.n_tris > 0 or scene.n_quads > 0)
             and scene.n_spheres <= MIX_MAX_SPH
             and scene.n_quads <= MIX_MAX_QUADS
@@ -114,12 +116,11 @@ def _hbm_gw(scene) -> int:
 
 def _hbm_eligible(scene) -> bool:
     """Whether the HBM-streamed leaf mode can serve this scene at all
-    (knob not off, v1 scope: unshaded tri scenes with a real tile
-    table at least one window big)."""
+    (knob not off; a real tile table at least one window big).  Shaded
+    scenes ride an aux window per slot through the same DMA scheme;
+    the texture pool itself stays VMEM-resident (<= TEX_ROWS_MAX)."""
     if _OPTS.hbm_tris == "off":
         return False
-    if scene.has_image_tex or scene.has_smooth:
-        return False    # aux-table windows not implemented (v1)
     return (scene.n_tris > 0
             and scene.tri_tile.shape[0] >= 8 * _hbm_gw(scene))
 
@@ -248,7 +249,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  sph_ref, quad_ref, lit_ref,
                  px_ref, py_ref, valid_ref,
                  acc_r_ref, acc_g_ref, acc_b_ref, nray_ref, stack_ref,
-                 rq_ref, tilewin_ref, dmasem_ref,
+                 rq_ref, tilewin_ref, dmasem_ref, auxwin_ref,
+                 dmasem2_ref,
                  *, n_mats: int,
                  max_depth: int, width: int, height: int, seed: int,
                  rr_start: int, rr_max_p: float, t_min: float, t_max: float,
@@ -352,29 +354,35 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         grp = tilewin_ref[pl.ds(slot * 8 * gw + 8 * (lt // 8), 8), :]
         return pltpu.roll(grp, -16 * (lt % 8), 1)[:, :16]
 
-    def _leaf_windows(rlist):
+    def _leaf_windows(rlist, with_aux=False):
         """Start one async copy per (r0, r1, ...) leaf range into its
         per-pop window slot (64 tris/group -> slot group gs = r0//64,
-        clamped so the window stays inside the table).  All copies are
-        issued before any wait, so they overlap each other and the
-        surrounding scalar work.  Returns [(gs, copy)] aligned with
-        rlist; empty ranges start nothing (their wait is skipped under
-        the same predicate)."""
+        clamped so the window stays inside the table); `with_aux` also
+        copies the matching tri_aux_tile window (shaded scenes).  All
+        copies are issued before any wait, so they overlap each other
+        and the surrounding scalar work.  Returns [(gs, [copies])]
+        aligned with rlist; empty ranges start nothing (their waits
+        are skipped under the same predicate)."""
         gtot = tile_ref.shape[0] // 8
         out = []
         for p, rng_ in enumerate(rlist):
             r0, r1 = rng_[0], rng_[1]
             gs = jnp.clip(r0 // 64, 0, gtot - gw)
-            cp = pltpu.make_async_copy(
+            cps = [pltpu.make_async_copy(
                 tile_ref.at[pl.ds(8 * gs, 8 * gw)],
                 tilewin_ref.at[pl.ds(p * 8 * gw, 8 * gw)],
-                dmasem_ref.at[p])
+                dmasem_ref.at[p])]
+            if with_aux:
+                cps.append(pltpu.make_async_copy(
+                    aux_ref.at[pl.ds(8 * gs, 8 * gw)],
+                    auxwin_ref.at[pl.ds(p * 8 * gw, 8 * gw)],
+                    dmasem2_ref.at[p]))
+            for cp in cps:
+                @pl.when(r1 > r0)
+                def _start(cp=cp):
+                    cp.start()
 
-            @pl.when(r1 > r0)
-            def _start(cp=cp):
-                cp.start()
-
-            out.append((gs, cp))
+            out.append((gs, cps))
         return out
 
     def _load_wide(node):
@@ -862,11 +870,17 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                              if r in keep else SR[r]
                              for r in range(n_rows))
 
-            def load_aux(t_):
+            def load_aux(t_, win=None):
                 if not shaded:
                     return None
-                ga = aux_ref[pl.ds(8 * (t_ // 8), 8), :]
-                return pltpu.roll(ga, -16 * (t_ % 8), 1)[:, :16]
+                if win is None:
+                    ga = aux_ref[pl.ds(8 * (t_ // 8), 8), :]
+                    return pltpu.roll(ga, -16 * (t_ % 8), 1)[:, :16]
+                slot, gs = win
+                lt = jnp.clip(t_ - 8 * gs, 0, 8 * gw - 1)
+                ga = auxwin_ref[pl.ds(slot * 8 * gw + 8 * (lt // 8), 8),
+                                :]
+                return pltpu.roll(ga, -16 * (lt % 8), 1)[:, :16]
 
             def run_tiles(SR, r0, r1, rows=None, win=None):
                 # tile granularity matches the old packed chains: up to
@@ -887,9 +901,9 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     W0 = _tile_fetch(t0_, win)
                     W1 = _tile_fetch(t1_, win)
                     return tile_update(W1, tile_update(W0, SR,
-                                                      load_aux(t0_),
+                                                      load_aux(t0_, win),
                                                       rows=rows),
-                                       load_aux(t1_), rows=rows)
+                                       load_aux(t1_, win), rows=rows)
 
                 return lax.fori_loop(0, n_it, tbody, SR)
 
@@ -990,12 +1004,14 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                         # HBM mode: start every pop's leaf-window copy
                         # first (they overlap each other and the wait-
                         # free scans before them), then wait + scan
-                        wins = _leaf_windows(ranges_sets[0])
-                        for p, ((r0, r1, _), (gs, cp)) in enumerate(
+                        wins = _leaf_windows(ranges_sets[0],
+                                             with_aux=shaded)
+                        for p, ((r0, r1, _), (gs, cps)) in enumerate(
                                 zip(ranges_sets[0], wins)):
-                            @pl.when(r1 > r0)
-                            def _wait(cp=cp):
-                                cp.wait()
+                            for cp in cps:
+                                @pl.when(r1 > r0)
+                                def _wait(cp=cp):
+                                    cp.wait()
 
                             SR = run_tiles(SR, r0, r1, win=(p, gs))
                     elif leaf_parts > 1:
@@ -1675,10 +1691,10 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 def leaf_branch(a):
                     sc, blocked = a
                     wins = _leaf_windows(ranges)
-                    for p, ((r0, r1, _), (gs, cp)) in enumerate(
+                    for p, ((r0, r1, _), (gs, cps)) in enumerate(
                             zip(ranges, wins)):
                         @pl.when(r1 > r0)
-                        def _wait(cp=cp):
+                        def _wait(cp=cps[0]):
                             cp.wait()
 
                         tile0 = r0 // 8
@@ -2481,6 +2497,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
     # HBM mode: the triangle tables stay off-core (tri_tab is unused by
     # the tile engine; tile_tab is DMA'd per entered leaf window)
     tri_spec = pl.BlockSpec(memory_space=pltpu.ANY) if hbm else full
+    aux_spec = tri_spec if hbm else full
+    hbm_aux = hbm and (smooth or textured)
     nslots = max(pops, sun_pops)
     out_shape = (k * TILE_H, TILE_W)
     n_blocks = (k * TILE_H) // block_h
@@ -2489,8 +2507,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
     return pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[full, tri_spec, tri_spec, full, full, smem, smem, smem,
-                  smem, smem, smem, smem, smem]
+        in_specs=[full, tri_spec, tri_spec, aux_spec, full, smem, smem,
+                  smem, smem, smem, smem, smem, smem]
         + [ray_spec] * 3,
         out_specs=(ray_spec, ray_spec, ray_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -2510,7 +2528,10 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
             pltpu.SMEM((2 * RQCAP + 2,), jnp.int32),
             pltpu.VMEM(((nslots * 8 * gw) if hbm else 8, TILE_W),
                        jnp.float32),
-            pltpu.SemaphoreType.DMA((nslots if hbm else 1,))],
+            pltpu.SemaphoreType.DMA((nslots if hbm else 1,)),
+            pltpu.VMEM(((nslots * 8 * gw) if hbm_aux else 8, TILE_W),
+                       jnp.float32),
+            pltpu.SemaphoreType.DMA((nslots if hbm_aux else 1,))],
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=out_shape[0] * 128 * 24,
                                       transcendentals=out_shape[0] * 128 * 4),

@@ -81,9 +81,12 @@ def fits_vmem_fused_packed(scene, extra_rows: int = 0) -> bool:
 
 def fits_vmem_fused_hbm(scene, extra_rows: int = 0) -> bool:
     """Fused megakernel, HBM-streamed leaf mode (exec_opts.hbm_tris):
-    only the wide-BVH table stays VMEM-resident; triangle tile tables
-    are DMA'd per entered leaf window."""
-    return (scene.bvh_wide.shape[0] + extra_rows <= _VMEM_BUDGET_ROWS)
+    only the wide-BVH table stays VMEM-resident (the tri tables it
+    shares the budget with elsewhere are DMA'd per entered leaf
+    window), so the node table alone may take ~3x the shared budget
+    (~36 MB; validated at 517k tris on v5e)."""
+    return (scene.bvh_wide.shape[0] + extra_rows
+            <= 3 * _VMEM_BUDGET_ROWS)
 
 
 def backend_is_tpu() -> bool:

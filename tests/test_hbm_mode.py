@@ -69,6 +69,33 @@ def test_hbm_forced_bit_identical():
         np.testing.assert_array_equal(out[i], ref[i])
 
 
+def test_hbm_textured_bit_identical(tmp_path):
+    """Shaded scenes ride an aux window per slot (UV/tex-id tiles DMA'd
+    alongside the MT tiles): identical streams to the VMEM kernel."""
+    _require_tpu()
+    import numpy as np_
+    from dsrt_tpu.utils.image_io import write_png
+    y, x = np_.mgrid[0:64, 0:64]
+    img = np_.stack([40 + 30 * ((x // 8 + y // 8) % 2)] * 3,
+                    -1).astype(np_.uint8)
+    tex = str(tmp_path / "panel.png")
+    write_png(tex, img)
+    scene = iss_standin_scene(detail=2, tex_path=tex,
+                              sun_radiance=(6.0, 5.7, 5.4))
+    assert scene.has_image_tex
+    cfg = RenderConfig(width=96, height=56, spp=2, max_depth=8)
+    try:
+        OPTS.hbm_tris = "off"
+        ref = _trace(scene, cfg, "tex-hbm-off")
+        OPTS.hbm_tris = "on"
+        out = _trace(scene, cfg, "tex-hbm-on")
+    finally:
+        OPTS.hbm_tris = "auto"
+    assert out[3] == ref[3]
+    for i in range(3):
+        np.testing.assert_array_equal(out[i], ref[i])
+
+
 def test_hbm_auto_resolution():
     """auto = engage exactly when the VMEM-resident tables no longer
     fit; the window covers every wide node's contiguous leaf span."""
