@@ -156,6 +156,16 @@ class ExecOptions:
     # not fit; "on" forces it (testing); "off" falls back to the split
     # pipeline for oversized scenes.
     hbm_tris: str = "auto"      # "auto" | "on" | "off"
+    # Leaf-engine tail handling.  The tile loop retires 2 tiles per
+    # iteration (independent load+roll chains); "pad" rounds every
+    # range UP to pairs, so odd-tile ranges scan one fully-wasted
+    # duplicate tile — at ISS scale most entered leaf ranges are 1-2
+    # tiles, so ~1/3 of all tile MT work is pad re-tests.  "cond" runs
+    # floor(n/2) pair iterations plus a lax.cond single-tile tail;
+    # "single" drops the unroll (1 tile/iteration, no pads).  All
+    # three are bit-identical (a duplicate tile re-tests identical
+    # triangles; accepts are idempotent).
+    leaf_tail: str = "cond"     # "pad" | "cond" | "single"
     # Perf-triage duplication knobs (comma list, e.g. "box,gluecos"):
     # each named kernel segment is computed TWICE with the duplicate
     # folded in via an identity (min/max/or of two equal values), so

@@ -263,7 +263,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  dup: str = "", sun_pops: int = 2,
                  chain_fuse: bool = False, n_sph: int = 0,
                  n_quads: int = 0, n_lights: int = 0,
-                 leaf_parts: int = 1, hbm: bool = False, gw: int = 2):
+                 leaf_parts: int = 1, hbm: bool = False, gw: int = 2,
+                 leaf_tail: str = "pad"):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -889,11 +890,26 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 # always correct for closest-hit (a genuine intersection
                 # accepted early is still a genuine intersection).
                 # 2 tiles per iteration: the two load+roll chains are
-                # independent (ILP); a clamped duplicate tile at the end
-                # re-tests identical triangles (idempotent accepts).
+                # independent (ILP).  Tail handling per exec_opts.
+                # leaf_tail: "pad" rounds up to pairs (a clamped
+                # duplicate tile re-tests identical triangles —
+                # idempotent accepts, but full wasted MT vector work on
+                # the dominant 1-tile ranges), "cond" adds a lax.cond
+                # single-tile tail, "single" drops the unroll entirely.
                 # `win` routes the loads through an HBM leaf window slot.
                 tile0 = r0 // 8
-                n_it = ((r1 + 7) // 8 - tile0 + 1) // 2
+                ntiles = (r1 + 7) // 8 - tile0
+
+                def single(k, SR):
+                    t0_ = jnp.minimum(tile0 + k, max_tile)
+                    return tile_update(_tile_fetch(t0_, win), SR,
+                                       load_aux(t0_, win), rows=rows)
+
+                if leaf_tail == "single":
+                    return lax.fori_loop(0, ntiles, single, SR)
+
+                n_it = (ntiles + 1) // 2 if leaf_tail == "pad" \
+                    else ntiles // 2
 
                 def tbody(k, SR):
                     t0_ = jnp.minimum(tile0 + 2 * k, max_tile)
@@ -905,7 +921,12 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                                       rows=rows),
                                        load_aux(t1_, win), rows=rows)
 
-                return lax.fori_loop(0, n_it, tbody, SR)
+                SR = lax.fori_loop(0, n_it, tbody, SR)
+                if leaf_tail == "cond":
+                    SR = lax.cond(ntiles != 2 * n_it,
+                                  lambda s: single(2 * n_it, s),
+                                  lambda s: s, SR)
+                return SR
 
             def tcond(c):
                 return c[0] > 0
@@ -947,7 +968,17 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
 
             def run_shadow_tiles(blocked, sc, r0, r1):
                 tile0 = r0 // 8
-                n_it = ((r1 + 7) // 8 - tile0 + 1) // 2
+                ntiles = (r1 + 7) // 8 - tile0
+
+                def sng(k, blocked):
+                    t0_ = jnp.minimum(tile0 + k, max_tile)
+                    return shadow_tile(_tile_fetch(t0_), blocked, sc)
+
+                if leaf_tail == "single":
+                    return lax.fori_loop(0, ntiles, sng, blocked)
+
+                n_it = (ntiles + 1) // 2 if leaf_tail == "pad" \
+                    else ntiles // 2
 
                 def tb(k, blocked):
                     t0_ = jnp.minimum(tile0 + 2 * k, max_tile)
@@ -959,7 +990,12 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     return shadow_tile(W1, shadow_tile(W0, blocked, sc),
                                        sc)
 
-                return lax.fori_loop(0, n_it, tb, blocked)
+                blocked = lax.fori_loop(0, n_it, tb, blocked)
+                if leaf_tail == "cond":
+                    blocked = lax.cond(ntiles != 2 * n_it,
+                                       lambda b: sng(2 * n_it, b),
+                                       lambda b: b, blocked)
+                return blocked
 
             def tbody_w(c):
                 if with_shadow:
@@ -1303,18 +1339,33 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                      jnp.int32(0)))
 
             # merge the tri-row candidates: 3-round cyclic-roll
-            # tournament (strict < keeps the lower slot on exact ties)
+            # tournament on (t, slot-index) ONLY — the attribute fields
+            # are resolved afterwards from their ORIGINAL rows via the
+            # winning slot's one-hot (a masked sublane sum with exactly
+            # one nonzero term, so exact).  The index rides the same
+            # take decisions as the old all-fields tournament (strict <
+            # keeps the lower slot on exact ties), so the winner — and
+            # every resolved attribute — is bit-identical, for 2 rolled
+            # fields instead of 5-8 (rolls are the expensive part:
+            # sweep50k8 attributed ~8 ms/frame to the 120 rolls).
             def tournament():
+                io8 = jax.lax.broadcasted_iota(
+                    jnp.int32, (8, TILE_W), 0)
                 frows = []
                 for r in range(n_rows):
                     fields = SR[r]
+                    tt, idx = fields[0], io8
                     for shift in (4, 2, 1):
-                        rolled = tuple(pltpu.roll(f, shift, 0)
-                                       for f in fields)
-                        take = rolled[0] < fields[0]
-                        fields = tuple(jnp.where(take, rf, f)
-                                       for rf, f in zip(rolled, fields))
-                    frows.append(tuple(f[0:1, :] for f in fields))
+                        rt = pltpu.roll(tt, shift, 0)
+                        ri = pltpu.roll(idx, shift, 0)
+                        take = rt < tt
+                        tt = jnp.where(take, rt, tt)
+                        idx = jnp.where(take, ri, idx)
+                    onehot = io8 == idx[0:1, :]
+                    frows.append((tt[0:1, :],) + tuple(
+                        jnp.sum(jnp.where(onehot, f, 0.0), axis=0,
+                                keepdims=True)
+                        for f in fields[1:]))
                 return frows
 
             frows = tournament()
@@ -1698,7 +1749,9 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                             cp.wait()
 
                         tile0 = r0 // 8
-                        n_it = ((r1 + 7) // 8 - tile0 + 1) // 2
+                        ntiles = (r1 + 7) // 8 - tile0
+                        n_it = (ntiles + 1) // 2 if leaf_tail == "pad" \
+                            else ntiles // 2
 
                         def tb(k, blocked, tile0=tile0, p=p, gs=gs):
                             t0_ = jnp.minimum(tile0 + 2 * k, max_tile_s)
@@ -1710,6 +1763,18 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                 W1, shadow_tile_w(W0, blocked, sc), sc)
 
                         blocked = lax.fori_loop(0, n_it, tb, blocked)
+                        if leaf_tail != "pad":
+                            # single-tile tail (leaf_tail "cond"/"single")
+                            def tl(blocked, tile0=tile0, p=p, gs=gs,
+                                   n_it=n_it):
+                                t0_ = jnp.minimum(tile0 + 2 * n_it,
+                                                  max_tile_s)
+                                return shadow_tile_w(
+                                    _tile_fetch(t0_, (p, gs)), blocked,
+                                    sc)
+
+                            blocked = lax.cond(ntiles != 2 * n_it, tl,
+                                               lambda b: b, blocked)
                     # any-hit collapse so the park check sees occluded
                     # lanes (the chain engine collapses per accept)
                     sc = jnp.where(blocked > 0.5, tmin_f, sc)
@@ -2461,7 +2526,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "textured", "n_texs", "dup",
                                    "sun_pops", "chain_fuse", "n_sph",
                                    "n_quads", "n_lights", "leaf_parts",
-                                   "hbm", "gw"))
+                                   "hbm", "gw", "leaf_tail"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, px, py, valid,
@@ -2476,7 +2541,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               textured: bool = False, n_texs: int = 0, dup: str = "",
               sun_pops: int = 2, chain_fuse: bool = False,
               n_sph: int = 0, n_quads: int = 0, n_lights: int = 0,
-              leaf_parts: int = 1, hbm: bool = False, gw: int = 2):
+              leaf_parts: int = 1, hbm: bool = False, gw: int = 2,
+              leaf_tail: str = "pad"):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -2489,7 +2555,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    textured=textured, n_texs=n_texs, dup=dup,
                    sun_pops=sun_pops, chain_fuse=chain_fuse,
                    n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
-                   leaf_parts=leaf_parts, hbm=hbm, gw=gw)
+                   leaf_parts=leaf_parts, hbm=hbm, gw=gw,
+                   leaf_tail=leaf_tail)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -2548,6 +2615,8 @@ def _resolve_leaf_parts(packed: bool, block_h: int) -> int:
     mode = _OPTS.leaf_split
     if mode == "off":
         parts = 1
+    elif mode == "eighth":
+        parts = 8
     elif mode == "quarter":
         parts = 4
     elif mode == "half" or (mode == "auto" and packed):
@@ -2703,7 +2772,7 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         chain_fuse=bool(_OPTS.chain_fuse) and not hbm,
         n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
         leaf_parts=(1 if hbm else _resolve_leaf_parts(packed, block_h)),
-        hbm=hbm, gw=_hbm_gw(scene))
+        hbm=hbm, gw=_hbm_gw(scene), leaf_tail=str(_OPTS.leaf_tail))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]
