@@ -311,6 +311,15 @@ def all_configs() -> list[dict]:
                 "metric": "Mrays/sec/chip", "value": round(mrays, 3),
                 "rays": exact, "sec_per_frame": round(dt, 3)})
 
+    # --- split path at REAL scale: before the r3 per-lane traversal
+    # (ops/trace.py lane_traverse) this configuration crashed the TPU
+    # worker (packet union-walk watchdog kill at 40k+ tris) -----------
+    mrays, dt, exact = _wavefront_mrays(scene50k, cam, cfg)
+    out.append({"config": "iss50k_800x450_32spp_splitpath",
+                "metric": "Mrays/sec/chip", "value": round(mrays, 3),
+                "n_tris": int(scene50k.n_tris), "rays": exact,
+                "sec_per_frame": round(dt, 3)})
+
     # --- mixed geometry (tris + spheres + quad): Cornell-with-mesh-like
     # composition; falls wherever render.fused_kind routes it ------------
     from dsrt_tpu.models.presets import mixed_scene

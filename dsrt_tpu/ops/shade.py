@@ -131,6 +131,14 @@ def _vmapped_scene_hit(scene, ro, rd, t_min, t_max, active, state,
     if _use_pallas(scene):
         return tracemod.scene_hit_flat(scene, ro, rd, t_min, t_max, active,
                                        state, any_hit=any_hit, time=time)
+    if scene.n_tris > tracemod.LANE_SWITCH_TRIS:
+        # big scenes off the Pallas path (CPU backend, VMEM overflow,
+        # smooth/media combinations): per-LANE stackless traversal — the
+        # packet union walk degenerates on incoherent bounce waves at
+        # this scale (50 s/frame at 33k tris, TPU watchdog kill at 40k)
+        return tracemod.scene_hit_flat_lane(scene, ro, rd, t_min, t_max,
+                                            active, state, any_hit=any_hit,
+                                            time=time)
     if scene.n_media > 0:
         fn = lambda ox, oy, oz, dx, dy, dz, act, st, tm: tracemod.scene_hit(
             scene, V3(ox, oy, oz), V3(dx, dy, dz), t_min, t_max, act, st,

@@ -462,6 +462,180 @@ def media_pass(scene, ro: V3, rd: V3, t_min, hit: Hit, active, state):
     return hit, state
 
 
+def lane_traverse(scene, ro: V3, rd: V3, t_min, t_max, active,
+                  any_hit: bool = False):
+    """Per-LANE stackless BVH traversal over the octant thread table
+    (models/scene.py thr_pack): every lane walks with its OWN node
+    cursor in its own direction octant's front-to-back preorder — the
+    per-ray near/far ordering of the reference (src/gpu_render.cu:
+    433-454), with `skip` threads instead of a stack.
+
+    This is the XLA fallback for scenes too big for packet traversal:
+    a 1024-lane packet's *union* walk visits nearly every node once
+    bounce waves decohere (measured ~0.8 ms/ray at 33k tris — 160x90
+    @ 2 spp took 50 s warm, and one step up crashed the TPU worker's
+    execution watchdog), while per-lane walks are bounded by each
+    ray's own visit count.  Control flow is elementwise: one row
+    gather from bvh_pack + one thread-pair gather + max_leaf row
+    gathers from tri_pack per iteration, over all lanes at once.
+
+    Returns (t, u, v, tri) with `tri` a tri_pack row index (leaf
+    order, -1 = miss) — the same contract as pallas_trace.traverse,
+    so `hit_from_kernel` assembles the Hit (and the shading math is
+    shared bit-for-bit with the Pallas split path)."""
+    shape = ro.x.shape
+    end = int(scene.bvh_min.shape[0])          # terminal thread target
+    bp = int(scene.bvh_pack.shape[0])
+    tmax_f = jnp.asarray(t_max, jnp.float32)
+    tmin_f = jnp.asarray(t_min, jnp.float32)
+
+    octant = ((rd.x < 0).astype(jnp.int32)
+              + 2 * (rd.y < 0).astype(jnp.int32)
+              + 4 * (rd.z < 0).astype(jnp.int32))
+    thr_flat = scene.thr_pack.reshape(-1)
+
+    has_work = active & jnp.asarray(scene.n_tris > 0)
+    init = dict(
+        node=jnp.where(has_work, 0, end).astype(jnp.int32),
+        closest=jnp.where(active, tmax_f, tmin_f),
+        u=jnp.zeros(shape, jnp.float32),
+        v=jnp.zeros(shape, jnp.float32),
+        tri=jnp.full(shape, -1, jnp.int32),
+    )
+    max_leaf = int(scene.max_leaf)
+
+    def cond(c):
+        return jnp.any(c["node"] < end)
+
+    def body(c):
+        node = c["node"]
+        nodec = jnp.clip(node, 0, bp - 1)
+        nf = scene.bvh_pack[nodec]             # (..., 16) row gather
+        live = node < end
+
+        # slab test against the lane's own interval (bbox_hit,
+        # src/gpu_render.cu:285-315: miss iff t_max <= t_min)
+        tmin_c = jnp.broadcast_to(tmin_f, shape)
+        tmax_c = c["closest"]
+        for axis, (o, d) in enumerate(
+                ((ro.x, rd.x), (ro.y, rd.y), (ro.z, rd.z))):
+            inv = 1.0 / d
+            t0 = (nf[..., axis] - o) * inv
+            t1 = (nf[..., 3 + axis] - o) * inv
+            neg = inv < 0.0
+            lo = jnp.where(neg, t1, t0)
+            hi = jnp.where(neg, t0, t1)
+            tmin_c = jnp.maximum(tmin_c, lo)
+            tmax_c = jnp.minimum(tmax_c, hi)
+        enter = (tmax_c > tmin_c) & live
+
+        leaf_off = nf[..., 7].astype(jnp.int32)
+        leaf_cnt = nf[..., 8].astype(jnp.int32)
+        is_leaf = leaf_cnt > 0
+        at_leaf = enter & is_leaf
+
+        def tri_body(i, st):
+            closest, uu, vv, tri = st
+            row = jnp.clip(leaf_off + i, 0, scene.tri_pack.shape[0] - 1)
+            tp = scene.tri_pack[row]           # (..., 16) row gather
+            # Moller-Trumbore with the precomputed e1/e2 edge columns
+            # (same math as the Pallas kernels; |det| < 1e-8 reject,
+            # src/gpu_render.cu:322-380)
+            pvx = rd.y * tp[..., 8] - rd.z * tp[..., 7]
+            pvy = rd.z * tp[..., 6] - rd.x * tp[..., 8]
+            pvz = rd.x * tp[..., 7] - rd.y * tp[..., 6]
+            det = tp[..., 3] * pvx + tp[..., 4] * pvy + tp[..., 5] * pvz
+            ok = jnp.abs(det) >= 1e-8
+            inv_det = 1.0 / jnp.where(ok, det, 1.0)
+            tvx = ro.x - tp[..., 0]
+            tvy = ro.y - tp[..., 1]
+            tvz = ro.z - tp[..., 2]
+            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+            ok = ok & (u >= 0.0) & (u <= 1.0)
+            qvx = tvy * tp[..., 5] - tvz * tp[..., 4]
+            qvy = tvz * tp[..., 3] - tvx * tp[..., 5]
+            qvz = tvx * tp[..., 4] - tvy * tp[..., 3]
+            v = (rd.x * qvx + rd.y * qvy + rd.z * qvz) * inv_det
+            ok = ok & (v >= 0.0) & (u + v <= 1.0)
+            t = (tp[..., 6] * qvx + tp[..., 7] * qvy
+                 + tp[..., 8] * qvz) * inv_det
+            ok = ok & (t >= tmin_f) & (t <= closest) & at_leaf \
+                & (i < leaf_cnt)
+            if any_hit:
+                # collapse the interval so every later test fails
+                closest = jnp.where(ok, tmin_f, closest)
+            else:
+                closest = jnp.where(ok, t, closest)
+            uu = jnp.where(ok, u, uu)
+            vv = jnp.where(ok, v, vv)
+            tri = jnp.where(ok, row, tri)
+            return closest, uu, vv, tri
+
+        closest, uu, vv, tri = lax.fori_loop(
+            0, max_leaf, tri_body, (c["closest"], c["u"], c["v"], c["tri"]))
+
+        # next node: the lane's octant thread — near child on entered
+        # internal nodes, the post-subtree thread otherwise
+        tidx = nodec * 16 + 2 * octant
+        enter_n = thr_flat[tidx].astype(jnp.int32)
+        skip_n = thr_flat[tidx + 1].astype(jnp.int32)
+        nxt = jnp.where(enter & ~is_leaf, enter_n, skip_n)
+        if any_hit:
+            nxt = jnp.where(closest <= tmin_f, end, nxt)  # park on hit
+        nxt = jnp.where(live, nxt, end)
+        return dict(node=nxt, closest=closest, u=uu, v=vv, tri=tri)
+
+    st = lax.while_loop(cond, body, init)
+    t_out = jnp.where(st["tri"] >= 0, st["closest"], tmax_f)
+    return t_out, st["u"], st["v"], st["tri"]
+
+
+# Above this many triangles the XLA fallback uses the per-lane walk.
+# Packet union fronts degenerate on incoherent bounce waves: measured
+# warm frame times at 160x90 @ 2 spp (v5e) — 5.8k tris: packet 0.64 s
+# vs lane 0.30 s; 12.4k: 12.5 s vs 0.32 s; 33k: 50 s vs ~0.4 s; 40k+:
+# packet exceeds the TPU worker's execution watchdog (worker crash)
+# while lane runs 0.41 s at 47.7k and 0.88 s at 130k.  Only tiny
+# scenes (coherent fronts, shared node loads) keep the packet walk.
+LANE_SWITCH_TRIS = 2048
+
+
+def scene_hit_flat_lane(scene, ro: V3, rd: V3, t_min, t_max, active,
+                        state=None, any_hit: bool = False, time=None):
+    """scene_hit over a full (K, P) lane grid via `lane_traverse` (the
+    big-scene XLA fallback; same Hit-assembly as the Pallas split path,
+    plus vn interpolation for smooth scenes)."""
+    t, u, v, tri = lane_traverse(scene, ro, rd, t_min, t_max, active,
+                                 any_hit=any_hit)
+    hit = hit_from_kernel(scene, ro, rd, t, u, v, tri, t_max)
+    if scene.has_smooth:
+        # interpolate + normalize the vn normals (tri_aux rows
+        # [n0 n1 n2 ...], exact split-path formula at :158-167)
+        trc = jnp.clip(tri, 0, scene.tri_aux.shape[0] - 1)
+        ta = scene.tri_aux[trc]
+        w = 1.0 - u - v
+        nx = w * ta[..., 0] + u * ta[..., 3] + v * ta[..., 6]
+        ny = w * ta[..., 1] + u * ta[..., 4] + v * ta[..., 7]
+        nz = w * ta[..., 2] + u * ta[..., 5] + v * ta[..., 8]
+        nlen = jnp.sqrt(nx * nx + ny * ny + nz * nz)
+        ninv = jnp.where(nlen > 0, 1.0 / jnp.maximum(nlen, 1e-38), 0.0)
+        nx, ny, nz = nx * ninv, ny * ninv, nz * ninv
+        front = (rd.x * nx + rd.y * ny + rd.z * nz) < 0.0
+        sgn = jnp.where(front, 1.0, -1.0)
+        m = hit.hit
+        hit = hit._replace(
+            nx=jnp.where(m, sgn * nx, hit.nx),
+            ny=jnp.where(m, sgn * ny, hit.ny),
+            nz=jnp.where(m, sgn * nz, hit.nz),
+            front=jnp.where(m, front, hit.front))
+    hit = sphere_pass(scene, ro, rd, t_min, hit, active, time=time)
+    hit = quad_pass(scene, ro, rd, t_min, hit, active)
+    if scene.n_media > 0:
+        assert state is not None, "media require an RNG state"
+        hit, state = media_pass(scene, ro, rd, t_min, hit, active, state)
+    return hit, state
+
+
 def scene_hit(scene, ro: V3, rd: V3, t_min, t_max, active, state=None,
               any_hit: bool = False, time=None):
     """Full scene intersection for one packet: BVH triangles, then spheres,
