@@ -49,6 +49,21 @@ def build_parser() -> argparse.ArgumentParser:
                         "(lunar_polar_orbit_sim.py:445-579 FuncAnimation)")
     p.add_argument("--jax", action="store_true",
                    help="vmapped JAX Kepler solve instead of NumPy")
+    # beyond-reference trajectory families (ROADMAP)
+    p.add_argument("--family", choices=["polar", "plane_offset", "nrho"],
+                   default="polar",
+                   help="polar: reference-parity same-orbit phase sweep. "
+                        "plane_offset: non-coplanar flyby (chaser orbit "
+                        "inclined by --dincl more). nrho: CR3BP Earth-"
+                        "Moon L2 southern halo (Gateway-class NRHO; "
+                        "differentially corrected, orbit/cr3bp.py)")
+    p.add_argument("--dincl", type=float, default=1.0,
+                   help="plane_offset: chaser inclination offset [deg]")
+    p.add_argument("--nrho_z0", type=float, default=-0.18,
+                   help="nrho: out-of-plane amplitude (normalized EM "
+                        "units; -0.18 ~ 2,800 km perilune NRHO)")
+    p.add_argument("--nrho_lead", type=float, default=600.0,
+                   help="nrho: chaser's initial along-orbit lead [s]")
     return p
 
 
@@ -62,7 +77,9 @@ def main(argv=None) -> int:
                            elements=elements, epoch_utc=args.epoch_utc,
                            kernel_dir=kernel_dir,
                            sun_centered=not args.moon_centered,
-                           use_jax=args.jax)
+                           use_jax=args.jax, family=args.family,
+                           dincl_deg=args.dincl, nrho_z0=args.nrho_z0,
+                           nrho_lead_s=args.nrho_lead)
     print(f"[+] {n} poses")
 
     if args.sun_view or args.moon_view:
