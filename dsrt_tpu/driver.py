@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "work-queue (auto-bands huge frames).")
     p.add_argument("--spp_batch", type=int, default=8,
                    help="concurrent sample slots per pixel (wavefront mode)")
+    p.add_argument("--adaptive", type=float, default=0.0,
+                   help="variance-guided adaptive sampling tolerance "
+                        "(>0 enables; --spp becomes the per-pixel CAP; "
+                        "split-buffer convergence, fused scenes only)")
+    p.add_argument("--adaptive_chunk", type=int, default=0,
+                   help="samples per adaptive chunk (0 = spp/8)")
     p.add_argument("--no_pipeline", action="store_true",
                    help="disable the frame pipeline (render of frame n+1 "
                         "overlapped with PNG encode of frame n; the "
@@ -253,6 +259,15 @@ def run(args) -> int:
                     frame_scene, cam, cfg, mesh, with_count=True)
             else:
                 img = render_frame_sharded(frame_scene, cam, cfg, mesh)
+        elif args.adaptive > 0:
+            from dsrt_tpu.render import render_frame_adaptive
+            img, astats = render_frame_adaptive(
+                frame_scene, cam, cfg, tol=args.adaptive,
+                chunk_spp=args.adaptive_chunk or None, with_count=True)
+            nrays = astats["rays"]
+            print(f"  [frame {i}] adaptive: mean spp "
+                  f"{astats['mean_spp']:.1f}/{cfg.spp} over "
+                  f"{astats['rounds']} rounds")
         else:
             mode = args.mode
             if mode in ("auto", "fused"):

@@ -301,10 +301,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
     sun_r, sun_g, sun_b = sun_ref[3], sun_ref[4], sun_ref[5]
     sh_bias = sun_ref[6]
 
-    # per-pixel LCG seed (src/gpu_render.cu:990)
+    # per-pixel LCG seed (src/gpu_render.cu:990); spp_ref[1] is a runtime
+    # stream salt (0 in parity mode — x ^ 0 == x — nonzero for adaptive
+    # sampling's decorrelated chunks, the SP_SEED_MIX pattern)
     state0 = (px_ref[...].astype(jnp.uint32)
               + py_ref[...].astype(jnp.uint32) * jnp.uint32(width)
-              ) ^ jnp.uint32(seed & 0xFFFFFFFF)
+              ) ^ jnp.uint32(seed & 0xFFFFFFFF) \
+        ^ spp_ref[1].astype(jnp.uint32)
 
     f0 = jnp.zeros(shape, jnp.float32)
     f1 = jnp.ones(shape, jnp.float32)
@@ -2628,7 +2631,8 @@ def _resolve_leaf_parts(packed: bool, block_h: int) -> int:
     return parts
 
 
-def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
+def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
+                salt=0, spp=None):
     """Render `spp` samples for every (K, P) lane pixel in one kernel.
 
     Returns (accum V3 (K, P) — sum over samples of clamp01(L) — and the
@@ -2705,7 +2709,11 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False):
         cam.origin, cam.lower_left, cam.horizontal, cam.vertical
     ]).astype(jnp.float32)
 
-    spp_vec = jnp.array([cfg.resolved_spp()], jnp.int32)
+    # [spp, stream salt] — both runtime scalars (one compiled kernel
+    # serves every sample count); salt 0 keeps the parity LCG streams
+    spp_rt = cfg.resolved_spp() if spp is None else spp
+    spp_vec = jnp.stack([jnp.asarray(spp_rt, jnp.int32),
+                         jnp.asarray(salt, jnp.int32)])
 
     # mixed-scene SMEM tables (host-resolved indirections)
     n_sph = int(scene.n_spheres)

@@ -161,9 +161,11 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
     sun_r, sun_g, sun_b = sun_ref[3], sun_ref[4], sun_ref[5]
     sh_bias = sun_ref[6]
 
+    # spp_ref[1]: runtime stream salt (0 = parity; adaptive chunks)
     state0 = (px_ref[...].astype(jnp.uint32)
               + py_ref[...].astype(jnp.uint32) * jnp.uint32(width)
-              ) ^ jnp.uint32(seed & 0xFFFFFFFF)
+              ) ^ jnp.uint32(seed & 0xFFFFFFFF) \
+        ^ spp_ref[1].astype(jnp.uint32)
 
     f0 = jnp.zeros(shape, jnp.float32)
     f1 = jnp.ones(shape, jnp.float32)
@@ -658,7 +660,7 @@ def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
 
 
 def trace_fused_spheres(scene, cfg, cam, px, py, valid,
-                        return_stats: bool = False):
+                        return_stats: bool = False, salt=0, spp=None):
     """Render `spp` samples for every (K, P) lane pixel in one kernel
     (sphere-scene sibling of pallas_path.trace_fused; same contract)."""
     K, P = px.shape
@@ -721,7 +723,10 @@ def trace_fused_spheres(scene, cfg, cam, px, py, valid,
     cam_vec = jnp.concatenate([
         cam.origin, cam.lower_left, cam.horizontal, cam.vertical
     ]).astype(jnp.float32)
-    spp_vec = jnp.array([cfg.resolved_spp()], jnp.int32)
+    # [spp, stream salt] — both runtime scalars; salt 0 keeps parity
+    spp_rt = cfg.resolved_spp() if spp is None else spp
+    spp_vec = jnp.stack([jnp.asarray(spp_rt, jnp.int32),
+                         jnp.asarray(salt, jnp.int32)])
 
     acc_r, acc_g, acc_b, stats = _run_sphere(
         mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec, spp_vec,

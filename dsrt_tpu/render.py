@@ -242,6 +242,115 @@ def _render_fused(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
     return padded[:cfg.height, :cfg.width][::-1], nrays
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def _fused_accum(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
+                 spp, salt):
+    """Raw fused-kernel accumulators (sum of clamp01(L)) for an
+    arbitrary lane set; spp/salt are RUNTIME scalars so every adaptive
+    chunk reuses one compiled kernel per lane-count bucket."""
+    if scene.n_tris > 0 or scene.n_quads > 0:
+        from dsrt_tpu.ops.pallas_path import trace_fused
+        return trace_fused(scene, cfg, cam, px, py, valid, spp=spp,
+                           salt=salt)
+    from dsrt_tpu.ops.pallas_sphere import trace_fused_spheres
+    return trace_fused_spheres(scene, cfg, cam, px, py, valid, spp=spp,
+                               salt=salt)
+
+
+def render_frame_adaptive(scene, cam: Camera, cfg: RenderConfig,
+                          tol: float = 0.02, chunk_spp: int | None = None,
+                          with_count: bool = False):
+    """Variance-guided adaptive sampling over the fused megakernels
+    (ROADMAP QoL; beyond-reference — the reference renders a fixed
+    1000 spp everywhere, main.cpp:256).
+
+    Samples are rendered in chunks that alternate between two buckets
+    A/B with decorrelated LCG streams (runtime salt); a pixel is
+    converged when its two half-means agree — the classic split-buffer
+    error estimate, |mean_A - mean_B| <= tol * (luminance + 0.02) —
+    and converged pixels drop out of later chunks (the lane grid is
+    rebuilt from the surviving pixel set each round, padded to a
+    power-of-two packet count so compiles stay bounded).  cfg.spp is
+    the per-pixel CAP; background/flat regions typically stop after
+    the first two chunks, concentrating samples on high-variance
+    pixels (mesh edges, shadow boundaries).
+
+    Returns (H, W, 3) u8 (and with `with_count` a stats dict with the
+    exact ray count and total samples).
+    """
+    kind = fused_kind(scene, cfg)
+    if kind is None:
+        raise ValueError("adaptive sampling needs a fused-supported "
+                         "scene (render_frame_wavefront covers the rest)")
+    max_spp = cfg.resolved_spp()
+    if chunk_spp is None:
+        chunk_spp = max(4, max_spp // 8)
+
+    H, W = cfg.height, cfg.width
+    npix = H * W
+    ys, xs = np.mgrid[0:H, 0:W]
+    pxf = xs.reshape(-1).astype(np.int32)
+    pyf = ys.reshape(-1).astype(np.int32)
+
+    sums = np.zeros((2, npix, 3), np.float64)   # bucket A/B accumulators
+    ns = np.zeros((2, npix), np.int64)
+    active = np.ones(npix, bool)
+    total_rays = 0
+    salt_mix = 0x9E3779B9
+
+    rounds = 0
+    spp_done = 0    # active pixels all carry the same total
+    while active.any() and spp_done < max_spp:
+        idx = np.nonzero(active)[0]
+        n_act = len(idx)
+        k = max(1, int(2 ** math.ceil(math.log2(
+            max(1, (n_act + PACKET - 1) // PACKET)))))
+        pad = k * PACKET - n_act
+        pxl = jnp.asarray(np.pad(pxf[idx], (0, pad)).reshape(k, PACKET))
+        pyl = jnp.asarray(np.pad(pyf[idx], (0, pad)).reshape(k, PACKET))
+        val = jnp.asarray((np.arange(k * PACKET) < n_act
+                           ).reshape(k, PACKET))
+        bucket = rounds % 2
+        spp_c = min(chunk_spp, max_spp - spp_done)
+        # i32-wrapped stream salt (0 on round 0: x ^ 0 == x)
+        salt = np.uint32((rounds * salt_mix) & 0xFFFFFFFF
+                         ).astype(np.int32) if rounds else np.int32(0)
+        accum, nr = _fused_accum(scene, cam, pxl, pyl, val, cfg,
+                                 jnp.asarray(spp_c, jnp.int32),
+                                 jnp.asarray(salt))
+        total_rays += int(np.asarray(jax.device_get(nr), np.int64).sum())
+        av = np.stack([np.asarray(jax.device_get(c)).reshape(-1)[:n_act]
+                       for c in (accum.x, accum.y, accum.z)], axis=-1)
+        sums[bucket, idx] += av
+        ns[bucket, idx] += spp_c
+        spp_done += spp_c
+        rounds += 1
+        if rounds < 2:
+            continue                     # need both buckets to compare
+        # split-buffer convergence test on the active set
+        a, b = sums[0, idx], sums[1, idx]
+        na = np.maximum(ns[0, idx], 1)[:, None]
+        nb = np.maximum(ns[1, idx], 1)[:, None]
+        ma, mb = a / na, b / nb
+        err = np.abs(ma - mb).max(axis=-1)
+        lum = 0.5 * (ma + mb) @ np.array([0.2126, 0.7152, 0.0722])
+        done = err <= tol * (lum + 0.02)
+        active[idx[done]] = False
+
+    n_tot = np.maximum(ns.sum(0), 1)[:, None]
+    c = sums.sum(0) / n_tot
+    # the reference tonemap chain (src/gpu_render.cu:1002-1030)
+    c = np.maximum(c, 0.0)
+    c = np.minimum(c, cfg.firefly_clamp)
+    c = np.power(c, 1.0 / cfg.gamma)
+    c = np.clip(c, 0.0, 1.0)
+    img = (255.99 * c).astype(np.uint8).reshape(H, W, 3)[::-1]
+    if with_count:
+        return img, dict(rays=total_rays, samples=int(ns.sum()),
+                         mean_spp=float(ns.sum() / npix), rounds=rounds)
+    return img
+
+
 def render_frame_queue(scene, cam: Camera, cfg: RenderConfig,
                        pool_packets: int = 0) -> np.ndarray:
     """Global-work-queue wavefront (ops/wavefront.trace_queue).
