@@ -597,19 +597,33 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         `soff` selects a per-row stack region (rowtrav mode); `dump` is
         the scratch slot masked pushes write to."""
         intbits = hitbits & ~leafbits & intmask
-        k = jnp.int32(0)
-        irank = jnp.int32(0)
-        for c in range(8):
-            k = k + ((intbits >> c) & 1)
-            irank = irank + ((intmask >> c) & 1)
-        npush = k
+        npush = _popcount8(intbits)
+        _push_children_at(sp, intbits, base, intmask, soff=soff,
+                          dump=dump, k0=npush)
+        return sp + npush
+
+    def _popcount8(bits):
+        k = bits & 1
+        for c in range(1, 8):
+            k = k + ((bits >> c) & 1)
+        return k
+
+    def _push_children_at(sp, intbits, base, intmask, soff=0,
+                          dump=STACK - 1, k0=None):
+        """The store half of _push_children at a precomputed stack base:
+        callers that know every pop's push count up front (a scalar
+        prefix sum — 1 add per pop) issue all pops' stores with
+        INDEPENDENT address chains instead of threading sp serially
+        through P x 8 conditional-store k-updates (sweep50k8 priced the
+        pushes at ~8 ms/frame on the serial visit spine)."""
+        k = _popcount8(intbits) if k0 is None else k0
+        irank = _popcount8(intmask)
         for c in range(7, -1, -1):
             irank = irank - ((intmask >> c) & 1)
             bc = (intbits >> c) & 1
             k = k - bc
             idx = jnp.where(bc > 0, soff + sp + k, dump)
             stack_ref[idx] = base + irank
-        return sp + npush
 
     def _push_children_ordered(sp, hitbits, leafbits, intmask, base,
                                prank, perm):
@@ -668,13 +682,27 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 prank = perm = None
             outs.append((W, hb, lb, base, im, prank, perm, lb_sets,
                          lb_half))
-        for p in range(P - 1, -1, -1):
-            W, hb, lb, base, im, prank, perm = outs[p][:7]
-            if octant is not None:
+        if octant is not None:
+            for p in range(P - 1, -1, -1):
+                W, hb, lb, base, im, prank, perm = outs[p][:7]
                 sp = _push_children_ordered(sp, hb, lb, im, base, prank,
                                             perm)
-            else:
-                sp = _push_children(sp, hb, lb, base, im)
+        else:
+            # parallel push bases: each pop's push count is a scalar
+            # popcount independent of the others, so the cross-pop
+            # dependency collapses to a P-add prefix sum and all pops'
+            # conditional stores issue on independent address chains
+            # (identical addresses/values to the serial form)
+            ibs = []
+            for p in range(P - 1, -1, -1):
+                _, hb, lb, base, im = outs[p][:5]
+                ibs.append((hb & ~lb & im, base, im))
+            np_list = [_popcount8(ib) for ib, _, _ in ibs]
+            s = sp
+            for (ib, base, im), np_ in zip(ibs, np_list):
+                _push_children_at(s, ib, base, im, k0=np_)
+                s = s + np_
+            sp = s
         if "push" in dup_set:            # perf triage: 2x the pushes,
             sp2 = sp                     # into a scratch stack segment
             for p in range(P - 1, -1, -1):
