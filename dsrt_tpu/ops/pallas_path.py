@@ -1067,7 +1067,41 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                         r0u = jnp.where(r1u > 0, r0u, 0)
                         return run_tiles(SR, r0u, r1u)
                     # extension rays scan THEIR entered leaves only
-                    if hbm:
+                    if hbm and leaf_parts > 1:
+                        # HBM x row-group masking composed: the DMA
+                        # window covers each pop's UNION range — its
+                        # bounds come from the groups' own range
+                        # scalars (scalar min/max, no extra vector
+                        # reduces on the visit chain) — and each row
+                        # group then scans only ITS entered sub-range
+                        # inside the window
+                        pr = n_rows // leaf_parts
+                        grps = list(zip(*ranges_half))
+                        uni = []
+                        for grp in grps:
+                            big = jnp.int32(1 << 29)
+                            r0u = jnp.where(grp[0][1] > 0, grp[0][0], big)
+                            r1u = grp[0][1]
+                            for rg in grp[1:]:
+                                r0u = jnp.minimum(
+                                    r0u, jnp.where(rg[1] > 0, rg[0], big))
+                                r1u = jnp.maximum(r1u, rg[1])
+                            r0u = jnp.where(r1u > 0, r0u, 0)
+                            uni.append((r0u, r1u, jnp.int32(0)))
+                        wins = _leaf_windows(uni, with_aux=shaded)
+                        for p, (grp, (r0u, r1u, _), (gs, cps)) in \
+                                enumerate(zip(grps, uni, wins)):
+                            for cp in cps:
+                                @pl.when(r1u > r0u)
+                                def _wait(cp=cp):
+                                    cp.wait()
+
+                            for gi, rg in enumerate(grp):
+                                SR = run_tiles(
+                                    SR, rg[0], rg[1],
+                                    rows=range(gi * pr, (gi + 1) * pr),
+                                    win=(p, gs))
+                    elif hbm:
                         # HBM mode: start every pop's leaf-window copy
                         # first (they overlap each other and the wait-
                         # free scans before them), then wait + scan
@@ -2807,7 +2841,7 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         dup=str(_OPTS.dup), sun_pops=int(_OPTS.sun_pops),
         chain_fuse=bool(_OPTS.chain_fuse) and not hbm,
         n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
-        leaf_parts=(1 if hbm else _resolve_leaf_parts(packed, block_h)),
+        leaf_parts=_resolve_leaf_parts(packed, block_h),
         hbm=hbm, gw=_hbm_gw(scene), leaf_tail=str(_OPTS.leaf_tail))
 
     def unfold(a):
