@@ -372,11 +372,16 @@ def collapse_wide(bvh: BVH, arity: int = 8,
                 blk[k, 6] = float(s[c])
                 blk[k, 7] = float(e[c] - s[c])
         next_free += kI
-        # base and interior-slot bitmask packed into ONE f32-exact int
-        # (the kernel derives each entered interior child's index as
-        # base + popcount(intmask below its slot)); single field so the
-        # lane-packed layout needs one scalar extraction per visit
-        blk[0, 8] = float(base * 256 + intmask)
+        # base and interior-slot bitmask packed into ONE int32 stored
+        # as its raw BIT PATTERN in the f32 lane (the kernel extracts
+        # it with a bitcast, never float arithmetic, so all 32 bits
+        # survive — f32-exact packing capped the table at 65536 wide
+        # nodes, ~800k tris; the bit pattern caps at 2^23 nodes).
+        # The kernel derives each entered interior child's index as
+        # base + popcount(intmask below its slot); single field so the
+        # lane-packed layout needs one scalar extraction per visit.
+        blk[0, 8] = np.array([base * 256 + intmask],
+                             np.int32).view(np.float32)[0]
         # prank: 3-bit packed rank-among-interior-slots per slot (the
         # ordered push loop needs rank by slot id without popcounts)
         prank = 0
@@ -440,7 +445,7 @@ def collapse_wide(bvh: BVH, arity: int = 8,
     else:
         src = np.zeros(0, np.int64)
     wml = int(max((blk[:, 7].max() for _, blk in rows), default=0))
-    assert n_wide < 65536, "base*256+intmask must stay f32-exact"
+    assert n_wide < (1 << 23), "base*256+intmask must fit int32"
     return WideBVH(table=table, n_wide=n_wide, arity=arity,
                    max_leaf=wml, depth=max_depth, src=src.astype(np.int32))
 

@@ -398,21 +398,28 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         bring this node's 16-lane group to the front, a static slice,
         and base+intmask extracted from the ONE f32-exact combo field
         (child record 0, lane 8) with a degenerate reduce."""
+        # the combo lane holds an int32 BIT PATTERN (bvh_build stores
+        # base*256+intmask via .view(float32)); extract with a bitcast
+        # and integer sum — loads/rolls/slices are bit-preserving, and
+        # no float arithmetic may touch the lane (small-int patterns
+        # are f32 denormals, which the VPU would flush to zero)
         if wide_ref.shape[1] == 128:     # lane-packed
             grp = wide_ref[pl.ds(8 * (node // 8), 8), :]
             W = pltpu.roll(grp, -16 * (node % 8), 1)[:, :16]
-            combo = jnp.sum(W[0:1, 8:9]).astype(jnp.int32)
+            combo = jnp.sum(jax.lax.bitcast_convert_type(
+                W[0:1, 8:9], jnp.int32))
         else:                            # dense sublane rows
             W = wide_ref[pl.ds(8 * node, 8), :]
-            combo = wide_ref[8 * node, 8].astype(jnp.int32)
+            combo = jnp.sum(jax.lax.bitcast_convert_type(
+                W[0:1, 8:9], jnp.int32))
         if "load" in dup_set:            # perf triage: 2x the node load
             if wide_ref.shape[1] == 128:
                 grp2 = wide_ref[pl.ds(8 * (node // 8), 8), :]
                 W2 = pltpu.roll(grp2, -16 * (node % 8), 1)[:, :16]
-                combo2 = jnp.sum(W2[0:1, 8:9]).astype(jnp.int32)
             else:
                 W2 = wide_ref[pl.ds(8 * node, 8), :]
-                combo2 = wide_ref[8 * node, 8].astype(jnp.int32)
+            combo2 = jnp.sum(jax.lax.bitcast_convert_type(
+                W2[0:1, 8:9], jnp.int32))
             W = jnp.maximum(W, W2)
             combo = jnp.maximum(combo, combo2)
         return W, combo >> 8, combo & 255
@@ -2667,6 +2674,12 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=out_shape[0] * 128 * 24,
                                       transcendentals=out_shape[0] * 128 * 4),
+        # Mosaic's default scoped-VMEM limit is 16 MB; the HBM-streamed
+        # mode keeps only the wide-BVH table resident, so give the node
+        # table most of the chip's 128 MB VMEM (the true big-scene
+        # ceiling; fits_vmem_fused_hbm gates admission)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=119 * 1024 * 1024) if hbm else None,
     )(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack, cam_vec,
       sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec, lit_vec, px, py,
       valid)

@@ -83,10 +83,13 @@ def fits_vmem_fused_hbm(scene, extra_rows: int = 0) -> bool:
     """Fused megakernel, HBM-streamed leaf mode (exec_opts.hbm_tris):
     only the wide-BVH table stays VMEM-resident (the tri tables it
     shares the budget with elsewhere are DMA'd per entered leaf
-    window), so the node table alone may take ~3x the shared budget
-    (~36 MB; validated at 517k tris on v5e)."""
+    window), so the node table alone may take ~86 MB of the v5e's
+    128 MB VMEM (the kernel raises Mosaic's scoped-VMEM limit to
+    119 MB; ray blocks + leaf windows + outputs take ~6 MB).
+    Validated on v5e at 1.32M tris (43.8k wide-node rows, 22 MB) and
+    at the 2.4M-tri edge."""
     return (scene.bvh_wide.shape[0] + extra_rows
-            <= 3 * _VMEM_BUDGET_ROWS)
+            <= 7 * _VMEM_BUDGET_ROWS)
 
 
 def backend_is_tpu() -> bool:

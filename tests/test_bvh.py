@@ -79,3 +79,36 @@ def test_native_matches_numpy_if_available(rng, method):
         np.testing.assert_allclose(a.bbox_max, b.bbox_max, atol=1e-6)
         np.testing.assert_array_equal(a.left, b.left)
         np.testing.assert_array_equal(a.tri_count, b.tri_count)
+
+
+def test_wide_combo_bit_pattern(rng):
+    """The wide node's (base, intmask) combo is stored as an int32 BIT
+    PATTERN in the f32 lane (bvh_build.collapse_wide) — exact for any
+    base up to 2^23, unlike the old f32-exact float packing that capped
+    the table at 65536 wide nodes (~800k tris)."""
+    from dsrt_tpu.models.bvh_build import build_bvh, collapse_wide
+    v0, v1, v2 = random_tris(rng, 500)
+    bvh = build_bvh(v0, v1, v2, method="sah")
+    wide = collapse_wide(bvh)
+    nodes = wide.table.reshape(-1, 8, 16)
+    seen_interior = False
+    for j, blk in enumerate(nodes[:wide.n_wide]):
+        combo = int(np.array([blk[0, 8]], np.float32).view(np.int32)[0])
+        base, intmask = combo >> 8, combo & 255
+        if intmask:
+            seen_interior = True
+            assert 0 < base < wide.n_wide
+        # interior-slot records carry child pointers consistent with
+        # the mask rank
+        rk = 0
+        for c in range(8):
+            if (intmask >> c) & 1:
+                assert int(blk[c, 6]) == base + rk and blk[c, 7] == 0.0
+                rk += 1
+    assert seen_interior
+
+    # the pack/unpack round-trip holds far beyond the old 65536 cap
+    for base in (1, 65535, 70000, (1 << 23) - 1):
+        f = np.array([base * 256 + 0xA5], np.int32).view(np.float32)
+        back = int(f.view(np.int32)[0])
+        assert back >> 8 == base and back & 255 == 0xA5
