@@ -257,17 +257,21 @@ def all_configs() -> list[dict]:
                 "n_tris": int(scene50k.n_tris), "rays": exact,
                 "sec_per_frame": round(dt, 3)})
 
-    # --- beyond-VMEM scale: 130k tris through the HBM-streamed leaf
-    # mode (exec_opts.hbm_tris auto-engages; only the wide BVH stays
-    # on-core, leaf windows DMA per visit).  Before r3 this scale fell
-    # off the fused path entirely. --------------------------------------
+    # --- beyond-(old)-VMEM scale: 130k tris.  Before r3 this scale fell
+    # off the fused path entirely; first served by the HBM-streamed leaf
+    # mode, now VMEM-RESIDENT again after the scoped-limit lift (the
+    # budgets auto-resolve; "mode" records which one ran).  The HBM mode
+    # itself serves 0.5M-2.4M tris (validated offline — scene build is
+    # too slow for the bench loop). --------------------------------------
     cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
     scene130 = iss_standin_scene(detail=20)
     cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
                           vfov=cfg.vfov, width=800, height=450)
     mrays, dt, exact = _fused_mrays(scene130, cam, cfg)
-    out.append({"config": "iss130k_hbm_800x450_32spp",
+    from dsrt_tpu.ops.pallas_path import _hbm_mode
+    out.append({"config": "iss130k_800x450_32spp",
                 "metric": "Mrays/sec/chip", "value": round(mrays, 3),
+                "mode": "hbm" if _hbm_mode(scene130, 0) else "resident",
                 "n_tris": int(scene130.n_tris), "rays": exact,
                 "sec_per_frame": round(dt, 3)})
     del scene130

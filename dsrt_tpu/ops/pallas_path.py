@@ -2674,12 +2674,12 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
         cost_estimate=pl.CostEstimate(flops=flops_est,
                                       bytes_accessed=out_shape[0] * 128 * 24,
                                       transcendentals=out_shape[0] * 128 * 4),
-        # Mosaic's default scoped-VMEM limit is 16 MB; the HBM-streamed
-        # mode keeps only the wide-BVH table resident, so give the node
-        # table most of the chip's 128 MB VMEM (the true big-scene
-        # ceiling; fits_vmem_fused_hbm gates admission)
+        # Mosaic's default scoped-VMEM limit is 16 MB; raise it to most
+        # of the chip's 128 MB so the resident tables (VMEM mode, up to
+        # _FUSED_RESIDENT_ROWS) or the wide-BVH node table alone (HBM
+        # mode) can use it — the budgets in pallas_trace gate admission
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=119 * 1024 * 1024) if hbm else None,
+            vmem_limit_bytes=119 * 1024 * 1024),
     )(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack, cam_vec,
       sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec, lit_vec, px, py,
       valid)

@@ -73,10 +73,19 @@ def fits_vmem_fused(scene, extra_rows: int = 0) -> bool:
             + scene.tri_tile.shape[0] + extra_rows <= _VMEM_BUDGET_ROWS)
 
 
+# Fused-kernel VMEM-RESIDENT budget: the fused pallas_call raises
+# Mosaic's scoped-VMEM limit to 119 MB (of the v5e's 128), so all
+# tables can stay resident up to ~82 MB — headroom is reserved for the
+# framebuffer outputs at 1080p (~25 MB on the same scoped stack) plus
+# windows/scratch.  Beyond this the HBM-streamed leaf mode takes over.
+_FUSED_RESIDENT_ROWS = 160000
+
+
 def fits_vmem_fused_packed(scene, extra_rows: int = 0) -> bool:
     """Fused megakernel, packed tri fallback (64 B/tri) + tile table."""
     return (scene.bvh_wide.shape[0] + scene.tri_pk8.shape[0]
-            + scene.tri_tile.shape[0] + extra_rows <= _VMEM_BUDGET_ROWS)
+            + scene.tri_tile.shape[0] + extra_rows
+            <= _FUSED_RESIDENT_ROWS)
 
 
 def fits_vmem_fused_hbm(scene, extra_rows: int = 0) -> bool:

@@ -105,8 +105,19 @@ def test_hbm_auto_resolution():
     assert fits_vmem_fused_packed(small)
     assert not _hbm_mode(small, 0)
     big = iss_standin_scene(detail=20)
-    assert not fits_vmem_fused_packed(big)
-    assert _hbm_mode(big, 0)
+    # 130k tris now fits the raised VMEM-resident budget (the scoped-
+    # VMEM limit lift); auto stays resident — the faster mode there
+    assert fits_vmem_fused_packed(big)
+    assert not _hbm_mode(big, 0)
+    # shrink the budget to check the auto cutover logic itself
+    from dsrt_tpu.ops import pallas_trace as pt
+    orig = pt._FUSED_RESIDENT_ROWS
+    try:
+        pt._FUSED_RESIDENT_ROWS = 24000
+        assert not fits_vmem_fused_packed(big)
+        assert _hbm_mode(big, 0)
+    finally:
+        pt._FUSED_RESIDENT_ROWS = orig
     # window (groups of 64 tris) covers span + misalignment + the
     # engine's trailing duplicate tile
     assert 8 * _hbm_gw(big) * 8 >= big.wide_max_span + 8 + 8
