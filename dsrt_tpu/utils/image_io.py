@@ -154,9 +154,78 @@ def read_ppm(path: str) -> np.ndarray:
     return np.ascontiguousarray(img)
 
 
+def read_bmp(path: str) -> np.ndarray:
+    """Uncompressed 24/32-bit BI_RGB Windows BMP -> (H,W,3) uint8 (the
+    stb_image BMP subset that texture assets actually use)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    off = int.from_bytes(data[10:14], "little")
+    hdr_size = int.from_bytes(data[14:18], "little")
+    if hdr_size < 40:
+        raise ValueError("BMP core headers unsupported")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    comp = int.from_bytes(data[30:34], "little")
+    if comp not in (0, 3) or bpp not in (24, 32):
+        raise ValueError(f"BMP bpp={bpp} compression={comp} unsupported")
+    flip = h > 0          # positive height = bottom-up storage
+    h = abs(h)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = np.frombuffer(data, np.uint8, stride * h, off)
+    img = rows.reshape(h, stride)[:, :w * nch].reshape(h, w, nch)
+    img = img[::-1] if flip else img
+    # BGR(A) -> RGB
+    return np.ascontiguousarray(img[..., 2::-1])
+
+
+def read_tga(path: str) -> np.ndarray:
+    """TGA type 2 (uncompressed true-color) and type 10 (RLE true-color)
+    -> (H,W,3) uint8."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    idlen, cmap_type, imgtype = data[0], data[1], data[2]
+    if cmap_type != 0 or imgtype not in (2, 10):
+        raise ValueError(f"TGA type {imgtype}/cmap {cmap_type} unsupported")
+    w = int.from_bytes(data[12:14], "little")
+    h = int.from_bytes(data[14:16], "little")
+    bpp = data[16]
+    desc = data[17]
+    if bpp not in (24, 32):
+        raise ValueError(f"TGA bpp={bpp} unsupported")
+    nch = bpp // 8
+    pos = 18 + idlen
+    if imgtype == 2:
+        px = np.frombuffer(data, np.uint8, w * h * nch, pos)
+    else:                 # RLE
+        out = bytearray()
+        need = w * h * nch
+        while len(out) < need:
+            hdrb = data[pos]
+            pos += 1
+            cnt = (hdrb & 0x7F) + 1
+            if hdrb & 0x80:           # run packet
+                out += data[pos:pos + nch] * cnt
+                pos += nch
+            else:                     # raw packet
+                out += data[pos:pos + nch * cnt]
+                pos += nch * cnt
+        px = np.frombuffer(bytes(out), np.uint8, need)
+    img = px.reshape(h, w, nch)
+    if not (desc & 0x20):             # bit 5 clear = bottom-up
+        img = img[::-1]
+    return np.ascontiguousarray(img[..., 2::-1])  # BGR(A) -> RGB
+
+
 def load_image_rgb8(path: str) -> np.ndarray:
     """Decode any supported image to (H,W,3) uint8 (stbi_load force-RGB
-    analogue, src/gpu_scene_builder.cpp:215)."""
+    analogue, src/gpu_scene_builder.cpp:215).  Native decoders cover
+    PNG, PPM, baseline JPEG, BMP (24/32-bit BI_RGB), and TGA (types
+    2/10) — the formats texture assets actually ship in; anything else
+    falls through to PIL when available."""
     lower = path.lower()
     if lower.endswith(".png"):
         try:
@@ -173,10 +242,20 @@ def load_image_rgb8(path: str) -> np.ndarray:
             return jpeg.read_jpeg(path)
         except jpeg.UnsupportedJPEG:
             pass
+    if lower.endswith(".bmp"):
+        try:
+            return read_bmp(path)
+        except ValueError:
+            pass
+    if lower.endswith(".tga"):
+        try:
+            return read_tga(path)
+        except ValueError:
+            pass
     try:
         from PIL import Image  # optional
         with Image.open(path) as im:
             return np.asarray(im.convert("RGB"), np.uint8)
     except ImportError as e:
-        raise IOError(f"cannot decode '{path}': PIL unavailable "
-                      "(native decoders cover PNG/PPM/baseline JPEG)") from e
+        raise IOError(f"cannot decode '{path}': PIL unavailable (native "
+                      "decoders cover PNG/PPM/baseline JPEG/BMP/TGA)") from e

@@ -84,3 +84,79 @@ def test_native_jpeg_restart_markers(tmp_path):
     ours = read_jpeg(p).astype(int)
     ref = np.asarray(PIL.open(p).convert("RGB"), np.uint8).astype(int)
     assert np.abs(ours - ref).max() <= 4
+
+
+def _write_bmp24(path, img):
+    """Minimal bottom-up 24-bit BI_RGB writer (test fixture)."""
+    h, w, _ = img.shape
+    stride = (w * 3 + 3) & ~3
+    rows = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = img[y, :, ::-1].tobytes()            # RGB -> BGR
+        rows += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    size = off + len(rows)
+    hdr = (b"BM" + size.to_bytes(4, "little") + b"\x00" * 4
+           + off.to_bytes(4, "little")
+           + (40).to_bytes(4, "little")
+           + w.to_bytes(4, "little", signed=True)
+           + h.to_bytes(4, "little", signed=True)
+           + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+           + b"\x00" * 24)
+    with open(path, "wb") as fh:
+        fh.write(hdr + bytes(rows))
+
+
+def _write_tga(path, img, rle=False):
+    h, w, _ = img.shape
+    hdr = bytes([0, 0, 10 if rle else 2]) + b"\x00" * 9 \
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little") \
+        + bytes([24, 0x20])                        # top-down
+    body = bytearray()
+    if rle:
+        flat = img[..., ::-1].reshape(-1, 3)       # BGR order
+        i = 0
+        while i < len(flat):
+            # raw packets of up to 128 px (correct, if not compact)
+            n = min(128, len(flat) - i)
+            body += bytes([n - 1]) + flat[i:i + n].tobytes()
+            i += n
+    else:
+        body = img[..., ::-1].tobytes()
+    with open(path, "wb") as fh:
+        fh.write(hdr + bytes(body))
+
+
+def test_bmp_roundtrip(tmp_path):
+    from dsrt_tpu.utils.image_io import read_bmp, load_image_rgb8
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (13, 10, 3), np.uint8)
+    p = str(tmp_path / "t.bmp")
+    _write_bmp24(p, img)
+    np.testing.assert_array_equal(read_bmp(p), img)
+    np.testing.assert_array_equal(load_image_rgb8(p), img)
+
+
+def test_tga_roundtrip(tmp_path):
+    from dsrt_tpu.utils.image_io import read_tga, load_image_rgb8
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (9, 17, 3), np.uint8)
+    for rle in (False, True):
+        p = str(tmp_path / f"t{int(rle)}.tga")
+        _write_tga(p, img, rle=rle)
+        np.testing.assert_array_equal(read_tga(p), img)
+        np.testing.assert_array_equal(load_image_rgb8(p), img)
+
+
+def test_bmp_tga_match_pil_if_available(tmp_path):
+    pytest.importorskip("PIL")
+    from PIL import Image
+    from dsrt_tpu.utils.image_io import read_bmp, read_tga
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (8, 8, 3), np.uint8)
+    pb = str(tmp_path / "p.bmp")
+    Image.fromarray(img).save(pb)
+    np.testing.assert_array_equal(read_bmp(pb), img)
+    pt = str(tmp_path / "p.tga")
+    Image.fromarray(img).save(pt)
+    np.testing.assert_array_equal(read_tga(pt), img)
