@@ -4,11 +4,12 @@ The reference links the vendored stb_image (inc/stb_image.h:1) so a
 textured OBJ whose MTL points at a .jpg always loads; round-2 review
 flagged that our loader silently fell back to a 1x1 white texture on a
 PIL-less install (VERDICT r2 item 9).  This module closes that gap for
-the dominant JPEG flavor: baseline sequential DCT (SOF0), 8-bit, greyscale
-or YCbCr, interleaved scan, with restart-marker support.  Progressive
-(SOF2) and arithmetic-coded files raise UnsupportedJPEG so the caller can
-fall back to PIL (and the error names the real reason instead of masking
-it with white).
+the JPEG flavors texture assets actually ship in: baseline sequential DCT
+(SOF0/1) and PROGRESSIVE DCT (SOF2, spectral selection + successive
+approximation, T.81 annex G), 8-bit, greyscale or YCbCr, with
+restart-marker support.  Arithmetic-coded and hierarchical files raise
+UnsupportedJPEG so the caller can fall back to PIL (and the error names
+the real reason instead of masking it with white).
 
 Decode pipeline (the classic ITU T.81 path): marker parse -> Huffman
 entropy decode (table-driven, 16-bit peek) -> dequantize -> dezigzag ->
@@ -151,7 +152,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 symbols = list(seg[i + 17:i + 17 + n])
                 (huff_ac if tc else huff_dc)[th] = _HuffTable(counts, symbols)
                 i += 17 + n
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = seg[0], struct.unpack(">H", seg[1:3])[0], \
                 struct.unpack(">H", seg[3:5])[0], seg[5]
             if prec != 8:
@@ -160,11 +161,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 15, "tq": tq})
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise UnsupportedJPEG(f"unsupported SOF marker 0x{marker:02x} "
-                                  "(progressive/extended)")
+                                  "(lossless/arithmetic/hierarchical)")
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:  # SOS
@@ -177,21 +179,36 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 comp = next(x for x in frame["comps"] if x["id"] == cs)
                 scan.append((comp, tt >> 4, tt & 15))
             entropy_start = pos + seglen
-            return _decode_scan(data, entropy_start, frame, scan, qt,
-                                huff_dc, huff_ac, restart_interval)
+            if not frame["progressive"]:
+                return _decode_scan(data, entropy_start, frame, scan, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            pos = _decode_scan_progressive(
+                data, entropy_start, frame, scan, huff_dc, huff_ac,
+                restart_interval, ss, se, ahal >> 4, ahal & 15)
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive") \
+            and "coef" in frame["comps"][0]:
+        return _finish(frame, qt)
     raise UnsupportedJPEG("no scan data found")
 
 
-def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+def _geometry(frame):
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    return hmax, vmax, mcux, mcuy
 
-    # unstuff the entropy segment (0xFF00 -> 0xFF), split at RSTn
+
+def _entropy_segments(data, pos):
+    """Unstuff the entropy stream from `pos` (0xFF00 -> 0xFF), split at
+    RSTn markers.  Returns (segments, end_pos) with end_pos at the 0xFF
+    of the terminating marker."""
     out = bytearray()
     segments = [out]
     end = len(data)
@@ -212,13 +229,22 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
             break  # any other marker ends the scan
         out.append(b)
         i += 1
+    return segments, i
 
-    # per-component coefficient planes (in 8x8 blocks)
-    for c in comps:
-        bw = mcux * c["h"]
-        bh = mcuy * c["v"]
-        c["coef"] = np.zeros((bh, bw, 64), np.int32)
 
+def _alloc_coef(frame):
+    _, _, mcux, mcuy = _geometry(frame)
+    for c in frame["comps"]:
+        if "coef" not in c:
+            c["coef"] = np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                 np.int32)
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    segments, _ = _entropy_segments(data, pos)
+    _alloc_coef(frame)
     nmcu = mcux * mcuy
     per_rst = dri if dri else nmcu
     mcu = 0
@@ -245,7 +271,16 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
                                  mx * comp["h"] + bx] = blk
         mcu += 1
 
-    # dequantize + dezigzag + IDCT, all blocks of a component at once
+    return _finish(frame, qt)
+
+
+def _finish(frame, qt):
+    """Dequantize + dezigzag + IDCT + upsample + color convert the
+    accumulated coefficient planes (shared by the baseline and
+    progressive paths)."""
+    w, h = frame["w"], frame["h"]
+    comps = frame["comps"]
+    hmax, vmax, _, _ = _geometry(frame)
     planes = []
     for c in comps:
         q = qt[c["tq"]]
@@ -290,6 +325,171 @@ def _decode_scan(data, pos, frame, scan, qt, huff_dc, huff_ac, dri):
     else:
         raise UnsupportedJPEG(f"{len(planes)}-component JPEG")
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _huff_decode(reader, table):
+    peek = reader.peek16()
+    n = table.lookup_len[peek]
+    if n == 0:
+        raise UnsupportedJPEG("bad Huffman code")
+    reader.drop(int(n))
+    return int(table.lookup_sym[peek])
+
+
+def _refine_nonzero(reader, blk, k, bit):
+    """AC successive-approximation correction bit for a nonzero
+    coefficient (T.81 G.1.2.3; two's-complement & works for negatives
+    in Python exactly as for C shorts)."""
+    c = int(blk[k])
+    if reader.get(1):
+        if (c & bit) == 0:
+            blk[k] = c + bit if c > 0 else c - bit
+
+
+def _ac_first(reader, act, blk, ss, se, al, state):
+    """First AC scan of a band: EOB-run decoding (T.81 G.1.2.2)."""
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.get(r)
+                return
+            k += 16         # ZRL
+        else:
+            k += r
+            if k > se:
+                raise UnsupportedJPEG("AC run past spectral band")
+            blk[k] = _extend(reader.get(s), s) << al
+            k += 1
+
+
+def _ac_refine(reader, act, blk, ss, se, al, state):
+    """AC refinement scan (T.81 G.1.2.3; the stb_image
+    stbi__jpeg_decode_block_prog_ac structure, coefficients in zigzag
+    order since the planes store zigzag indices)."""
+    bit = 1 << al
+    if state["eobrun"] > 0:
+        state["eobrun"] -= 1
+        for k in range(ss, se + 1):
+            if blk[k] != 0:
+                _refine_nonzero(reader, blk, k, bit)
+        return
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, act)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r < 15:
+                state["eobrun"] = (1 << r) - 1
+                if r:
+                    state["eobrun"] += reader.get(r)
+                r = 64      # force the tail walk to spec_end
+            val = 0
+        else:
+            if s != 1:
+                raise UnsupportedJPEG("bad AC refinement size")
+            val = bit if reader.get(1) else -bit
+        # advance over r zero-HISTORY coefficients, refining nonzeros
+        # passed along the way; then place the new value
+        while k <= se:
+            if blk[k] != 0:
+                _refine_nonzero(reader, blk, k, bit)
+                k += 1
+            else:
+                if r == 0:
+                    if val:
+                        blk[k] = val
+                    k += 1
+                    break
+                r -= 1
+                k += 1
+
+
+def _decode_scan_progressive(data, pos, frame, scan, huff_dc, huff_ac,
+                             dri, ss, se, ah, al):
+    """One progressive scan (T.81 annex G): DC first/refinement
+    (interleaved or single-component) or a single-component AC band
+    scan.  Accumulates into the per-component zigzag coefficient
+    planes; _finish renders once all scans are in.  Returns the stream
+    position after the scan's entropy data."""
+    comps = frame["comps"]
+    hmax, vmax, mcux, mcuy = _geometry(frame)
+    segments, end = _entropy_segments(data, pos)
+    _alloc_coef(frame)
+
+    ctx = {"seg": 0, "reader": _BitReader(bytes(segments[0])),
+           "pred": {c["id"]: 0 for c in comps}}
+    state = {"eobrun": 0}
+
+    def restart():
+        ctx["seg"] += 1
+        if ctx["seg"] >= len(segments):
+            raise UnsupportedJPEG("missing restart segment")
+        ctx["reader"] = _BitReader(bytes(segments[ctx["seg"]]))
+        ctx["pred"] = {c["id"]: 0 for c in comps}
+        state["eobrun"] = 0
+
+    def dc_block(comp, tdc, blk):
+        reader = ctx["reader"]
+        if ah == 0:
+            size = _huff_decode(reader, huff_dc[tdc])
+            diff = _extend(reader.get(size), size)
+            ctx["pred"][comp["id"]] += diff
+            blk[0] = ctx["pred"][comp["id"]] << al
+        else:
+            if reader.get(1):
+                blk[0] += 1 << al
+
+    if ss == 0 and len(scan) > 1:
+        # interleaved DC scan
+        if se != 0:
+            raise UnsupportedJPEG("interleaved scan with AC band")
+        nmcu = mcux * mcuy
+        per_rst = dri if dri else nmcu
+        for mcu in range(nmcu):
+            if dri and mcu and mcu % per_rst == 0:
+                restart()
+            my, mx = divmod(mcu, mcux)
+            for comp, tdc, _tac in scan:
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        dc_block(comp, tdc,
+                                 comp["coef"][my * comp["v"] + by,
+                                              mx * comp["h"] + bx])
+        return end
+    if len(scan) != 1:
+        raise UnsupportedJPEG("interleaved progressive AC scan")
+
+    # single-component scan over the component's own (non-interleaved)
+    # block grid (T.81 A.2.2)
+    comp, tdc, tac = scan[0]
+    cw = -(-frame["w"] * comp["h"] // hmax)
+    ch = -(-frame["h"] * comp["v"] // vmax)
+    bw_ni = (cw + 7) // 8
+    bh_ni = (ch + 7) // 8
+    nblk = bw_ni * bh_ni
+    per_rst = dri if dri else nblk
+    for bi in range(nblk):
+        if dri and bi and bi % per_rst == 0:
+            restart()
+        by, bx = divmod(bi, bw_ni)
+        blk = comp["coef"][by, bx]
+        if ss == 0:
+            dc_block(comp, tdc, blk)
+            if se != 0:
+                raise UnsupportedJPEG("scan mixes DC and AC")
+        elif ah == 0:
+            _ac_first(ctx["reader"], huff_ac[tac], blk, ss, se, al, state)
+        else:
+            _ac_refine(ctx["reader"], huff_ac[tac], blk, ss, se, al, state)
+    return end
 
 
 def _fancy_up2(img: np.ndarray, axis: int) -> np.ndarray:

@@ -160,3 +160,52 @@ def test_bmp_tga_match_pil_if_available(tmp_path):
     pt = str(tmp_path / "p.tga")
     Image.fromarray(img).save(pt)
     np.testing.assert_array_equal(read_tga(pt), img)
+
+
+def test_native_jpeg_progressive_matches_pil(tmp_path):
+    """Progressive (SOF2) decode — spectral selection + successive
+    approximation (T.81 annex G) — vs libjpeg, within DCT rounding."""
+    PIL = pytest.importorskip("PIL.Image")
+    from dsrt_tpu.utils.jpeg import read_jpeg
+    rng = np.random.default_rng(13)
+    arr = np.clip(rng.normal(128, 48, (53, 81, 3)), 0, 255).astype(np.uint8)
+    for sub, tol in ((0, 4), (2, 6)):
+        p = str(tmp_path / f"prog{sub}.jpg")
+        PIL.fromarray(arr, "RGB").save(p, quality=90, subsampling=sub,
+                                       progressive=True)
+        with open(p, "rb") as f:
+            assert b"\xff\xc2" in f.read(), "not progressive"
+        ours = read_jpeg(p).astype(int)
+        ref = np.asarray(PIL.open(p).convert("RGB"), np.uint8).astype(int)
+        assert ours.shape == ref.shape
+        assert np.abs(ours - ref).max() <= tol
+
+
+def test_native_jpeg_progressive_grayscale(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    from dsrt_tpu.utils.image_io import load_image_rgb8
+    g = np.linspace(0, 255, 41 * 57).reshape(41, 57).astype(np.uint8)
+    p = str(tmp_path / "pg.jpg")
+    PIL.fromarray(g, "L").save(p, quality=93, progressive=True)
+    out = load_image_rgb8(p)
+    ref = np.asarray(PIL.open(p).convert("RGB"), np.uint8)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 2
+
+
+def test_native_jpeg_progressive_restart_markers(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    from dsrt_tpu.utils.jpeg import read_jpeg
+    rng = np.random.default_rng(14)
+    arr = np.clip(rng.normal(120, 40, (48, 96, 3)), 0, 255).astype(np.uint8)
+    p = str(tmp_path / "prst.jpg")
+    try:
+        PIL.fromarray(arr, "RGB").save(p, quality=90, subsampling=0,
+                                       progressive=True,
+                                       restart_marker_rows=1)
+    except (TypeError, OSError):
+        pytest.skip("PIL build cannot emit restart markers")
+    with open(p, "rb") as f:
+        assert b"\xff\xdd" in f.read(), "no DRI emitted"
+    ours = read_jpeg(p).astype(int)
+    ref = np.asarray(PIL.open(p).convert("RGB"), np.uint8).astype(int)
+    assert np.abs(ours - ref).max() <= 4
