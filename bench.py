@@ -365,6 +365,28 @@ def all_configs() -> list[dict]:
                 "mode": mode, "n_textures": int(scene_tex.n_textures),
                 "rays": exact, "sec_per_frame": round(dt, 3)})
 
+    # --- the TRUE flagship estimate: textured mesh at REAL scale (the
+    # NASA ISS OBJ is ~50k tris WITH per-triangle map_Kd textures) ------
+    cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
+    with tempfile.TemporaryDirectory() as td:
+        tex_path = os.path.join(td, "panel.png")
+        _write_panel_texture(tex_path)
+        scene_t50 = iss_standin_scene(detail=12, tex_path=tex_path)
+    assert scene_t50.has_image_tex
+    cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
+                          vfov=cfg.vfov, width=800, height=450)
+    if fused_kind(scene_t50, cfg):
+        mrays, dt, exact = _fused_mrays(scene_t50, cam, cfg)
+        mode = "fused"
+    else:
+        mrays, dt, exact = _wavefront_mrays(scene_t50, cam, cfg)
+        mode = "wavefront"
+    out.append({"config": "iss50k_tex_800x450_32spp",
+                "metric": "Mrays/sec/chip", "value": round(mrays, 3),
+                "mode": mode, "n_tris": int(scene_t50.n_tris),
+                "rays": exact, "sec_per_frame": round(dt, 3)})
+    del scene_t50
+
     # --- configs[4]: volumetric + importance-sampled scene ---------------
     cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
     scene = volumetric_scene()
