@@ -220,12 +220,292 @@ def read_tga(path: str) -> np.ndarray:
     return np.ascontiguousarray(img[..., 2::-1])  # BGR(A) -> RGB
 
 
+def read_pnm(path: str) -> np.ndarray:
+    """Netpbm P2/P3 (ASCII) and P5/P6 (binary) gray/color images ->
+    (H,W,3) uint8.  stb_image covers binary P5/P6 (inc/stb_image.h pnm);
+    the ASCII forms are included because tiny hand-written test assets
+    commonly use them.  maxval up to 65535 is rescaled to 8-bit."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    magic = data[:2]
+    if magic not in (b"P2", b"P3", b"P5", b"P6"):
+        raise ValueError(f"PNM magic {magic!r} unsupported")
+    # tokenize header (comments start with '#', run to end of line)
+    tokens, pos = [], 2
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos:pos + 1].isspace():
+            pos += 1
+        if data[pos:pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos:pos + 1].isspace():
+            pos += 1
+        tokens.append(data[start:pos])
+    pos += 1                               # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    nch = 3 if magic in (b"P3", b"P6") else 1
+    count = w * h * nch
+    if magic in (b"P2", b"P3"):
+        vals = np.array(data[pos:].split()[:count], dtype=np.int64)
+        if vals.size != count:
+            raise ValueError("truncated ASCII PNM")
+    elif maxval > 255:
+        vals = np.frombuffer(data, ">u2", count, pos).astype(np.int64)
+    else:
+        vals = np.frombuffer(data, np.uint8, count, pos).astype(np.int64)
+    img = ((vals * 255 + maxval // 2) // maxval).astype(np.uint8)
+    img = img.reshape(h, w, nch)
+    if nch == 1:
+        img = np.repeat(img, 3, axis=2)
+    return np.ascontiguousarray(img)
+
+
+def read_hdr(path: str) -> np.ndarray:
+    """Radiance RGBE (.hdr) -> (H,W,3) float32 linear radiance.
+
+    Decodes both the adaptive-RLE "new" scanline format and flat RGBE
+    (stb_image's .hdr coverage, inc/stb_image.h radiance loader).  Used
+    both for texture loading (tone-mapped to 8-bit in load_image_rgb8,
+    stb's ldr conversion: pow(f, 1/2.2)*255) and directly for HDR
+    environment-map skies."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if not (data.startswith(b"#?RADIANCE") or data.startswith(b"#?RGBE")):
+        raise ValueError("not a Radiance HDR file")
+    # header: lines until the blank line; then the resolution line
+    pos = data.index(b"\n") + 1
+    while True:
+        end = data.index(b"\n", pos)
+        line = data[pos:end]
+        pos = end + 1
+        if line == b"":
+            break
+        if line.startswith(b"FORMAT=") and b"32-bit_rle_rgbe" not in line:
+            raise ValueError(f"HDR format {line!r} unsupported")
+    end = data.index(b"\n", pos)
+    res = data[pos:end].split()
+    pos = end + 1
+    if len(res) != 4 or res[0] != b"-Y" or res[2] != b"+X":
+        raise ValueError(f"HDR resolution line {res!r} unsupported")
+    h, w = int(res[1]), int(res[3])
+
+    rgbe = np.zeros((h, w, 4), np.uint8)
+    buf = memoryview(data)
+    for y in range(h):
+        if (8 <= w < 32768 and buf[pos] == 2 and buf[pos + 1] == 2
+                and (buf[pos + 2] << 8 | buf[pos + 3]) == w):
+            pos += 4                     # adaptive RLE, per-component
+            for c in range(4):
+                x = 0
+                while x < w:
+                    cnt = buf[pos]
+                    pos += 1
+                    if cnt > 128:        # run of the next byte
+                        rgbe[y, x:x + cnt - 128, c] = buf[pos]
+                        x += cnt - 128
+                        pos += 1
+                    else:                # cnt literal bytes
+                        rgbe[y, x:x + cnt, c] = np.frombuffer(
+                            buf, np.uint8, cnt, pos)
+                        x += cnt
+                        pos += cnt
+        else:                            # flat RGBE (with old-style runs)
+            x = 0
+            while x < w:
+                px = np.frombuffer(buf, np.uint8, 4, pos)
+                pos += 4
+                if px[0] == 1 and px[1] == 1 and px[2] == 1:
+                    n = int(px[3])       # old run: repeat previous pixel
+                    rgbe[y, x:x + n] = rgbe[y, x - 1]
+                    x += n
+                else:
+                    rgbe[y, x] = px
+                    x += 1
+    f = rgbe.astype(np.float32)
+    scale = np.ldexp(np.float32(1.0), rgbe[..., 3].astype(np.int32) - 136)
+    out = f[..., :3] * scale[..., None]
+    out[rgbe[..., 3] == 0] = 0.0
+    return out
+
+
+def read_gif(path: str) -> np.ndarray:
+    """GIF87a/89a first frame -> (H,W,3) uint8 (LZW decode, global/local
+    color tables, interlace; the stb_image single-frame GIF behavior)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF file")
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    flags = data[10]
+    bg_idx = data[11]
+    pos = 13
+    gct = None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    transparent = -1
+    while pos < len(data):
+        b = data[pos]
+        pos += 1
+        if b == 0x3B:                     # trailer
+            break
+        if b == 0x21:                     # extension
+            label = data[pos]
+            pos += 1
+            if label == 0xF9:             # graphic control
+                blk = data[pos + 1:pos + 1 + data[pos]]
+                if blk[0] & 1:
+                    transparent = blk[3]
+            while data[pos] != 0:         # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if b != 0x2C:
+            raise ValueError(f"unexpected GIF block 0x{b:02x}")
+        # image descriptor
+        ix = int.from_bytes(data[pos:pos + 2], "little")
+        iy = int.from_bytes(data[pos + 2:pos + 4], "little")
+        iw = int.from_bytes(data[pos + 4:pos + 6], "little")
+        ih = int.from_bytes(data[pos + 6:pos + 8], "little")
+        lflags = data[pos + 8]
+        pos += 9
+        table = gct
+        if lflags & 0x80:
+            n = 2 << (lflags & 7)
+            table = np.frombuffer(data, np.uint8, n * 3, pos).reshape(n, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("GIF image with no color table")
+        min_code = data[pos]
+        pos += 1
+        stream = bytearray()
+        while data[pos] != 0:
+            stream += data[pos + 1:pos + 1 + data[pos]]
+            pos += 1 + data[pos]
+        pos += 1
+        # LZW decode
+        clear, eoi = 1 << min_code, (1 << min_code) + 1
+        codes: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code + 1
+        acc = nbits = 0
+        out = bytearray()
+        prev = None
+        for byte in stream:
+            acc |= byte << nbits
+            nbits += 8
+            while nbits >= width:
+                code = acc & ((1 << width) - 1)
+                acc >>= width
+                nbits -= width
+                if code == clear:
+                    codes = codes[:clear + 2]
+                    width = min_code + 1
+                    prev = None
+                    continue
+                if code == eoi:
+                    nbits = 0
+                    acc = 0
+                    break
+                if prev is None:
+                    entry = codes[code]
+                elif code < len(codes):
+                    entry = codes[code]
+                    codes.append(prev + entry[:1])
+                else:                     # KwKwK case
+                    entry = prev + prev[:1]
+                    codes.append(entry)
+                out += entry
+                prev = entry
+                if len(codes) == (1 << width) and width < 12:
+                    width += 1
+        idx = np.frombuffer(bytes(out[:iw * ih]), np.uint8).reshape(ih, iw)
+        if lflags & 0x40:                 # interlaced rows
+            deinter = np.empty_like(idx)
+            order = np.concatenate([np.arange(0, ih, 8),
+                                    np.arange(4, ih, 8),
+                                    np.arange(2, ih, 4),
+                                    np.arange(1, ih, 2)])
+            deinter[order] = idx
+            idx = deinter
+        frame = table[np.minimum(idx, len(table) - 1)]
+        canvas = np.zeros((sh, sw, 3), np.uint8)
+        if gct is not None:
+            canvas[:] = gct[min(bg_idx, len(gct) - 1)]
+        if transparent >= 0:
+            mask = idx != transparent
+            canvas[iy:iy + ih, ix:ix + iw][mask] = frame[mask]
+        else:
+            canvas[iy:iy + ih, ix:ix + iw] = frame
+        return canvas                     # first frame only
+    raise ValueError("GIF contains no image data")
+
+
+def read_psd(path: str) -> np.ndarray:
+    """Photoshop PSD composited image -> (H,W,3) uint8 (raw or PackBits-
+    RLE planar data, 8/16-bit channels; the stb_image PSD subset)."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"8BPS" or int.from_bytes(data[4:6], "big") != 1:
+        raise ValueError("not a PSD (v1) file")
+    nch = int.from_bytes(data[12:14], "big")
+    h = int.from_bytes(data[14:18], "big")
+    w = int.from_bytes(data[18:22], "big")
+    depth = int.from_bytes(data[22:24], "big")
+    if depth not in (8, 16):
+        raise ValueError(f"PSD depth {depth} unsupported")
+    pos = 26
+    for _ in range(3):                    # color mode / resources / layers
+        ln = int.from_bytes(data[pos:pos + 4], "big")
+        pos += 4 + ln
+    comp = int.from_bytes(data[pos:pos + 2], "big")
+    pos += 2
+    if comp == 0:                         # raw planar
+        bpc = depth // 8
+        count = nch * h * w
+        dt = ">u2" if depth == 16 else np.uint8
+        plane = np.frombuffer(data, dt, count, pos).astype(np.uint16)
+        if depth == 16:
+            plane = plane >> 8
+        img = plane.reshape(nch, h, w).astype(np.uint8)
+    elif comp == 1:                       # PackBits RLE (8-bit only)
+        pos += nch * h * 2                # per-row byte-count table
+        out = bytearray()
+        need = nch * h * w
+        while len(out) < need:
+            n = data[pos]
+            pos += 1
+            if n < 128:                   # n+1 literal bytes
+                out += data[pos:pos + n + 1]
+                pos += n + 1
+            elif n > 128:                 # repeat next byte 257-n times
+                out += data[pos:pos + 1] * (257 - n)
+                pos += 1
+        img = np.frombuffer(bytes(out), np.uint8, need).reshape(nch, h, w)
+    else:
+        raise ValueError(f"PSD compression {comp} unsupported")
+    if nch >= 3:
+        return np.ascontiguousarray(img[:3].transpose(1, 2, 0))
+    return np.repeat(img[0][..., None], 3, axis=2)
+
+
+def hdr_to_ldr(hdr: np.ndarray, gamma: float = 2.2) -> np.ndarray:
+    """stb's HDR->LDR conversion (scale 1, gamma 2.2): byte =
+    clamp(pow(f, 1/gamma)*255+0.5)."""
+    f = np.power(np.maximum(hdr.astype(np.float32), 0.0), 1.0 / gamma)
+    return np.clip(f * 255.0 + 0.5, 0.0, 255.0).astype(np.uint8)
+
+
 def load_image_rgb8(path: str) -> np.ndarray:
     """Decode any supported image to (H,W,3) uint8 (stbi_load force-RGB
     analogue, src/gpu_scene_builder.cpp:215).  Native decoders cover
     PNG, PPM, baseline JPEG, BMP (24/32-bit BI_RGB), and TGA (types
-    2/10) — the formats texture assets actually ship in; anything else
-    falls through to PIL when available."""
+    2/10), GIF (first frame), PSD (composited raw/RLE), Radiance HDR
+    (tone-mapped like stb's ldr conversion), and PNM — the stb_image
+    format surface; anything else falls through to PIL when available."""
     lower = path.lower()
     if lower.endswith(".png"):
         try:
@@ -252,10 +532,31 @@ def load_image_rgb8(path: str) -> np.ndarray:
             return read_tga(path)
         except ValueError:
             pass
+    if lower.endswith((".pnm", ".pgm")):
+        try:
+            return read_pnm(path)
+        except ValueError:
+            pass
+    if lower.endswith(".hdr"):
+        try:
+            return hdr_to_ldr(read_hdr(path))
+        except ValueError:
+            pass
+    if lower.endswith(".gif"):
+        try:
+            return read_gif(path)
+        except ValueError:
+            pass
+    if lower.endswith(".psd"):
+        try:
+            return read_psd(path)
+        except ValueError:
+            pass
     try:
         from PIL import Image  # optional
         with Image.open(path) as im:
             return np.asarray(im.convert("RGB"), np.uint8)
     except ImportError as e:
         raise IOError(f"cannot decode '{path}': PIL unavailable (native "
-                      "decoders cover PNG/PPM/baseline JPEG/BMP/TGA)") from e
+                      "decoders cover PNG/PPM/PNM/JPEG/BMP/TGA/GIF/PSD/"
+                      "HDR)") from e

@@ -209,3 +209,155 @@ def test_native_jpeg_progressive_restart_markers(tmp_path):
     ours = read_jpeg(p).astype(int)
     ref = np.asarray(PIL.open(p).convert("RGB"), np.uint8).astype(int)
     assert np.abs(ours - ref).max() <= 4
+
+# ---- stb-completeness formats: PNM, HDR, GIF, PSD (r3) -----------------
+
+
+def test_pnm_ascii_and_binary(tmp_path):
+    from dsrt_tpu.utils.image_io import read_pnm, load_image_rgb8
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, (5, 7, 3), np.uint8)
+    # P3 ASCII color
+    p3 = str(tmp_path / "c.pnm")
+    with open(p3, "w") as fh:
+        fh.write(f"P3\n# comment\n7 5\n255\n")
+        fh.write(" ".join(str(v) for v in img.reshape(-1)))
+    np.testing.assert_array_equal(read_pnm(p3), img)
+    # P5 binary gray (the stb-covered form) + 16-bit maxval rescale
+    g = rng.integers(0, 256, (4, 6), np.uint8)
+    p5 = str(tmp_path / "g.pgm")
+    with open(p5, "wb") as fh:
+        fh.write(b"P5\n6 4\n255\n" + g.tobytes())
+    out = load_image_rgb8(p5)
+    np.testing.assert_array_equal(out, np.repeat(g[..., None], 3, axis=2))
+    g16 = rng.integers(0, 65536, (3, 4), np.uint16)
+    p5w = str(tmp_path / "w.pgm")
+    with open(p5w, "wb") as fh:
+        fh.write(b"P5\n4 3\n65535\n" + g16.astype(">u2").tobytes())
+    out = read_pnm(p5w)
+    exp = ((g16.astype(np.int64) * 255 + 32767) // 65535).astype(np.uint8)
+    np.testing.assert_array_equal(out[..., 0], exp)
+    # P2 ASCII gray
+    p2 = str(tmp_path / "a.pgm")
+    with open(p2, "w") as fh:
+        fh.write("P2\n3 2\n255\n10 20 30\n40 50 60\n")
+    np.testing.assert_array_equal(
+        read_pnm(p2)[..., 0], np.array([[10, 20, 30], [40, 50, 60]]))
+
+
+def _rgbe_encode(img):
+    """Reference RGBE encode (Ward): e = ceil(log2(max)); m = c/2^e * 256."""
+    m = img.max(axis=-1)
+    e = np.where(m > 1e-32, np.ceil(np.log2(np.maximum(m, 1e-32))), 0)
+    # adjust so mantissa < 256
+    scale = np.exp2(8.0 - e)
+    rgbe = np.zeros(img.shape[:2] + (4,), np.uint8)
+    mant = np.minimum(img * scale[..., None], 255.0).astype(np.uint8)
+    rgbe[..., :3] = mant
+    rgbe[..., 3] = np.where(m > 1e-32, e + 128, 0).astype(np.uint8)
+    return rgbe
+
+
+def test_hdr_flat_and_rle(tmp_path):
+    from dsrt_tpu.utils.image_io import read_hdr, load_image_rgb8
+    rng = np.random.default_rng(7)
+    img = (rng.random((4, 12, 3)) * 8.0).astype(np.float32)
+    img[0, 0] = 0.0
+    rgbe = _rgbe_encode(img)
+    hdr = b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 4 +X 12\n"
+    # flat variant
+    pf = str(tmp_path / "f.hdr")
+    with open(pf, "wb") as fh:
+        fh.write(hdr + rgbe.tobytes())
+    dec = read_hdr(pf)
+    assert dec.shape == (4, 12, 3)
+    # RGBE quantization: relative error < 2/256 on the max channel
+    err = np.abs(dec - img) / np.maximum(img.max(axis=-1, keepdims=True),
+                                         1e-6)
+    assert err.max() < 0.01
+    np.testing.assert_array_equal(dec[0, 0], [0, 0, 0])
+    # adaptive-RLE variant (per-component scanlines, literal+run packets)
+    pr = str(tmp_path / "r.hdr")
+    with open(pr, "wb") as fh:
+        fh.write(hdr)
+        for y in range(4):
+            fh.write(bytes([2, 2, 0, 12]))
+            for c in range(4):
+                comp = rgbe[y, :, c].tobytes()
+                # 5 literals, then a 7-run of the 6th value (forced run)
+                fh.write(bytes([5]) + comp[:5])
+                fh.write(bytes([128 + 7, comp[5]]))
+        pass
+    dec2 = read_hdr(pr)
+    exp = rgbe.copy()
+    exp[:, 6:, :] = exp[:, 5:6, :]       # run replicated value 5
+    from dsrt_tpu.utils.image_io import read_hdr as _  # noqa
+    # decode expectation through the flat path
+    pf2 = str(tmp_path / "f2.hdr")
+    with open(pf2, "wb") as fh:
+        fh.write(hdr + exp.tobytes())
+    np.testing.assert_array_equal(dec2, read_hdr(pf2))
+    # LDR tone-map route
+    out = load_image_rgb8(pf)
+    assert out.shape == (4, 12, 3) and out.dtype == np.uint8
+
+
+def test_gif_matches_pil(tmp_path):
+    PIL = pytest.importorskip("PIL.Image")
+    from dsrt_tpu.utils.image_io import read_gif, load_image_rgb8
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (23, 31, 3), np.uint8)
+    p = str(tmp_path / "t.gif")
+    PIL.fromarray(img).save(p)            # palettized by PIL
+    ref = np.asarray(PIL.open(p).convert("RGB"), np.uint8)
+    np.testing.assert_array_equal(read_gif(p), ref)
+    np.testing.assert_array_equal(load_image_rgb8(p), ref)
+    # interlaced + few colors (exercises small LZW code widths)
+    img4 = np.repeat(np.repeat(rng.integers(0, 4, (8, 8), np.uint8) * 80,
+                               4, 0), 4, 1)
+    img4 = np.stack([img4, 255 - img4, img4 // 2], -1)
+    p2 = str(tmp_path / "i.gif")
+    PIL.fromarray(img4).save(p2, interlace=True)
+    ref2 = np.asarray(PIL.open(p2).convert("RGB"), np.uint8)
+    np.testing.assert_array_equal(read_gif(p2), ref2)
+
+
+def _write_psd(path, img, rle=False):
+    """Minimal PSD v1 RGB writer (test fixture)."""
+    h, w, _ = img.shape
+    hdr = (b"8BPS" + (1).to_bytes(2, "big") + b"\x00" * 6
+           + (3).to_bytes(2, "big") + h.to_bytes(4, "big")
+           + w.to_bytes(4, "big") + (8).to_bytes(2, "big")
+           + (3).to_bytes(2, "big"))     # color mode 3 = RGB
+    body = hdr + b"\x00\x00\x00\x00" * 3  # empty mode/resources/layers
+    planes = img.transpose(2, 0, 1)
+    if not rle:
+        body += (0).to_bytes(2, "big") + planes.tobytes()
+    else:
+        rows = []
+        for c in range(3):
+            for y in range(h):
+                row = planes[c, y].tobytes()
+                enc = bytearray()
+                i = 0
+                while i < len(row):      # literal-only PackBits
+                    n = min(128, len(row) - i)
+                    enc += bytes([n - 1]) + row[i:i + n]
+                    i += n
+                rows.append(bytes(enc))
+        body += (1).to_bytes(2, "big")
+        body += b"".join(len(r).to_bytes(2, "big") for r in rows)
+        body += b"".join(rows)
+    with open(path, "wb") as fh:
+        fh.write(body)
+
+
+def test_psd_raw_and_rle(tmp_path):
+    from dsrt_tpu.utils.image_io import read_psd, load_image_rgb8
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (6, 9, 3), np.uint8)
+    for rle in (False, True):
+        p = str(tmp_path / f"t{int(rle)}.psd")
+        _write_psd(p, img, rle=rle)
+        np.testing.assert_array_equal(read_psd(p), img)
+        np.testing.assert_array_equal(load_image_rgb8(p), img)
