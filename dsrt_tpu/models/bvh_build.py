@@ -12,6 +12,12 @@ packet traversal (ops/trace.py):
   higher-quality tree (fewer node visits per ray) with the same node
   schema.  Traversal results are identical for any valid tree, so this is
   a pure performance knob.
+- `method="sbvh"`: SAH with binned SPATIAL splits (SBVH) — straddling
+  triangles are referenced on both sides with clipped bounds, so
+  `tri_indices` is a reference LIST (len >= N, may repeat a triangle),
+  not a permutation.  Same traversal results (duplicate accepts are
+  idempotent); fewer node visits on scenes with long thin diagonal
+  triangles (truss/cylinder geometry).
 
 A native C++ builder (native/bvh_builder.cpp) implements the same
 algorithms; `build_bvh` dispatches to it when the shared library is
@@ -85,7 +91,7 @@ def build_bvh(v0, v1, v2, method: str = "median", prefer_native: bool = True) ->
         return BVH(z, z, -np.ones(1, np.int32), -np.ones(1, np.int32),
                    np.zeros(1, np.int32), np.zeros(1, np.int32),
                    np.zeros(0, np.int32))
-    if prefer_native:
+    if prefer_native and method in ("median", "sah"):
         try:
             from dsrt_tpu import native
             out = native.build_bvh(v0, v1, v2, method)
@@ -97,6 +103,8 @@ def build_bvh(v0, v1, v2, method: str = "median", prefer_native: bool = True) ->
         return _build_median(v0, v1, v2)
     if method == "sah":
         return _build_sah(v0, v1, v2)
+    if method == "sbvh":
+        return _build_sbvh(v0, v1, v2)
     raise ValueError(f"unknown BVH method '{method}'")
 
 
@@ -248,6 +256,288 @@ def _build_sah(v0, v1, v2, max_leaf: int = MAX_LEAF) -> BVH:
                np.asarray(left, np.int32), np.asarray(right, np.int32),
                np.asarray(tri_offset, np.int32), np.asarray(tri_count, np.int32),
                indices)
+
+
+def _clip_tri_aabb(p0, p1, p2, axis: int, x0: float, x1: float):
+    """AABBs of triangles clipped to the axis slab [x0, x1], vectorized
+    over (K,3) vertex arrays.  The clipped polygon's AABB is the AABB of
+    (a) vertices inside the slab and (b) edge/plane intersection points —
+    no polygon needs to be built (chopped-binning trick, Stich et al.
+    2009 §4.2).  Returns (lo, hi) with +/-inf where a triangle misses
+    the slab entirely."""
+    P = np.stack([p0, p1, p2], axis=1)                 # (K,3verts,3)
+    x = P[:, :, axis]
+    lo = np.full(P.shape, np.inf, np.float32)
+    hi = np.full(P.shape, -np.inf, np.float32)
+    inside = (x >= x0) & (x <= x1)                     # (K,3)
+    lo = np.where(inside[..., None], P, lo)
+    hi = np.where(inside[..., None], P, hi)
+    pts_lo, pts_hi = [lo], [hi]
+    with np.errstate(invalid="ignore", divide="ignore", over="ignore"):
+        for e in range(3):
+            a, b = P[:, e], P[:, (e + 1) % 3]
+            xa, xb = a[:, axis], b[:, axis]
+            d = xb - xa
+            for xp in (x0, x1):
+                if not np.isfinite(xp):
+                    continue           # half-open slab: no plane there
+                cross = ((xa - xp) * (xb - xp) < 0.0)  # strict crossing
+                t = np.where(d != 0.0,
+                             (xp - xa) / np.where(d == 0, 1, d), 0.0)
+                q = a + t[:, None] * (b - a)
+                q[:, axis] = xp                        # exact on the plane
+                big = np.where(cross[:, None], q, np.inf)
+                pts_lo.append(big[:, None])
+                pts_hi.append(np.where(cross[:, None], q, -np.inf)[:, None])
+    allp_lo = np.concatenate(pts_lo, axis=1)
+    allp_hi = np.concatenate(pts_hi, axis=1)
+    return (allp_lo.min(axis=1).astype(np.float32),
+            allp_hi.max(axis=1).astype(np.float32))
+
+
+def _build_sbvh(v0, v1, v2, max_leaf: int = MAX_LEAF,
+                ref_budget: float = 2.0, alpha: float = 1e-5) -> BVH:
+    """Spatial-split BVH (SBVH, Stich/Friedrich/Dammertz 2009): binned
+    object SAH (all 3 axes) per node, PLUS a binned spatial split when
+    the object split's children overlap significantly — triangles that
+    straddle the chosen plane are then REFERENCED in both children with
+    their bounds clipped to each side.  Long thin diagonal triangles
+    (truss/cylinder geometry) stop inflating their nodes' boxes, which
+    cuts node visits for the traversal kernels; the tri set per closest
+    hit is unchanged so images are bit-identical.
+
+    Output schema matches the other builders except `tri_indices` is a
+    REFERENCE list (may repeat a triangle, len >= N) and a leaf's box
+    bounds only its refs' CLIPPED extents.  Closest-hit traversal stays
+    exact: every point of a triangle lies in some node that references
+    it, and duplicate accepts are idempotent (same t/u/v/attributes).
+
+    `ref_budget` caps total references at budget*N (spatial splitting
+    stops when exhausted); `alpha` is the overlap-area gate relative to
+    the root surface below which only object splits are tried."""
+    lo_t, hi_t, _ = _tri_bounds_centroids(v0, v1, v2)
+    n = len(v0)
+    # reference soup: tri id + clipped bounds (start = full tri bounds)
+    ref_tri = np.arange(n, dtype=np.int32)
+    ref_lo = lo_t.copy()
+    ref_hi = hi_t.copy()
+    max_refs = int(ref_budget * n)
+
+    bbox_min, bbox_max = [], []
+    left, right, tri_offset, tri_count = [], [], [], []
+    leaf_refs: list[np.ndarray] = []   # tri ids per leaf, in emit order
+
+    root_sa = None
+
+    def surface(mn, mx):
+        d = np.maximum(mx - mn, 0.0)
+        return float(2.0 * (d[0] * d[1] + d[1] * d[2] + d[2] * d[0]))
+
+    def recurse(ids: np.ndarray, depth: int) -> int:
+        nonlocal root_sa
+        node = len(left)
+        rlo, rhi = ref_lo[ids], ref_hi[ids]
+        nb_min = rlo.min(axis=0)
+        nb_max = rhi.max(axis=0)
+        pmn, pmx = _pad_flat(nb_min, nb_max)
+        bbox_min.append(pmn)
+        bbox_max.append(pmx)
+        left.append(-1)
+        right.append(-1)
+        tri_offset.append(-1)          # filled at emit time
+        tri_count.append(len(ids))
+        if root_sa is None:
+            root_sa = max(surface(nb_min, nb_max), 1e-30)
+
+        count = len(ids)
+        if count <= max_leaf or depth > 62:
+            tri_count[node] = count
+            leaf_refs.append((node, ids))
+            return node
+
+        cent = 0.5 * (rlo + rhi)
+        # ---- best binned OBJECT split over all 3 axes ------------------
+        best = None                     # (cost, axis, go_left mask)
+        cmin, cmax = cent.min(axis=0), cent.max(axis=0)
+        for axis in range(3):
+            ext = cmax[axis] - cmin[axis]
+            if ext <= 0.0:
+                continue
+            rel = (cent[:, axis] - cmin[axis]) / ext
+            bins = np.minimum((rel * SAH_BINS).astype(np.int32),
+                              SAH_BINS - 1)
+            bl = np.full((SAH_BINS, 3), np.inf, np.float32)
+            bh = np.full((SAH_BINS, 3), -np.inf, np.float32)
+            bn = np.zeros(SAH_BINS, np.int64)
+            for b in range(SAH_BINS):
+                m = bins == b
+                if m.any():
+                    bl[b] = rlo[m].min(axis=0)
+                    bh[b] = rhi[m].max(axis=0)
+                    bn[b] = int(m.sum())
+            pre_lo = np.minimum.accumulate(bl, 0)
+            pre_hi = np.maximum.accumulate(bh, 0)
+            pre_n = np.cumsum(bn)
+            suf_lo = np.minimum.accumulate(bl[::-1], 0)[::-1]
+            suf_hi = np.maximum.accumulate(bh[::-1], 0)[::-1]
+            suf_n = np.cumsum(bn[::-1])[::-1]
+            for s in range(SAH_BINS - 1):
+                nl, nr = pre_n[s], suf_n[s + 1]
+                if nl == 0 or nr == 0:
+                    continue
+                d1 = np.maximum(pre_hi[s] - pre_lo[s], 0.0)
+                d2 = np.maximum(suf_hi[s + 1] - suf_lo[s + 1], 0.0)
+                cost = (2.0 * (d1[0] * d1[1] + d1[1] * d1[2]
+                               + d1[2] * d1[0]) * nl
+                        + 2.0 * (d2[0] * d2[1] + d2[1] * d2[2]
+                                 + d2[2] * d2[0]) * nr)
+                if best is None or cost < best[0]:
+                    ov_lo = np.maximum(pre_lo[s], suf_lo[s + 1])
+                    ov_hi = np.minimum(pre_hi[s], suf_hi[s + 1])
+                    best = (cost, axis, bins <= s, ov_lo, ov_hi)
+
+        # ---- binned SPATIAL split when object children overlap ---------
+        spatial = None   # (cost, axis, plane)
+        if best is not None and len(ref_tri) < max_refs:
+            ov = np.maximum(best[4] - best[3], 0.0)
+            ov_sa = 2.0 * (ov[0] * ov[1] + ov[1] * ov[2] + ov[2] * ov[0])
+            if ov_sa / root_sa > alpha:
+                t0a, t1a, t2a = (v0[ref_tri[ids]], v1[ref_tri[ids]],
+                                 v2[ref_tri[ids]])
+                for axis in range(3):
+                    ext = float(nb_max[axis] - nb_min[axis])
+                    if ext <= 0.0:
+                        continue
+                    w = ext / SAH_BINS
+                    b0 = np.clip(((rlo[:, axis] - nb_min[axis]) / w)
+                                 .astype(np.int32), 0, SAH_BINS - 1)
+                    b1 = np.clip(((rhi[:, axis] - nb_min[axis]) / w)
+                                 .astype(np.int32), 0, SAH_BINS - 1)
+                    bl = np.full((SAH_BINS, 3), np.inf, np.float32)
+                    bh = np.full((SAH_BINS, 3), -np.inf, np.float32)
+                    entry = np.zeros(SAH_BINS, np.int64)
+                    exit_ = np.zeros(SAH_BINS, np.int64)
+                    np.add.at(entry, b0, 1)
+                    np.add.at(exit_, b1, 1)
+                    for b in range(SAH_BINS):
+                        m = (b0 <= b) & (b1 >= b)
+                        if not m.any():
+                            continue
+                        clo, chi = _clip_tri_aabb(
+                            t0a[m], t1a[m], t2a[m], axis,
+                            nb_min[axis] + b * w, nb_min[axis] + (b + 1) * w)
+                        # clip against the ref's own (already-split) box
+                        clo = np.maximum(clo, rlo[m])
+                        chi = np.minimum(chi, rhi[m])
+                        ok = (chi >= clo).all(axis=1)
+                        if ok.any():
+                            bl[b] = np.minimum(bl[b], clo[ok].min(axis=0))
+                            bh[b] = np.maximum(bh[b], chi[ok].max(axis=0))
+                    pre_lo = np.minimum.accumulate(bl, 0)
+                    pre_hi = np.maximum.accumulate(bh, 0)
+                    pre_n = np.cumsum(entry)
+                    suf_lo = np.minimum.accumulate(bl[::-1], 0)[::-1]
+                    suf_hi = np.maximum.accumulate(bh[::-1], 0)[::-1]
+                    suf_n = np.cumsum(exit_[::-1])[::-1]
+                    for s in range(SAH_BINS - 1):
+                        nl, nr = pre_n[s], suf_n[s + 1]
+                        if nl == 0 or nr == 0:
+                            continue
+                        d1 = np.maximum(pre_hi[s] - pre_lo[s], 0.0)
+                        d2 = np.maximum(suf_hi[s + 1] - suf_lo[s + 1], 0.0)
+                        cost = (2.0 * (d1[0] * d1[1] + d1[1] * d1[2]
+                                       + d1[2] * d1[0]) * nl
+                                + 2.0 * (d2[0] * d2[1] + d2[1] * d2[2]
+                                         + d2[2] * d2[0]) * nr)
+                        if cost < best[0] and (spatial is None
+                                               or cost < spatial[0]):
+                            spatial = (cost, axis,
+                                       nb_min[axis] + (s + 1) * w)
+
+        if best is None and spatial is None:
+            tri_count[node] = count
+            leaf_refs.append((node, ids))
+            return node
+
+        if spatial is not None:
+            _, axis, plane = spatial
+            l_only = ref_hi[ids][:, axis] <= plane
+            r_only = ref_lo[ids][:, axis] >= plane
+            straddle = ~(l_only | r_only)
+            sid = ids[straddle]
+            if len(sid) and len(ref_tri) + len(sid) <= max_refs:
+                tri = ref_tri[sid]
+                clo_l, chi_l = _clip_tri_aabb(v0[tri], v1[tri], v2[tri],
+                                              axis, -np.inf, plane)
+                clo_r, chi_r = _clip_tri_aabb(v0[tri], v1[tri], v2[tri],
+                                              axis, plane, np.inf)
+                clo_l = np.maximum(clo_l, ref_lo[sid])
+                chi_l = np.minimum(chi_l, ref_hi[sid])
+                clo_r = np.maximum(clo_r, ref_lo[sid])
+                chi_r = np.minimum(chi_r, ref_hi[sid])
+                # a ref's box can straddle while its clipped TRIANGLE is
+                # empty on one side — those go one-sided (box tightened)
+                ok_l = (chi_l >= clo_l).all(axis=1)
+                ok_r = (chi_r >= clo_r).all(axis=1)
+                both = ok_l & ok_r
+                ref_lo[sid[ok_l]] = clo_l[ok_l]
+                ref_hi[sid[ok_l]] = chi_l[ok_l]
+                ref_lo[sid[ok_r & ~ok_l]] = clo_r[ok_r & ~ok_l]
+                ref_hi[sid[ok_r & ~ok_l]] = chi_r[ok_r & ~ok_l]
+                # refs valid on BOTH sides: left reuses the row (already
+                # holds the left clip), right gets a fresh row
+                new_ids = np.arange(len(ref_tri),
+                                    len(ref_tri) + int(both.sum()),
+                                    dtype=np.int64)
+                _grow(tri[both], clo_r[both], chi_r[both])
+                # never drop a ref: a numerically-empty clip on BOTH
+                # sides keeps its original box and goes left
+                left_ids = np.concatenate(
+                    [ids[l_only], sid[ok_l], sid[~ok_l & ~ok_r]])
+                right_ids = np.concatenate(
+                    [ids[r_only], sid[ok_r & ~ok_l], new_ids])
+                # degenerate guard: a clip can empty one side numerically
+                if len(left_ids) and len(right_ids):
+                    tri_offset[node] = 0
+                    tri_count[node] = 0
+                    left[node] = recurse(left_ids, depth + 1)
+                    right[node] = recurse(right_ids, depth + 1)
+                    return node
+            # fall through to the object split on budget/degeneracy
+
+        _, axis, go_left, _, _ = best
+        left_ids, right_ids = ids[go_left], ids[~go_left]
+        if len(left_ids) == 0 or len(right_ids) == 0:
+            k = count // 2
+            part = np.argpartition(cent[:, axis], k)
+            left_ids, right_ids = ids[part[:k]], ids[part[k:]]
+        tri_offset[node] = 0
+        tri_count[node] = 0
+        left[node] = recurse(left_ids, depth + 1)
+        right[node] = recurse(right_ids, depth + 1)
+        return node
+
+    def _grow(tri, clo, chi):
+        nonlocal ref_tri, ref_lo, ref_hi
+        ref_tri = np.concatenate([ref_tri, tri])
+        ref_lo = np.concatenate([ref_lo, clo])
+        ref_hi = np.concatenate([ref_hi, chi])
+
+    sys.setrecursionlimit(200000)
+    recurse(np.arange(n, dtype=np.int64), 1)
+
+    # emit tri_indices in leaf order (preorder emit order of leaves)
+    out = np.empty(sum(len(ids) for _, ids in leaf_refs), np.int32)
+    cursor = 0
+    for node, ids in leaf_refs:
+        tri_offset[node] = cursor
+        out[cursor:cursor + len(ids)] = ref_tri[ids]
+        cursor += len(ids)
+    return BVH(np.asarray(bbox_min, np.float32),
+               np.asarray(bbox_max, np.float32),
+               np.asarray(left, np.int32), np.asarray(right, np.int32),
+               np.asarray(tri_offset, np.int32),
+               np.asarray(tri_count, np.int32), out)
 
 
 @dataclasses.dataclass
@@ -475,7 +765,10 @@ def validate_wide(wide: WideBVH, bvh: BVH) -> None:
 
     def walk(j):
         blk = wide.table[A * j:A * (j + 1)]
-        base = int(blk[0, 8]) // 256
+        # blk[0,8] holds base*256+intmask as an int32 BIT PATTERN in the
+        # f32 lane (see collapse_wide) — extract by bitcast, not value
+        base = int(np.asarray(blk[0, 8], np.float32)
+                   .view(np.int32)) // 256
         rank = 0
         node_leaf = []
         for c in range(A):

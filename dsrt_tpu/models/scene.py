@@ -574,6 +574,10 @@ class SceneBuilder:
             vn0, vn1, vn2 = vn0[perm], vn1[perm], vn2[perm]
             uv0, uv1, uv2 = uv0[perm], uv1[perm], uv2[perm]
             tri_mat, tri_tex = tri_mat[perm], tri_tex[perm]
+            # SBVH emits a reference LIST (straddling tris duplicated
+            # with clipped bounds): the triangle tables then carry one
+            # row per REFERENCE and n_tris counts references
+            n_tris = len(perm)
             tri_indices = np.arange(n_tris, dtype=np.int32)
         else:
             tri_indices = np.zeros(1, np.int32)

@@ -2635,7 +2635,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     # HBM mode: the triangle tables stay off-core (tri_tab is unused by
     # the tile engine; tile_tab is DMA'd per entered leaf window)
-    tri_spec = pl.BlockSpec(memory_space=pltpu.ANY) if hbm else full
+    tri_spec = pl.BlockSpec(memory_space=pl.ANY) if hbm else full
     aux_spec = tri_spec if hbm else full
     hbm_aux = hbm and (smooth or textured)
     nslots = max(pops, sun_pops)

@@ -112,3 +112,81 @@ def test_wide_combo_bit_pattern(rng):
         f = np.array([base * 256 + 0xA5], np.int32).view(np.float32)
         back = int(f.view(np.int32)[0])
         assert back >> 8 == base and back & 255 == 0xA5
+
+
+# ---- SBVH (spatial splits, r3) ------------------------------------------
+
+
+def _brute_closest(v0, v1, v2, o, d):
+    e1, e2 = v1 - v0, v2 - v0
+    p = np.cross(d, e2)
+    det = (e1 * p).sum(1)
+    ok = np.abs(det) > 1e-8
+    inv = np.where(ok, 1.0 / np.where(det == 0, 1, det), 0.0)
+    tv = o - v0
+    u = (tv * p).sum(1) * inv
+    q = np.cross(tv, e1)
+    vv = (d * q).sum(1) * inv
+    t = (e2 * q).sum(1) * inv
+    hit = ok & (u >= 0) & (u <= 1) & (vv >= 0) & (u + vv <= 1) & (t > 1e-3)
+    return np.where(hit, t, np.inf).min()
+
+
+def _bvh_closest(b, v0, v1, v2, o, d):
+    inv = 1.0 / np.where(d == 0, 1e-30, d)
+    best = np.inf
+    stack = [0]
+    while stack:
+        ni = stack.pop()
+        t0 = (b.bbox_min[ni] - o) * inv
+        t1 = (b.bbox_max[ni] - o) * inv
+        lo = max(np.minimum(t0, t1).max(), 1e-3)
+        hi = min(np.maximum(t0, t1).min(), best)
+        if hi <= lo:
+            continue
+        if b.tri_count[ni] > 0:
+            s, c = b.tri_offset[ni], b.tri_count[ni]
+            ids = b.tri_indices[s:s + c]
+            t = _brute_closest(v0[ids], v1[ids], v2[ids], o, d)
+            best = min(best, float(t))
+        else:
+            stack.append(b.left[ni])
+            stack.append(b.right[ni])
+    return best
+
+
+def test_sbvh_closest_hit_matches_bruteforce(rng):
+    """SBVH duplicates straddling tris with CLIPPED bounds; closest-hit
+    results must be exactly the brute-force answer on any ray (every
+    point of a triangle is covered by >= 1 referencing node)."""
+    from dsrt_tpu.models.bvh_build import collapse_wide, validate_wide
+    # long thin diagonal tris (worst case for plain SAH, the SBVH target)
+    n = 160
+    c = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    e1 = rng.normal(0, 3.0, (n, 3)).astype(np.float32)     # long edges
+    e2 = rng.normal(0, 0.05, (n, 3)).astype(np.float32)    # thin
+    v0, v1, v2 = c, c + e1, c + e2
+    b = build_bvh(v0, v1, v2, method="sbvh")
+    assert len(b.tri_indices) >= n                    # reference list
+    assert sorted(set(b.tri_indices.tolist())) == list(range(n))
+    wide = collapse_wide(b)
+    validate_wide(wide, b)                            # packing contract
+    for _ in range(120):
+        o = rng.normal(0, 8, 3).astype(np.float32)
+        d = rng.normal(0, 1, 3).astype(np.float32)
+        d /= np.linalg.norm(d)
+        tb = _brute_closest(v0, v1, v2, o, d)
+        ts = _bvh_closest(b, v0, v1, v2, o, d)
+        assert (np.isinf(tb) and np.isinf(ts)) or np.isclose(tb, ts,
+                                                             rtol=1e-6)
+
+
+def test_sbvh_scene_build_and_tables(rng):
+    """SceneBuilder accepts bvh_method='sbvh': tri tables carry one row
+    per REFERENCE (n_tris >= unique tris) and the packed wide layout
+    validates."""
+    from dsrt_tpu.models.mesh_gen import iss_standin_scene
+    s_sah = iss_standin_scene(detail=1, bvh_method="sah")
+    s_sb = iss_standin_scene(detail=1, bvh_method="sbvh")
+    assert s_sb.n_tris >= s_sah.n_tris
+    assert s_sb.tri_v0.shape[0] >= s_sah.tri_v0.shape[0]
