@@ -68,7 +68,17 @@ def build_parser() -> argparse.ArgumentParser:
                         "triangle_mesh.h:227-234 — default stays flat)")
     p.add_argument("--standin_detail", type=int, default=2,
                    help="procedural ISS stand-in detail when no --obj")
-    p.add_argument("--bvh", choices=["median", "sah"], default="sah")
+    p.add_argument("--bvh", choices=["median", "sah", "sbvh"],
+                   default="sah")
+    p.add_argument("--env_map", default="",
+                   help="equirect environment-map image for the sky "
+                        "(.hdr stays linear radiance); extension over "
+                        "the reference's black background")
+    p.add_argument("--env_rotation", type=float, default=0.0,
+                   help="env map rotation about +y [deg] (the reference's"
+                        " unread env_rotation knob, gpu_scene.h:108)")
+    p.add_argument("--env_scale", type=float, default=1.0,
+                   help="env radiance multiplier")
     p.add_argument("--mode",
                    choices=["auto", "fused", "parity", "wavefront", "queue"],
                    default="auto",
@@ -147,6 +157,10 @@ def build_scene(args, timer: StageTimer):
                          sun_radiance=tuple(args.sun_radiance),
                          seed=args.seed, bvh_method=args.bvh)
         b.add_mesh(mesh)
+        if args.env_map:
+            b.set_environment(args.env_map,
+                              rotation_deg=args.env_rotation,
+                              scale=args.env_scale)
         scene = b.build()
     print(f"Scene: {scene.n_tris} triangles, {scene.n_nodes} BVH nodes, "
           f"{scene.n_spheres} spheres, {len(np.asarray(scene.mat_type))} materials")

@@ -183,7 +183,7 @@ def _i32(a):
              "n_media",
              "max_leaf", "n_textures", "sun_enabled", "has_image_tex",
              "has_ptex", "has_smooth", "has_moving", "seed",
-             "wide_max_span",
+             "wide_max_span", "env_tex", "env_rotation", "env_scale",
          ])
 @dataclasses.dataclass(frozen=True)
 class Scene:
@@ -322,6 +322,17 @@ class Scene:
     # ([min ptr, max end) over its leaf children) — sizes the fused
     # kernel's HBM-streamed leaf window (exec_opts.hbm_tris)
     wide_max_span: int = 64
+    # environment-map sky (SKY_ENV_MAP productized, inc/gpu_scene.h:93):
+    # texture-pool index of the equirect env map (-1 = reference-parity
+    # black background), rotation in radians (the env_rotation knob the
+    # reference plumbs but never reads, gpu_scene.h:108), radiance scale
+    env_tex: int = -1
+    env_rotation: float = 0.0
+    env_scale: float = 1.0
+
+    @property
+    def has_env(self) -> bool:
+        return self.env_tex >= 0
 
 
 @dataclasses.dataclass
@@ -364,6 +375,17 @@ class SceneBuilder:
         # knob; identical intersection semantics for any value)
         self.wide_max_leaf = wide_max_leaf
         self._perlin_seed: Optional[int] = None
+        self._env: Optional[tuple] = None   # (path_or_array, rot, scale)
+
+    def set_environment(self, image, rotation_deg: float = 0.0,
+                        scale: float = 1.0) -> None:
+        """Equirectangular environment-map sky (extension: productizes the
+        reference's dead SKY_ENV_MAP value + unread env_rotation knob,
+        inc/gpu_scene.h:90-108).  `image` is a file path (.hdr stays
+        linear radiance; LDR formats get the pool's sRGB->linear) or an
+        (H,W,3) float linear array.  Miss rays then pick up
+        scale * env(dir) instead of the reference's black background."""
+        self._env = (image, float(np.radians(rotation_deg)), float(scale))
 
     # ------------------------------------------------------------- add
     def add_sphere(self, center, radius: float, material: Material,
@@ -739,6 +761,17 @@ class SceneBuilder:
         light_kind = np.asarray([l[0] for l in lights] if n_lights else [0],
                                 np.int32)
 
+        # --- environment map (registered after all triangle textures so
+        # has_image_tex below can count TRIANGLE textures only)
+        n_tex_tri = texreg.num_textures
+        env_tex, env_rot, env_scale = -1, 0.0, 1.0
+        if self._env is not None:
+            img, env_rot, env_scale = self._env
+            if isinstance(img, str):
+                env_tex = texreg.get_or_load(img)
+            else:
+                env_tex = texreg.add_array(np.asarray(img, np.float32))
+
         # --- texture pool
         pool, tex_w, tex_h, tex_off, n_tex = texreg.build_pool()
 
@@ -790,10 +823,12 @@ class SceneBuilder:
             n_lights=n_lights, n_media=n_media,
             max_leaf=max(bvh.max_leaf_size, 1), n_textures=n_tex,
             sun_enabled=bool(self.sun_enabled),
-            has_image_tex=bool(n_tex > 0),
+            has_image_tex=bool(n_tex_tri > 0),
             has_ptex=bool((mat_ptk != 0).any()),
             has_smooth=bool(has_smooth),
             has_moving=has_moving,
             seed=int(self.seed),
             wide_max_span=max(wide_max_span, 1),
+            env_tex=int(env_tex), env_rotation=float(env_rot),
+            env_scale=float(env_scale),
         )

@@ -42,8 +42,14 @@ class TextureRegistry:
         if idx is not None:
             return idx
         try:
-            rgb8 = load_image_rgb8(path)
-            linear = np.power(rgb8.astype(np.float32) / 255.0, 2.2)
+            if path.lower().endswith(".hdr"):
+                # Radiance HDR is already linear radiance — no transfer
+                # curve (stb's float path, stbi_loadf)
+                from dsrt_tpu.utils.image_io import read_hdr
+                linear = read_hdr(path)
+            else:
+                rgb8 = load_image_rgb8(path)
+                linear = np.power(rgb8.astype(np.float32) / 255.0, 2.2)
         except Exception as e:  # white 1x1 fallback, builder.cpp:217-222
             log.warning("failed to load texture '%s' (%s); using 1x1 white",
                         path, e)

@@ -101,6 +101,9 @@ def fused_supported(scene, cfg) -> bool:
                                                  False))
             and scene.n_media == 0
             and not scene.has_ptex
+            # env-map sky scenes shade misses from the texture pool —
+            # split-pipeline only for now
+            and scene.env_tex < 0
             and cfg.aperture == 0.0
             and fits and backend_is_tpu())
 

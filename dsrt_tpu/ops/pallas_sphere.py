@@ -68,6 +68,7 @@ def sphere_fused_supported(scene, cfg) -> bool:
             and scene.n_media <= MAX_MED
             and scene.n_lights <= MAX_LIGHTS
             and not scene.has_image_tex
+            and scene.env_tex < 0     # env-map sky: split path only
             and cfg.aperture == 0.0
             # motion blur (shutter open + moving centers) runs on the
             # split path; the kernel shades static centers only

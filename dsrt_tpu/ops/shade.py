@@ -208,6 +208,14 @@ def bounce_step(scene, cfg, L, thr, ro: V3, rd: V3, state, alive, rr_mask,
             sun_blocked = None
             hit, state = _vmapped_scene_hit(scene, ro, rd, t_min, t_max,
                                             alive, state, time=time)
+        if scene.env_tex >= 0:
+            # environment-map sky extension: miss lanes pick up the
+            # equirect env radiance instead of the reference's black
+            # background (src/gpu_render.cu:744-747); env_tex < 0 keeps
+            # parity exactly (this branch is trace-time static)
+            env_rgb = texmod.sample_env(scene, rd)
+            miss_mask = alive & ~hit.hit
+            L = vwhere(miss_mask, L + thr * env_rgb, L)
         alive = alive & hit.hit
         n = hit.normal
         px = ro.x + hit.t * rd.x

@@ -42,6 +42,30 @@ def sample_image(scene, tex_id, u, v) -> V3:
     return V3(r, g, b)
 
 
+def sample_env(scene, d: V3) -> V3:
+    """Equirectangular environment-map radiance for direction lanes `d`
+    (need not be unit length).
+
+    Productizes the reference's dead SKY_ENV_MAP enum value and its
+    never-read env_rotation knob (inc/gpu_scene.h:90-94, 108): the env
+    map is a texture-pool entry (HDR files stay linear; LDR entries get
+    the pool's sRGB->linear), u = atan2(z,x)/2pi + 0.5 + rot, v maps +y
+    to the top row, scaled by scene.env_scale."""
+    import numpy as _np
+    inv_len = 1.0 / jnp.sqrt(jnp.maximum(
+        d.x * d.x + d.y * d.y + d.z * d.z, 1e-20))
+    u = (jnp.arctan2(d.z * inv_len, d.x * inv_len) / (2.0 * _np.pi)
+         + 0.5 + scene.env_rotation / (2.0 * _np.pi))
+    v = 1.0 - jnp.arccos(jnp.clip(d.y * inv_len, -1.0, 1.0)) / _np.pi
+    # sample_image wraps u and flips v exactly like the kernel's tex2D;
+    # clamp v a hair inside [0,1) so the wrap never flips the poles
+    v = jnp.clip(v, 0.0, 1.0 - 1e-6)
+    rgb = sample_image(scene, jnp.full(u.shape, scene.env_tex, jnp.int32),
+                       u, v)
+    s = jnp.float32(scene.env_scale)
+    return V3(rgb.x * s, rgb.y * s, rgb.z * s)
+
+
 def _hash3(i, j, k):
     """Integer lattice hash (xorshift-multiply mix): the TPU-native
     replacement for the book's ranvec[perm_x^perm_y^perm_z] table walk

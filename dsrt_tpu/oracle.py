@@ -178,6 +178,9 @@ class OracleScene:
         self.n_lights = scene.n_lights
         self.light_idx = g(scene.light_idx)
         self.seed = scene.seed
+        self.env_tex = int(getattr(scene, "env_tex", -1))
+        self.env_rotation = float(getattr(scene, "env_rotation", 0.0))
+        self.env_scale = float(getattr(scene, "env_scale", 1.0))
 
 
 def _hit_triangle(sc, i, ro, rd, t_min, t_max):
@@ -336,6 +339,21 @@ def _tex2d(sc, tex_id, u, v):
     return sc.tex_pool[idx:idx + 3].astype(F)
 
 
+def _env_radiance(sc, rd):
+    """Equirect environment-map sky (ops/textures.py sample_env mirror,
+    f32 arithmetic step for step so nearest-neighbor texel picks agree):
+    u = atan2(z,x)/2pi + 0.5 + rot, +y maps to the top row."""
+    rd = np.asarray(rd, F)
+    inv_len = F(1.0) / np.sqrt(np.maximum(
+        rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2], F(1e-20)))
+    u = (np.arctan2(rd[2] * inv_len, rd[0] * inv_len) / F(2.0 * np.pi)
+         + F(0.5) + F(sc.env_rotation) / F(2.0 * np.pi))
+    v = F(1.0) - np.arccos(np.clip(rd[1] * inv_len, F(-1.0), F(1.0))) \
+        / F(np.pi)
+    v = np.clip(v, F(0.0), F(1.0 - 1e-6))
+    return (_tex2d(sc, sc.env_tex, F(u), F(v)) * F(sc.env_scale)).astype(F)
+
+
 def ray_color(sc: OracleScene, ro, rd, rng: LCG, max_depth: int,
               rr_start: int = 5, rr_max_p: float = 0.95, time=None):
     L = np.zeros(3, F)
@@ -352,6 +370,8 @@ def ray_color(sc: OracleScene, ro, rd, rng: LCG, max_depth: int,
         rec = scene_hit_with_media(sc, ro, rd, F(1e-3), F(1e9), rng,
                                    time=time)
         if rec is None:
+            if sc.env_tex >= 0:     # env-map sky extension (else black)
+                L = (L + thr * _env_radiance(sc, rd)).astype(F)
             break
 
         if rec.get("medium", -1) >= 0:

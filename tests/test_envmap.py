@@ -1,0 +1,82 @@
+"""Environment-map sky (SKY_ENV_MAP productized — gpu_scene.h:90-94,
+env_rotation gpu_scene.h:108): equirect miss-radiance, oracle-matched."""
+
+import numpy as np
+import pytest
+
+from dsrt_tpu.config import RenderConfig
+from dsrt_tpu.models.materials import Material
+from dsrt_tpu.models.scene import SceneBuilder
+from dsrt_tpu.ops.camera import make_camera
+
+
+def _env_array():
+    # 8x16 equirect with distinct quadrant colors + bright band
+    env = np.zeros((8, 16, 3), np.float32)
+    env[:4, :8] = (2.0, 0.1, 0.1)     # top/left
+    env[:4, 8:] = (0.1, 2.0, 0.1)
+    env[4:, :8] = (0.1, 0.1, 2.0)
+    env[4:, 8:] = (1.0, 1.0, 0.2)
+    return env
+
+
+def _scene(rotation_deg=0.0, scale=1.0):
+    b = SceneBuilder(sun_enabled=False, seed=1337)
+    b.add_sphere((0.0, 0.0, -2.0), 0.6,
+                 Material.lambertian((0.6, 0.6, 0.6)))
+    b.add_sphere((1.2, 0.0, -2.0), 0.4,
+                 Material.metal((0.9, 0.9, 0.9), fuzz=0.05))
+    b.set_environment(_env_array(), rotation_deg=rotation_deg, scale=scale)
+    return b.build()
+
+
+def test_env_scene_meta():
+    s = _scene(rotation_deg=90.0, scale=2.0)
+    assert s.env_tex >= 0 and s.has_env
+    assert np.isclose(s.env_rotation, np.pi / 2)
+    assert s.env_scale == 2.0
+    assert not s.has_image_tex       # env is not a TRIANGLE texture
+
+
+def test_env_matches_oracle_u8():
+    from dsrt_tpu.oracle import render_oracle
+    from dsrt_tpu.render import render_frame
+    cfg = RenderConfig(width=24, height=16, spp=2, max_depth=6)
+    scene = _scene()
+    cam = make_camera((0, 0, 1.0), (0, 0, -1), vfov=60,
+                      width=cfg.width, height=cfg.height)
+    ours = np.asarray(render_frame(scene, cam, cfg))
+    gold, _ = render_oracle(scene, cam, cfg)
+    np.testing.assert_array_equal(ours, gold)
+
+
+def test_env_rotation_shifts_background():
+    from dsrt_tpu.render import render_frame
+    cfg = RenderConfig(width=24, height=16, spp=1, max_depth=3)
+    cam = make_camera((0, 0, 1.0), (0, 0, -1), vfov=60,
+                      width=cfg.width, height=cfg.height)
+    a = np.asarray(render_frame(_scene(0.0), cam, cfg))
+    b = np.asarray(render_frame(_scene(180.0), cam, cfg))
+    assert (a != b).any()            # rotation changes the miss radiance
+
+
+def test_hdr_env_loads_linear(tmp_path):
+    """.hdr env maps must bypass the pool's sRGB->linear pow."""
+    from dsrt_tpu.models.textures import TextureRegistry
+    img = np.full((4, 8, 3), 3.5, np.float32)    # >1: only HDR can hold it
+    # write flat RGBE
+    m = img.max(-1)
+    e = np.ceil(np.log2(m)).astype(np.int32)
+    rgbe = np.zeros((4, 8, 4), np.uint8)
+    rgbe[..., :3] = np.minimum(img * np.exp2(8.0 - e)[..., None],
+                               255).astype(np.uint8)
+    rgbe[..., 3] = (e + 128).astype(np.uint8)
+    p = str(tmp_path / "e.hdr")
+    with open(p, "wb") as fh:
+        fh.write(b"#?RADIANCE\nFORMAT=32-bit_rle_rgbe\n\n-Y 4 +X 8\n"
+                 + rgbe.tobytes())
+    reg = TextureRegistry()
+    idx = reg.get_or_load(p)
+    pool, w, h, off, n = reg.build_pool()
+    assert n == 1 and idx == 0
+    assert abs(pool.max() - 3.5) < 0.05          # linear, unclamped
