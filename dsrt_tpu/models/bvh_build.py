@@ -91,7 +91,7 @@ def build_bvh(v0, v1, v2, method: str = "median", prefer_native: bool = True) ->
         return BVH(z, z, -np.ones(1, np.int32), -np.ones(1, np.int32),
                    np.zeros(1, np.int32), np.zeros(1, np.int32),
                    np.zeros(0, np.int32))
-    if prefer_native and method in ("median", "sah"):
+    if prefer_native and method in ("median", "sah", "sbvh"):
         try:
             from dsrt_tpu import native
             out = native.build_bvh(v0, v1, v2, method)

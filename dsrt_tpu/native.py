@@ -49,6 +49,17 @@ def _bind(lib: ctypes.CDLL) -> None:
         i32p, i32p, i32p, i32p,                   # out left/right/off/cnt
         i32p,                                     # out tri_indices (n)
     ]
+    if hasattr(lib, "dsrt_build_sbvh"):
+        lib.dsrt_build_sbvh.restype = ctypes.c_int
+        lib.dsrt_build_sbvh.argtypes = [
+            f32p, f32p, f32p, ctypes.c_int,       # v0, v1, v2, n
+            ctypes.c_float, ctypes.c_float,       # alpha, ref_budget
+            ctypes.c_int, ctypes.c_int,           # cap_nodes, cap_refs
+            f32p, f32p,                           # out bbox_min/max
+            i32p, i32p, i32p, i32p,               # out left/right/off/cnt
+            i32p,                                 # out ref list
+            np.ctypeslib.ndpointer(np.int32),     # out n_refs (1,)
+        ]
 
 
 def available() -> bool:
@@ -65,6 +76,33 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     from dsrt_tpu.models.bvh_build import BVH
 
     n = len(v0)
+    if method == "sbvh":
+        if not hasattr(lib, "dsrt_build_sbvh"):
+            return None
+        budget = 2.0
+        cap_refs = int(budget * n) + 8
+        cap_nodes = 2 * cap_refs + 8
+        bb_min = np.empty((cap_nodes, 3), np.float32)
+        bb_max = np.empty((cap_nodes, 3), np.float32)
+        left = np.empty(cap_nodes, np.int32)
+        right = np.empty(cap_nodes, np.int32)
+        off = np.empty(cap_nodes, np.int32)
+        cnt = np.empty(cap_nodes, np.int32)
+        idx = np.empty(cap_refs, np.int32)
+        n_refs = np.zeros(1, np.int32)
+        n_nodes = lib.dsrt_build_sbvh(
+            np.ascontiguousarray(v0, np.float32),
+            np.ascontiguousarray(v1, np.float32),
+            np.ascontiguousarray(v2, np.float32),
+            n, np.float32(1e-5), np.float32(budget), cap_nodes, cap_refs,
+            bb_min, bb_max, left, right, off, cnt, idx, n_refs)
+        if n_nodes <= 0:
+            return None
+        m = int(n_refs[0])
+        return BVH(bb_min[:n_nodes].copy(), bb_max[:n_nodes].copy(),
+                   left[:n_nodes].copy(), right[:n_nodes].copy(),
+                   off[:n_nodes].copy(), cnt[:n_nodes].copy(),
+                   idx[:m].copy())
     cap = max(2 * n, 1)
     bb_min = np.empty((cap, 3), np.float32)
     bb_max = np.empty((cap, 3), np.float32)

@@ -181,6 +181,35 @@ def test_sbvh_closest_hit_matches_bruteforce(rng):
                                                              rtol=1e-6)
 
 
+def test_native_sbvh_matches_bruteforce(rng):
+    """C++ SBVH (native/bvh_builder.cpp dsrt_build_sbvh): reference list
+    covers every triangle; closest hits equal brute force."""
+    from dsrt_tpu import native
+    if not native.available():
+        pytest.skip("native library not built")
+    n = 200
+    c = rng.uniform(-5, 5, (n, 3)).astype(np.float32)
+    e1 = rng.normal(0, 3.0, (n, 3)).astype(np.float32)
+    e2 = rng.normal(0, 0.05, (n, 3)).astype(np.float32)
+    v0, v1, v2 = c, c + e1, c + e2
+    b = native.build_bvh(v0, v1, v2, "sbvh")
+    assert b is not None and len(b.tri_indices) >= n
+    assert sorted(set(b.tri_indices.tolist())) == list(range(n))
+    from dsrt_tpu.models.bvh_build import collapse_wide, validate_wide
+    for _ in range(100):
+        o = rng.normal(0, 8, 3).astype(np.float32)
+        d = rng.normal(0, 1, 3).astype(np.float32)
+        d /= np.linalg.norm(d)
+        tb = _brute_closest(v0, v1, v2, o, d)
+        ts = _bvh_closest(b, v0, v1, v2, o, d)
+        assert (np.isinf(tb) and np.isinf(ts)) or np.isclose(tb, ts,
+                                                             rtol=1e-6)
+    # NOTE: collapse_wide MUTATES leaf offsets — only valid after the
+    # caller re-permutes tri arrays, so run it last here
+    wide = collapse_wide(b)
+    validate_wide(wide, b)
+
+
 def test_sbvh_scene_build_and_tables(rng):
     """SceneBuilder accepts bvh_method='sbvh': tri tables carry one row
     per REFERENCE (n_tris >= unique tris) and the packed wide layout
