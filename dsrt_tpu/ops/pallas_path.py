@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import math
+
 import jax
 import jax.numpy as jnp
 import jax.lax as lax
@@ -66,7 +68,7 @@ TEX_ROWS_MAX = 2048   # texture plane rows ((.,128) texels/channel) the
 
 def _tex_plane_rows(scene) -> int:
     """Rows of 128 texels per channel in the de-interleaved pool."""
-    if not scene.has_image_tex:
+    if not (scene.has_image_tex or scene.env_tex >= 0):
         return 0
     return max((int(scene.tex_pool.shape[0]) // 3 + TILE_W - 1) // TILE_W,
                1)
@@ -82,7 +84,8 @@ def fused_supported(scene, cfg) -> bool:
     provided the texture pool fits the in-kernel gather budget."""
     if _OPTS.pallas == "off":
         return False
-    if scene.has_image_tex and _tex_plane_rows(scene) > TEX_ROWS_MAX:
+    if ((scene.has_image_tex or scene.env_tex >= 0)
+            and _tex_plane_rows(scene) > TEX_ROWS_MAX):
         return False
     shaded = scene.has_image_tex or scene.has_smooth
     extra = ((scene.tri_tile.shape[0] if shaded else 0)
@@ -101,9 +104,6 @@ def fused_supported(scene, cfg) -> bool:
                                                  False))
             and scene.n_media == 0
             and not scene.has_ptex
-            # env-map sky scenes shade misses from the texture pool —
-            # split-pipeline only for now
-            and scene.env_tex < 0
             and cfg.aperture == 0.0
             and fits and backend_is_tpu())
 
@@ -267,7 +267,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  chain_fuse: bool = False, n_sph: int = 0,
                  n_quads: int = 0, n_lights: int = 0,
                  leaf_parts: int = 1, hbm: bool = False, gw: int = 2,
-                 leaf_tail: str = "pad"):
+                 leaf_tail: str = "pad", env_id: int = -1,
+                 env_rot: float = 0.0, env_scale: float = 1.0):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -2168,6 +2169,83 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         ctst = ctst + ct_
         cidl = cidl + ci_
         hitm = hitm_f > 0.5
+
+        def _pool_fetch(pidx):
+            """Per-lane texel fetch from the de-interleaved VMEM pool
+            planes via one-hot matmul (exact at precision=HIGHEST,
+            benchmarks/proto_gather.py).  pidx: (rows, TILE_W) clipped
+            texel indices.  -> (r, g, b) planes."""
+            Rp = texT_ref.shape[1] // 3
+            poolT = texT_ref[...]
+            c_all = pidx // TILE_W
+            j_all = pidx % TILE_W
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+            crange = jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1)
+            trs, tgs, tbs = [], [], []
+            for s in range(n_rows):
+                jT = jnp.transpose(j_all[s:s + 1, :])
+                cT = jnp.transpose(c_all[s:s + 1, :])
+                onehot = (jT == lane).astype(jnp.float32)
+                tmp = jax.lax.dot_general(
+                    onehot, poolT, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST)
+                selm = cT == crange
+                vr = jnp.sum(jnp.where(selm, tmp[:, :Rp], 0.0),
+                             axis=1, keepdims=True)
+                vg = jnp.sum(jnp.where(selm, tmp[:, Rp:2 * Rp], 0.0),
+                             axis=1, keepdims=True)
+                vb = jnp.sum(jnp.where(selm, tmp[:, 2 * Rp:], 0.0),
+                             axis=1, keepdims=True)
+                trs.append(jnp.transpose(vr))
+                tgs.append(jnp.transpose(vg))
+                tbs.append(jnp.transpose(vb))
+            return (jnp.concatenate(trs, axis=0),
+                    jnp.concatenate(tgs, axis=0),
+                    jnp.concatenate(tbs, axis=0))
+
+        if env_id >= 0:
+            # environment-map sky (extension; ops/textures.py sample_env
+            # in-kernel): miss lanes pick up throughput * env(dir)
+            # instead of dying black.  Runs under an any-miss scalar
+            # branch; the equirect header is read at the STATIC env_id.
+            missm = alive & ~hitm
+
+            def env_branch(Ls):
+                # atan2f/acosf: the shared polynomial forms (Mosaic has
+                # no atan2/acos lowering; all paths use one formula)
+                from dsrt_tpu.ops.textures import acosf, atan2f
+                Lr_, Lg_, Lb_ = Ls
+                inv = 1.0 / jnp.sqrt(jnp.maximum(
+                    rdx * rdx + rdy * rdy + rdz * rdz, 1e-20))
+                two_pi = 2.0 * math.pi
+                u = (atan2f(rdz * inv, rdx * inv)
+                     / jnp.float32(two_pi) + jnp.float32(0.5)
+                     + jnp.float32(env_rot / two_pi))
+                v = 1.0 - acosf(jnp.clip(rdy * inv, -1.0, 1.0)) \
+                    / jnp.float32(math.pi)
+                v = jnp.clip(v, 0.0, 1.0 - 1e-6)
+                wt = hdr_ref[3 * env_id]
+                ht = hdr_ref[3 * env_id + 1]
+                ot = hdr_ref[3 * env_id + 2]
+                uu = u - jnp.floor(u)
+                it = (uu * jnp.float32(wt - 1)).astype(jnp.int32)
+                jt = ((1.0 - v) * jnp.float32(ht - 1)).astype(jnp.int32)
+                pidx = ot + jt * wt + it
+                Rp = texT_ref.shape[1] // 3
+                npl = Rp * TILE_W
+                oke = (pidx >= 0) & (pidx < npl)
+                tr, tg, tb = _pool_fetch(jnp.clip(pidx, 0, npl - 1))
+                s = jnp.float32(env_scale)
+                er = jnp.where(oke, tr, 1.0) * s
+                eg = jnp.where(oke, tg, 1.0) * s
+                eb = jnp.where(oke, tb, 1.0) * s
+                return (jnp.where(missm, Lr_ + thr_r * er, Lr_),
+                        jnp.where(missm, Lg_ + thr_g * eg, Lg_),
+                        jnp.where(missm, Lb_ + thr_b * eb, Lb_))
+
+            Lr, Lg, Lb = lax.cond(jnp.any(missm), env_branch,
+                                  lambda a: a, (Lr, Lg, Lb))
+
         alive = alive & hitm            # miss -> black background, dies
         px_ = rox + bt * rdx
         py_ = roy + bt * rdy
@@ -2221,33 +2299,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 npl = Rp * TILE_W
                 okt = (btex_i >= 0) & (btex_i < n_texs) \
                     & (pidx >= 0) & (pidx < npl)
-                pidx = jnp.clip(pidx, 0, npl - 1)
-                poolT = texT_ref[...]
-                c_all = pidx // TILE_W
-                j_all = pidx % TILE_W
-                lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
-                crange = jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1)
-                trs, tgs, tbs = [], [], []
-                for s in range(n_rows):
-                    jT = jnp.transpose(j_all[s:s + 1, :])
-                    cT = jnp.transpose(c_all[s:s + 1, :])
-                    onehot = (jT == lane).astype(jnp.float32)
-                    tmp = jax.lax.dot_general(
-                        onehot, poolT, (((1,), (0,)), ((), ())),
-                        precision=jax.lax.Precision.HIGHEST)
-                    selm = cT == crange
-                    vr = jnp.sum(jnp.where(selm, tmp[:, :Rp], 0.0),
-                                 axis=1, keepdims=True)
-                    vg = jnp.sum(jnp.where(selm, tmp[:, Rp:2 * Rp], 0.0),
-                                 axis=1, keepdims=True)
-                    vb = jnp.sum(jnp.where(selm, tmp[:, 2 * Rp:], 0.0),
-                                 axis=1, keepdims=True)
-                    trs.append(jnp.transpose(vr))
-                    tgs.append(jnp.transpose(vg))
-                    tbs.append(jnp.transpose(vb))
-                tr = jnp.concatenate(trs, axis=0)
-                tg = jnp.concatenate(tgs, axis=0)
-                tb = jnp.concatenate(tbs, axis=0)
+                tr, tg, tb = _pool_fetch(jnp.clip(pidx, 0, npl - 1))
                 use = texm & okt    # !okt -> white (albedo unchanged)
                 return (jnp.where(use, alb_r * tr, alb_r),
                         jnp.where(use, alb_g * tg, alb_g),
@@ -2601,7 +2653,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "textured", "n_texs", "dup",
                                    "sun_pops", "chain_fuse", "n_sph",
                                    "n_quads", "n_lights", "leaf_parts",
-                                   "hbm", "gw", "leaf_tail"))
+                                   "hbm", "gw", "leaf_tail", "env_id",
+                                   "env_rot", "env_scale"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, px, py, valid,
@@ -2617,7 +2670,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               sun_pops: int = 2, chain_fuse: bool = False,
               n_sph: int = 0, n_quads: int = 0, n_lights: int = 0,
               leaf_parts: int = 1, hbm: bool = False, gw: int = 2,
-              leaf_tail: str = "pad"):
+              leaf_tail: str = "pad", env_id: int = -1,
+              env_rot: float = 0.0, env_scale: float = 1.0):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -2631,7 +2685,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    sun_pops=sun_pops, chain_fuse=chain_fuse,
                    n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
                    leaf_parts=leaf_parts, hbm=hbm, gw=gw,
-                   leaf_tail=leaf_tail)
+                   leaf_tail=leaf_tail, env_id=env_id, env_rot=env_rot,
+                   env_scale=env_scale)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -2735,7 +2790,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
     textured = bool(scene.has_image_tex)
     smooth = bool(scene.has_smooth)
     shaded = textured or smooth
-    n_texs = int(scene.n_textures) if textured else 0
+    env_on = int(scene.env_tex) >= 0
+    n_texs = int(scene.n_textures) if (textured or env_on) else 0
     Rp = _tex_plane_rows(scene)
     extra = (int(scene.tri_tile.shape[0]) if shaded else 0) + 3 * Rp
     packed = not fits_vmem_fused(scene, extra)
@@ -2753,7 +2809,7 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         aux_tab = scene.tri_aux_tile
     else:
         aux_tab = jnp.zeros((8, TILE_W), jnp.float32)
-    if textured:
+    if textured or env_on:
         texels = scene.tex_pool.reshape(-1, 3)
         npad = Rp * TILE_W - texels.shape[0]
         if npad:
@@ -2858,7 +2914,9 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         chain_fuse=bool(_OPTS.chain_fuse) and not hbm,
         n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
         leaf_parts=_resolve_leaf_parts(packed, block_h),
-        hbm=hbm, gw=_hbm_gw(scene), leaf_tail=str(_OPTS.leaf_tail))
+        hbm=hbm, gw=_hbm_gw(scene), leaf_tail=str(_OPTS.leaf_tail),
+        env_id=int(scene.env_tex), env_rot=float(scene.env_rotation),
+        env_scale=float(scene.env_scale))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

@@ -42,6 +42,38 @@ def sample_image(scene, tex_id, u, v) -> V3:
     return V3(r, g, b)
 
 
+# Polynomial arctan (odd minimax on [0,1], |err| < 3e-7): Mosaic has no
+# atan2/acos lowering, so the equirect mapping uses ONE implementation
+# built from mul/add/select/sqrt for all three paths — the XLA split
+# renderer, the fused Pallas kernel, and the NumPy oracle — keeping
+# their texel picks consistent.
+_ATAN_C = (0.99997726, -0.33262347, 0.19354346,
+           -0.11643287, 0.05265332, -0.01172120)
+_np_pi = 3.14159265358979323846
+
+
+def atan2f(y, x):
+    """atan2 via odd-polynomial atan with quadrant fixup (f32-safe in
+    XLA, Pallas/Mosaic and NumPy alike)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    mx = jnp.maximum(ax, ay)
+    mn = jnp.minimum(ax, ay)
+    t = mn / jnp.maximum(mx, jnp.float32(1e-30))
+    s = t * t
+    c = _ATAN_C
+    p = c[0] + s * (c[1] + s * (c[2] + s * (c[3] + s * (c[4] + s * c[5]))))
+    p = t * p
+    r = jnp.where(ay > ax, jnp.float32(0.5 * _np_pi) - p, p)
+    r = jnp.where(x < 0, jnp.float32(_np_pi) - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def acosf(x):
+    """acos(x) = atan2(sqrt(1-x^2), x)."""
+    return atan2f(jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)), x)
+
+
 def sample_env(scene, d: V3) -> V3:
     """Equirectangular environment-map radiance for direction lanes `d`
     (need not be unit length).
@@ -51,12 +83,11 @@ def sample_env(scene, d: V3) -> V3:
     map is a texture-pool entry (HDR files stay linear; LDR entries get
     the pool's sRGB->linear), u = atan2(z,x)/2pi + 0.5 + rot, v maps +y
     to the top row, scaled by scene.env_scale."""
-    import numpy as _np
     inv_len = 1.0 / jnp.sqrt(jnp.maximum(
         d.x * d.x + d.y * d.y + d.z * d.z, 1e-20))
-    u = (jnp.arctan2(d.z * inv_len, d.x * inv_len) / (2.0 * _np.pi)
-         + 0.5 + scene.env_rotation / (2.0 * _np.pi))
-    v = 1.0 - jnp.arccos(jnp.clip(d.y * inv_len, -1.0, 1.0)) / _np.pi
+    u = (atan2f(d.z * inv_len, d.x * inv_len) / (2.0 * _np_pi)
+         + 0.5 + scene.env_rotation / (2.0 * _np_pi))
+    v = 1.0 - acosf(jnp.clip(d.y * inv_len, -1.0, 1.0)) / _np_pi
     # sample_image wraps u and flips v exactly like the kernel's tex2D;
     # clamp v a hair inside [0,1) so the wrap never flips the poles
     v = jnp.clip(v, 0.0, 1.0 - 1e-6)

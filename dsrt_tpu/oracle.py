@@ -339,6 +339,24 @@ def _tex2d(sc, tex_id, u, v):
     return sc.tex_pool[idx:idx + 3].astype(F)
 
 
+def _atan2f(y, x):
+    """The shared polynomial atan2 (ops/textures.py atan2f) in f32
+    NumPy — one formula for oracle, XLA and Pallas so texel picks agree
+    (Mosaic has no atan2/acos lowering)."""
+    from dsrt_tpu.ops.textures import _ATAN_C as C
+    ax, ay = np.abs(x), np.abs(y)
+    mx, mn = np.maximum(ax, ay), np.minimum(ax, ay)
+    t = F(mn) / np.maximum(F(mx), F(1e-30))
+    s = F(t * t)
+    p = F(C[0]) + s * (F(C[1]) + s * (F(C[2]) + s * (
+        F(C[3]) + s * (F(C[4]) + s * F(C[5])))))
+    p = F(t * p)
+    r = F(np.pi / 2) - p if ay > ax else p
+    if x < 0:
+        r = F(np.pi) - r
+    return -r if y < 0 else r
+
+
 def _env_radiance(sc, rd):
     """Equirect environment-map sky (ops/textures.py sample_env mirror,
     f32 arithmetic step for step so nearest-neighbor texel picks agree):
@@ -346,10 +364,11 @@ def _env_radiance(sc, rd):
     rd = np.asarray(rd, F)
     inv_len = F(1.0) / np.sqrt(np.maximum(
         rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2], F(1e-20)))
-    u = (np.arctan2(rd[2] * inv_len, rd[0] * inv_len) / F(2.0 * np.pi)
+    u = (_atan2f(rd[2] * inv_len, rd[0] * inv_len) / F(2.0 * np.pi)
          + F(0.5) + F(sc.env_rotation) / F(2.0 * np.pi))
-    v = F(1.0) - np.arccos(np.clip(rd[1] * inv_len, F(-1.0), F(1.0))) \
-        / F(np.pi)
+    cy = np.clip(rd[1] * inv_len, F(-1.0), F(1.0))
+    acos = _atan2f(np.sqrt(np.maximum(F(1.0) - cy * cy, F(0.0))), cy)
+    v = F(1.0) - acos / F(np.pi)
     v = np.clip(v, F(0.0), F(1.0 - 1e-6))
     return (_tex2d(sc, sc.env_tex, F(u), F(v)) * F(sc.env_scale)).astype(F)
 

@@ -80,3 +80,46 @@ def test_hdr_env_loads_linear(tmp_path):
     pool, w, h, off, n = reg.build_pool()
     assert n == 1 and idx == 0
     assert abs(pool.max() - 3.5) < 0.05          # linear, unclamped
+
+
+def _mesh_env_scene(rotation_deg=0.0, scale=1.0):
+    """Two triangles + a metal tri under an env sky (fused-path shape)."""
+    b = SceneBuilder(sun_enabled=True, sun_dir=(0.0, -0.3, -1.0),
+                     sun_radiance=(4.0, 4.0, 4.0), seed=1337)
+    m = Material.lambertian((0.7, 0.7, 0.7))
+    b.add_triangle((-1, -1, -2), (1, -1, -2), (1, 1, -2), m)
+    b.add_triangle((-1, -1, -2), (1, 1, -2), (-1, 1, -2), m)
+    b.add_triangle((1.2, -1, -2.5), (2.2, -1, -2.5), (1.7, 0.5, -2.5),
+                   Material.metal((0.8, 0.8, 0.9), fuzz=0.05))
+    b.set_environment(_env_array(), rotation_deg=rotation_deg, scale=scale)
+    return b.build()
+
+
+def test_fused_env_matches_split():
+    """Env-map sky inside the fused megakernel (in-kernel equirect
+    gather at miss) must match the split pipeline, which is
+    oracle-matched (test_env_matches_oracle_u8)."""
+    from dsrt_tpu.ops import pallas_path
+    cfg = RenderConfig(width=96, height=56, spp=4, max_depth=8)
+    scene = _mesh_env_scene(rotation_deg=30.0, scale=1.5)
+    if not pallas_path.fused_supported(scene, cfg):
+        import pytest as _pt
+        _pt.skip("fused path needs a TPU backend")
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0, 1.0), (0, 0, -2), vfov=60,
+                      width=cfg.width, height=cfg.height)
+    ref = np.asarray(render_frame(scene, cam, cfg))
+    img = np.asarray(render_frame_fused(scene, cam, cfg))
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_env_gate():
+    """Env scenes are fused-eligible iff the pool fits the gather
+    budget; the sphere kernel still declines them."""
+    from dsrt_tpu.ops import pallas_path, pallas_sphere
+    cfg = RenderConfig(width=32, height=16, spp=1, max_depth=4)
+    scene = _mesh_env_scene()
+    if pallas_path.backend_is_tpu():
+        assert pallas_path.fused_supported(scene, cfg)
+    assert not pallas_sphere.sphere_fused_supported(_scene(), cfg)
