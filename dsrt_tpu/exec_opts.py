@@ -174,8 +174,18 @@ class ExecOptions:
     # in production.  Segments: box (8-row child box test), load (wide
     # node load), visitred (verdict reduces), push (stack pushes), leaf
     # (tile MT engine), merge (per-iteration closest merge), gluecos
-    # (cosine-hemisphere sampler), gluereg (regen draws + camera ray).
+    # (cosine-hemisphere sampler), gluereg (regen draws + camera ray),
+    # tourn (walk-end tournament), texg (per-wave texture gather
+    # branch), nolc (skip the leaf cond dispatch — a removal, not a
+    # duplication).
     dup: str = ""
+    # Deferred-attribute shaded leaf engine (fused kernel, VMEM mode):
+    # candidates carry (tri-row id, bary u, v) instead of interpolated
+    # UV/normal, resolved by ONE per-wave one-hot aux gather at walk
+    # end.  Measured NET-NEGATIVE 2.4x at 47.7k tris (sweep50k15 —
+    # the 16-field gather matmul is ~25x the texture-pool gather's
+    # width); bit-identical (tested).  Opt-in A/B knob.
+    defer_aux: bool = False
 
 
 OPTS = ExecOptions()

@@ -268,7 +268,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  n_quads: int = 0, n_lights: int = 0,
                  leaf_parts: int = 1, hbm: bool = False, gw: int = 2,
                  leaf_tail: str = "pad", env_id: int = -1,
-                 env_rot: float = 0.0, env_scale: float = 1.0):
+                 env_rot: float = 0.0, env_scale: float = 1.0,
+                 defer_aux: bool = False):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -276,6 +277,19 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
     # aux shading table (interpolated vn normals / UVs / texture ids)
     # rides the leaf engine only when the scene needs it
     shaded = smooth or textured
+    # Deferred-attribute mode (VMEM-resident shaded scenes): the leaf
+    # engine records only (tri-row id, bary u, bary v) per accept — the
+    # same select count as the unshaded engine, no per-tile UV/normal
+    # interpolation, no aux tile loads — and the winning triangle's
+    # full aux record is gathered once per wave at walk end.  Measured
+    # NET-NEGATIVE 2.4x on v5e at 47.7k tris (sweep50k15: 165 -> 398 ms
+    # at tex16): the 3-field texture-pool gather is ~free per wave
+    # ('texg' attribution), but this one is a (128,128)x(128,16*Ta)
+    # matmul + 128 masked (1,Ta) sums per wave (Ta = tri_rows/128 =
+    # 374 at ISS scale) — ~25x the pool gather's width.  Bit-identical
+    # (tested: test_fused_shaded A/B).  Kept as an opt-in knob; the
+    # in-engine (8,1)x(1,128) interpolation is the efficient design.
+    defer_attrs = shaded and not hbm and defer_aux
     # deferred-shadow mode only matters when the sun is on; the chain
     # walk has no shading-field tracking (trace_fused forces it off)
     assert not (shaded and defer_shadow and sun_on)
@@ -844,7 +858,12 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 e2x, e2y, e2z = W[:, 6:7], W[:, 7:8], W[:, 8:9]
                 mat_f = W[:, 9:10]
                 fnx, fny, fnz = W[:, 10:11], W[:, 11:12], W[:, 12:13]
-                if shaded:
+                if defer_attrs:
+                    # (closest, mat, tri-row id, bary u, bary v): same
+                    # select count as the UNSHADED engine — normals/UV/
+                    # texture resolve from ONE aux gather at walk end
+                    cl, mf, tid_, u_, v_ = st
+                elif shaded:
                     cl, mf, nx_, ny_, nz_, iu_, iv_, tx_ = st
                 else:
                     cl, mf, nx_, ny_, nz_ = st
@@ -873,6 +892,11 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 ok = ok & (t >= tmin_f) & (t <= cl)
                 cl = jnp.where(ok, t, cl)
                 mf = jnp.where(ok, mat_f, mf)
+                if defer_attrs:
+                    tid_ = jnp.where(ok, Wa, tid_)
+                    u_ = jnp.where(ok, u, u_)
+                    v_ = jnp.where(ok, v, v_)
+                    return (cl, mf, tid_, u_, v_)
                 if shaded:
                     wb = 1.0 - u - v
                     if smooth:
@@ -916,6 +940,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             def load_aux(t_, win=None):
                 if not shaded:
                     return None
+                if defer_attrs:
+                    # deferred-attribute mode: the engine records only
+                    # the packed tri-row id per accept; the aux record
+                    # is gathered ONCE per wave at walk end.  "Wa" is
+                    # the (8,1) tri-row-id column of this tile.
+                    io8c = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+                    return (t_ * 8 + io8c).astype(jnp.float32)
                 if win is None:
                     ga = aux_ref[pl.ds(8 * (t_ // 8), 8), :]
                     return pltpu.roll(ga, -16 * (t_ % 8), 1)[:, :16]
@@ -1196,7 +1227,12 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 return sp, SR, closest, nv, nt, ni
 
             zt = jnp.zeros((8, TILE_W), jnp.float32)
-            if shaded:
+            if defer_attrs:
+                # (closest, mat, tri-row id, bary u, bary v)
+                SR0 = tuple(
+                    (zt + closest0[r:r + 1, :], zt, zt, zt, zt)
+                    for r in range(n_rows))
+            elif shaded:
                 # + interpolated (iu, iv) and texture id (-1 = none)
                 SR0 = tuple(
                     (zt + closest0[r:r + 1, :], zt, zt, zt, zt, zt, zt,
@@ -1453,9 +1489,53 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             closest = jnp.concatenate([fr[0] for fr in frows], axis=0)
             bm = jnp.concatenate([fr[1] for fr in frows],
                                  axis=0).astype(jnp.int32)
-            bnx = jnp.concatenate([fr[2] for fr in frows], axis=0)
-            bny = jnp.concatenate([fr[3] for fr in frows], axis=0)
-            bnz = jnp.concatenate([fr[4] for fr in frows], axis=0)
+            if defer_attrs:
+                # resolve the winning triangle's aux record from its
+                # recorded row id: one one-hot gather per wave replaces
+                # the engine's per-tile interpolation.  Interp formulas
+                # are the engine's exact expressions (bit-identity).
+                btid = jnp.concatenate([fr[2] for fr in frows], axis=0)
+                bu = jnp.concatenate([fr[3] for fr in frows], axis=0)
+                bv = jnp.concatenate([fr[4] for fr in frows], axis=0)
+                Ta = aux_ref.shape[1] // 16
+                auxT = aux_ref[...]
+                tid_i = jnp.clip(btid.astype(jnp.int32), 0,
+                                 Ta * TILE_W - 1)
+                c_all = tid_i // TILE_W
+                j_all = tid_i % TILE_W
+                lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+                crange = jax.lax.broadcasted_iota(jnp.int32, (1, Ta), 1)
+                cols = [[] for _ in range(16)]
+                for s in range(n_rows):
+                    jT = jnp.transpose(j_all[s:s + 1, :])
+                    cT = jnp.transpose(c_all[s:s + 1, :])
+                    onehot = (jT == lane).astype(jnp.float32)
+                    tmp = jax.lax.dot_general(
+                        onehot, auxT, (((1,), (0,)), ((), ())),
+                        precision=jax.lax.Precision.HIGHEST)
+                    selm = cT == crange
+                    for f in range(16):
+                        vf = jnp.sum(
+                            jnp.where(selm, tmp[:, f * Ta:(f + 1) * Ta],
+                                      0.0), axis=1, keepdims=True)
+                        cols[f].append(jnp.transpose(vf))
+                flds = [jnp.concatenate(cols[f], axis=0)
+                        for f in range(16)]
+                wb = 1.0 - bu - bv
+                if smooth:
+                    # n = w*n0 + u*n1 + v*n2 (engine formula verbatim)
+                    bnx = wb * flds[0] + bu * flds[3] + bv * flds[6]
+                    bny = wb * flds[1] + bu * flds[4] + bv * flds[7]
+                    bnz = wb * flds[2] + bu * flds[5] + bv * flds[8]
+                else:
+                    bnx, bny, bnz = flds[0], flds[1], flds[2]
+                aux3 = (wb * flds[9] + bu * flds[11] + bv * flds[13],
+                        wb * flds[10] + bu * flds[12] + bv * flds[14],
+                        flds[15])
+            else:
+                bnx = jnp.concatenate([fr[2] for fr in frows], axis=0)
+                bny = jnp.concatenate([fr[3] for fr in frows], axis=0)
+                bnz = jnp.concatenate([fr[4] for fr in frows], axis=0)
             if smooth:
                 # normalize the interpolated vn normal — exact formula
                 # of the split path (ops/trace.py:164-167)
@@ -1470,7 +1550,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             sgn = jnp.where(front_b, 1.0, -1.0)
             fl = (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
                   jnp.where(front_b, 1.0, 0.0))
-            if shaded:
+            if shaded and not defer_attrs:
                 aux3 = (jnp.concatenate([fr[5] for fr in frows], 0),
                         jnp.concatenate([fr[6] for fr in frows], 0),
                         jnp.concatenate([fr[7] for fr in frows], 0))
@@ -2305,9 +2385,15 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                         jnp.where(use, alb_g * tg, alb_g),
                         jnp.where(use, alb_b * tb, alb_b))
 
-            alb_r, alb_g, alb_b = lax.cond(
+            a1 = lax.cond(
                 jnp.any(texm), tex_branch, lambda a: a,
                 (alb_r, alb_g, alb_b))
+            if "texg" in dup_set:       # perf triage: 2x the tex gather
+                a2 = lax.cond(
+                    jnp.any(texm), tex_branch, lambda a: a,
+                    (alb_r, alb_g, alb_b))
+                a1 = tuple(jnp.maximum(x, y) for x, y in zip(a1, a2))
+            alb_r, alb_g, alb_b = a1
 
         # ---- 4. specular -------------------------------------------------
         # The whole metal/dielectric chain (incl. the rejection-sampler
@@ -2654,7 +2740,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "sun_pops", "chain_fuse", "n_sph",
                                    "n_quads", "n_lights", "leaf_parts",
                                    "hbm", "gw", "leaf_tail", "env_id",
-                                   "env_rot", "env_scale"))
+                                   "env_rot", "env_scale", "defer_aux"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, px, py, valid,
@@ -2671,7 +2757,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               n_sph: int = 0, n_quads: int = 0, n_lights: int = 0,
               leaf_parts: int = 1, hbm: bool = False, gw: int = 2,
               leaf_tail: str = "pad", env_id: int = -1,
-              env_rot: float = 0.0, env_scale: float = 1.0):
+              env_rot: float = 0.0, env_scale: float = 1.0,
+              defer_aux: bool = False):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -2686,7 +2773,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
                    leaf_parts=leaf_parts, hbm=hbm, gw=gw,
                    leaf_tail=leaf_tail, env_id=env_id, env_rot=env_rot,
-                   env_scale=env_scale)
+                   env_scale=env_scale, defer_aux=defer_aux)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -2805,7 +2892,21 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
     # for the kernel's one-hot matmul gather — poolT[j, ch*Rp + c] =
     # channel ch of texel c*128 + j (texel k of the interleaved pool is
     # pool[3k + ch], ops/textures.py:35)
-    if shaded:
+    defer_aux = bool(_OPTS.defer_aux) and shaded and not hbm
+    if defer_aux:
+        # deferred-attribute mode: the aux table rides as TRANSPOSED
+        # per-field planes for the walk-end one-hot gather —
+        # auxT[j, f*Ta + c] = tri_aux[c*128 + j, f] (tri rows are the
+        # PACKED order, matching the engine's recorded tile*8+slot ids)
+        t16 = scene.tri_aux
+        Ta = (t16.shape[0] + TILE_W - 1) // TILE_W
+        npad = Ta * TILE_W - t16.shape[0]
+        if npad:
+            t16 = jnp.concatenate(
+                [t16, jnp.zeros((npad, 16), jnp.float32)], axis=0)
+        aux_tab = (t16.reshape(Ta, TILE_W, 16).transpose(1, 2, 0)
+                   .reshape(TILE_W, 16 * Ta))
+    elif shaded:
         aux_tab = scene.tri_aux_tile
     else:
         aux_tab = jnp.zeros((8, TILE_W), jnp.float32)
@@ -2916,7 +3017,7 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         leaf_parts=_resolve_leaf_parts(packed, block_h),
         hbm=hbm, gw=_hbm_gw(scene), leaf_tail=str(_OPTS.leaf_tail),
         env_id=int(scene.env_tex), env_rot=float(scene.env_rotation),
-        env_scale=float(scene.env_scale))
+        env_scale=float(scene.env_scale), defer_aux=defer_aux)
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

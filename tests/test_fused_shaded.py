@@ -162,3 +162,20 @@ def test_fused_gate_rejects_oversized_pool(tmp_path):
     big = dataclasses.replace(scene, tex_pool=np.zeros(
         (3 * (pallas_path.TEX_ROWS_MAX + 1) * 128,), np.float32))
     assert not pallas_path.fused_supported(big, CFG)
+
+
+def test_fused_defer_aux_knob_bit_identical(tmp_path):
+    """exec_opts.defer_aux (deferred-attribute engine, measured
+    net-negative at scale — sweep50k15) must stay bit-identical."""
+    from dsrt_tpu.exec_opts import OPTS
+    scene = _textured_scene(tmp_path)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame_fused
+    cam = make_camera((0, 0, 1.0), (0, 0, -2), vfov=60, width=W, height=H)
+    base = render_frame_fused(scene, cam, CFG)
+    OPTS.defer_aux = True
+    try:
+        img = render_frame_fused(scene, cam, CFG)
+    finally:
+        OPTS.defer_aux = False
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
