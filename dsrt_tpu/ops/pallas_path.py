@@ -102,7 +102,7 @@ def fused_supported(scene, cfg) -> bool:
             and scene.n_lights <= MIX_MAX_LIGHTS
             and not (scene.n_spheres and getattr(scene, "has_moving",
                                                  False))
-            and scene.n_media == 0
+            and scene.n_media <= MIX_MAX_MED
             and not scene.has_ptex
             and cfg.aperture == 0.0
             and fits and backend_is_tpu())
@@ -237,6 +237,8 @@ def _cosine_hemisphere(nx, ny, nz, state, mask):
 # the BVH result (scene_hit order, src/gpu_render.cu:509-551), area
 # lights as an unrolled select in the mixture sampler
 MIX_MAX_SPH = 12
+MIX_MAX_MED = 4       # unrolled constant-medium loop bound (per wave:
+#                       1 draw + ~60 vector ops per medium)
 MIX_MAX_QUADS = 24       # a Cornell box with two boxes is 18 quads
 MIX_MAX_LIGHTS = 8
 
@@ -249,7 +251,7 @@ STATS_ROWS = 1024    # telemetry buckets (block pid accumulates mod this)
 
 def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  cam_ref, sun_ref, spp_ref, hdr_ref,
-                 sph_ref, quad_ref, lit_ref,
+                 sph_ref, quad_ref, lit_ref, med_ref,
                  px_ref, py_ref, valid_ref,
                  acc_r_ref, acc_g_ref, acc_b_ref, nray_ref, stack_ref,
                  rq_ref, tilewin_ref, dmasem_ref, auxwin_ref,
@@ -265,7 +267,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  textured: bool = False, n_texs: int = 0,
                  dup: str = "", sun_pops: int = 2,
                  chain_fuse: bool = False, n_sph: int = 0,
-                 n_quads: int = 0, n_lights: int = 0,
+                 n_quads: int = 0, n_lights: int = 0, n_med: int = 0,
                  leaf_parts: int = 1, hbm: bool = False, gw: int = 2,
                  leaf_tail: str = "pad", env_id: int = -1,
                  env_rot: float = 0.0, env_scale: float = 1.0,
@@ -2250,6 +2252,60 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         cidl = cidl + ci_
         hitm = hitm_f > 0.5
 
+        if n_med > 0:
+            # ---- probabilistic constant-medium hits (inc/constant_
+            # medium.h:20-53 semantics; exact mirror of ops/trace.py
+            # media_pass incl. its one-draw-per-medium-per-wave masked
+            # schedule, so LCG streams stay bit-identical to the split
+            # path).  Runs AFTER every surface pass (tris + pre-walk
+            # primitives) — e1 clips at the current closest, and later
+            # media see earlier media's accepts (sequential fold).
+            bmed = jnp.full(shape, -1, jnp.int32)
+            a_rd = rdx * rdx + rdy * rdy + rdz * rdz
+            rlen = jnp.sqrt(a_rd)
+            for i in range(n_med):
+                mb = 15 * i
+                kind = med_ref[mb]
+                mcx = med_ref[mb + 1]
+                mcy = med_ref[mb + 2]
+                mcz = med_ref[mb + 3]
+                mr = med_ref[mb + 4]
+                ocx, ocy, ocz = rox - mcx, roy - mcy, roz - mcz
+                half_b = ocx * rdx + ocy * rdy + ocz * rdz
+                cq = ocx * ocx + ocy * ocy + ocz * ocz - mr * mr
+                disc = half_b * half_b - a_rd * cq
+                sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                s_has = disc > 0.0
+                s_t0 = (-half_b - sq) / a_rd
+                s_t1 = (-half_b + sq) / a_rd
+                bt0 = jnp.full(shape, -3e38)
+                bt1 = jnp.full(shape, 3e38)
+                for ax, (o_, d_) in enumerate(((rox, rdx), (roy, rdy),
+                                               (roz, rdz))):
+                    inv = 1.0 / d_
+                    ta = (med_ref[mb + 5 + ax] - o_) * inv
+                    tb = (med_ref[mb + 8 + ax] - o_) * inv
+                    bt0 = jnp.maximum(bt0, jnp.minimum(ta, tb))
+                    bt1 = jnp.minimum(bt1, jnp.maximum(ta, tb))
+                b_has = bt1 > bt0
+                is_sph = kind == 0.0
+                has = jnp.where(is_sph, jnp.where(s_has, 1.0, 0.0),
+                                jnp.where(b_has, 1.0, 0.0)) > 0.5
+                mt0 = jnp.where(is_sph, s_t0, bt0)
+                mt1 = jnp.where(is_sph, s_t1, bt1)
+                e0 = jnp.maximum(mt0, tmin_f)
+                e1 = jnp.minimum(mt1, bt)
+                inside = has & (e0 < e1) & alive
+                u_m, state = _draw(state, alive)
+                dist_inside = (e1 - e0) * rlen
+                neg_inv_d = med_ref[mb + 11]
+                hit_dist = neg_inv_d * jnp.log(jnp.maximum(u_m, 1e-30))
+                okm = inside & (hit_dist <= dist_inside)
+                t_m = e0 + hit_dist / jnp.maximum(rlen, 1e-30)
+                bt = jnp.where(okm, t_m, bt)
+                hitm = hitm | okm
+                bmed = jnp.where(okm, i, bmed)
+
         def _pool_fetch(pidx):
             """Per-lane texel fetch from the de-interleaved VMEM pool
             planes via one-hot matmul (exact at precision=HIGHEST,
@@ -2331,8 +2387,33 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         py_ = roy + bt * rdy
         pz_ = roz + bt * rdz
 
+        if n_med > 0:
+            # ---- isotropic in-medium scatter (ops/shade.py medium
+            # branch; draw schedule identical: one rejection-sampler
+            # call masked to the scattering lanes) --------------------
+            med_mask = alive & (bmed >= 0)
+            mar = jnp.zeros(shape, jnp.float32)
+            mag = jnp.zeros(shape, jnp.float32)
+            mab = jnp.zeros(shape, jnp.float32)
+            for i in range(n_med):
+                sel = bmed == i
+                mar = jnp.where(sel, med_ref[15 * i + 12], mar)
+                mag = jnp.where(sel, med_ref[15 * i + 13], mag)
+                mab = jnp.where(sel, med_ref[15 * i + 14], mab)
+            (umx, umy, umz), state = _rand_in_unit_sphere(state, med_mask)
+            dmx, dmy, dmz = _normalize3(umx, umy, umz)
+            thr_r = jnp.where(med_mask, thr_r * mar, thr_r)
+            thr_g = jnp.where(med_mask, thr_g * mag, thr_g)
+            thr_b = jnp.where(med_mask, thr_b * mab, thr_b)
+            rox = jnp.where(med_mask, px_, rox)
+            roy = jnp.where(med_mask, py_, roy)
+            roz = jnp.where(med_mask, pz_, roz)
+            rdx = jnp.where(med_mask, dmx, rdx)
+            rdy = jnp.where(med_mask, dmy, rdy)
+            rdz = jnp.where(med_mask, dmz, rdz)
+
         mtype = _mat_field(bm, 0).astype(jnp.int32)
-        surf = alive
+        surf = alive & (bmed < 0) if n_med > 0 else alive
 
         # ---- 2. emission -------------------------------------------------
         emis = surf & (mtype == DIFFUSE_LIGHT)
@@ -2539,6 +2620,54 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 blocked = blocked & blocked2
             svis = svis + sv_
             stst = stst + st_
+            if n_med > 0:
+                # media along the shadow ray (split path: the any-hit
+                # scene_hit runs media_pass with active=pot — one draw
+                # per medium masked pot; an already-blocked lane's
+                # verdict is absorbed by the OR, so e1 clips at t_max)
+                a_s = sdx * sdx + sdy * sdy + sdz * sdz
+                rlen_s = jnp.sqrt(a_s)
+                for i in range(n_med):
+                    mb = 15 * i
+                    kind = med_ref[mb]
+                    mcx = med_ref[mb + 1]
+                    mcy = med_ref[mb + 2]
+                    mcz = med_ref[mb + 3]
+                    mr = med_ref[mb + 4]
+                    ocx, ocy, ocz = sox - mcx, soy - mcy, soz - mcz
+                    half_b = ocx * sdx + ocy * sdy + ocz * sdz
+                    cq = ocx * ocx + ocy * ocy + ocz * ocz - mr * mr
+                    disc = half_b * half_b - a_s * cq
+                    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+                    s_has = disc > 0.0
+                    s_t0 = (-half_b - sq) / a_s
+                    s_t1 = (-half_b + sq) / a_s
+                    bt0 = jnp.full(shape, -3e38)
+                    bt1 = jnp.full(shape, 3e38)
+                    for ax, (o_, d_) in enumerate(((sox, sdx), (soy, sdy),
+                                                   (soz, sdz))):
+                        inv = 1.0 / d_
+                        ta = (med_ref[mb + 5 + ax] - o_) * inv
+                        tb = (med_ref[mb + 8 + ax] - o_) * inv
+                        bt0 = jnp.maximum(bt0, jnp.minimum(ta, tb))
+                        bt1 = jnp.minimum(bt1, jnp.maximum(ta, tb))
+                    b_has = bt1 > bt0
+                    is_sph = kind == 0.0
+                    has = jnp.where(is_sph,
+                                    jnp.where(s_has, 1.0, 0.0),
+                                    jnp.where(b_has, 1.0, 0.0)) > 0.5
+                    mt0 = jnp.where(is_sph, s_t0, bt0)
+                    mt1 = jnp.where(is_sph, s_t1, bt1)
+                    e0 = jnp.maximum(mt0, tmin_f)
+                    e1 = jnp.minimum(mt1, tmax_f)
+                    inside = has & (e0 < e1) & pot
+                    u_m, state = _draw(state, pot)
+                    dist_inside = (e1 - e0) * rlen_s
+                    neg_inv_d = med_ref[mb + 11]
+                    hit_dist = neg_inv_d * jnp.log(
+                        jnp.maximum(u_m, 1e-30))
+                    okm = inside & (hit_dist <= dist_inside)
+                    blocked = blocked | okm
             unb = pot & ~blocked
             pdf_b = cos_sun / jnp.float32(PI_F)
             w_sun = pdf_b / (0.5 + 0.5 * pdf_b)
@@ -2738,12 +2867,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "stream", "stream_tiles", "smooth",
                                    "textured", "n_texs", "dup",
                                    "sun_pops", "chain_fuse", "n_sph",
-                                   "n_quads", "n_lights", "leaf_parts",
+                                   "n_quads", "n_lights", "n_med",
+                                   "leaf_parts",
                                    "hbm", "gw", "leaf_tail", "env_id",
                                    "env_rot", "env_scale", "defer_aux"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
-              lit_vec, px, py, valid,
+              lit_vec, med_vec, px, py, valid,
               n_mats: int,
               max_depth: int, width: int, height: int, seed: int,
               rr_start: int, rr_max_p: float, t_min: float, t_max: float,
@@ -2755,6 +2885,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               textured: bool = False, n_texs: int = 0, dup: str = "",
               sun_pops: int = 2, chain_fuse: bool = False,
               n_sph: int = 0, n_quads: int = 0, n_lights: int = 0,
+              n_med: int = 0,
               leaf_parts: int = 1, hbm: bool = False, gw: int = 2,
               leaf_tail: str = "pad", env_id: int = -1,
               env_rot: float = 0.0, env_scale: float = 1.0,
@@ -2771,6 +2902,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    textured=textured, n_texs=n_texs, dup=dup,
                    sun_pops=sun_pops, chain_fuse=chain_fuse,
                    n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
+                   n_med=n_med,
                    leaf_parts=leaf_parts, hbm=hbm, gw=gw,
                    leaf_tail=leaf_tail, env_id=env_id, env_rot=env_rot,
                    env_scale=env_scale, defer_aux=defer_aux)
@@ -2792,7 +2924,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
         kern,
         grid=(n_blocks,),
         in_specs=[full, tri_spec, tri_spec, aux_spec, full, smem, smem,
-                  smem, smem, smem, smem, smem, smem]
+                  smem, smem, smem, smem, smem, smem, smem]
         + [ray_spec] * 3,
         out_specs=(ray_spec, ray_spec, ray_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -2826,8 +2958,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=119 * 1024 * 1024),
     )(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack, cam_vec,
-      sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec, lit_vec, px, py,
-      valid)
+      sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec, lit_vec, med_vec,
+      px, py, valid)
 
 
 def _resolve_leaf_parts(packed: bool, block_h: int) -> int:
@@ -2988,10 +3120,26 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
     else:
         lit_vec = jnp.zeros((1,), jnp.float32)
 
+    # constant media (same 15-float records as the sphere megakernel:
+    # [kind, center(3), r, box_min(3), box_max(3), neg_inv_d, albedo(3)])
+    n_med = int(scene.n_media)
+    if n_med:
+        med_vec = jnp.concatenate([
+            scene.med_kind[:n_med, None].astype(jnp.float32),
+            scene.med_center[:n_med],
+            scene.med_radius[:n_med, None],
+            scene.med_min[:n_med],
+            scene.med_max[:n_med],
+            scene.med_neg_inv_density[:n_med, None],
+            scene.med_albedo[:n_med],
+        ], axis=1).reshape(-1)
+    else:
+        med_vec = jnp.zeros((1,), jnp.float32)
+
     acc_r, acc_g, acc_b, stats = _run_path(
         scene.bvh_wide, tri_tab, scene.tri_tile, aux_tab, texT,
         scene.mat_pack, cam_vec, sun_vec, spp_vec, hdr_vec,
-        sph_vec, quad_vec, lit_vec,
+        sph_vec, quad_vec, lit_vec, med_vec,
         fold(px.astype(jnp.int32)), fold(py.astype(jnp.int32)),
         fold(valid.astype(jnp.int32)),
         n_mats=scene.mat_pack.shape[0],
@@ -3003,7 +3151,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         ordered=bool(_OPTS.ordered), pops=int(_OPTS.pops),
         regen_thresh=float(_OPTS.regen_thresh),
         # the deferred-shadow chain walk has no shading-field tracking
-        defer_shadow=bool(_OPTS.defer_shadow) and not shaded and not hbm,
+        defer_shadow=(bool(_OPTS.defer_shadow) and not shaded
+                      and not hbm and n_med == 0),
         rowtrav=bool(_OPTS.rowtrav) and not hbm,
         row_pops=int(_OPTS.row_pops),
         stream=(False if hbm else
@@ -3013,7 +3162,7 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         smooth=smooth, textured=textured, n_texs=n_texs,
         dup=str(_OPTS.dup), sun_pops=int(_OPTS.sun_pops),
         chain_fuse=bool(_OPTS.chain_fuse) and not hbm,
-        n_sph=n_sph, n_quads=n_quads, n_lights=n_lights,
+        n_sph=n_sph, n_quads=n_quads, n_lights=n_lights, n_med=n_med,
         leaf_parts=_resolve_leaf_parts(packed, block_h),
         hbm=hbm, gw=_hbm_gw(scene), leaf_tail=str(_OPTS.leaf_tail),
         env_id=int(scene.env_tex), env_rot=float(scene.env_rotation),
