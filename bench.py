@@ -387,6 +387,33 @@ def all_configs() -> list[dict]:
                 "rays": exact, "sec_per_frame": round(dt, 3)})
     del scene_t50
 
+    # --- volumetric + MESH: fog around the station, in-kernel through
+    # the fused tri megakernel's media pass (before r3-late this fell
+    # to the split pipeline) ---------------------------------------------
+    from dsrt_tpu.models.mesh_gen import iss_standin_mesh
+    from dsrt_tpu.models.scene import SceneBuilder
+    cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
+    bv = SceneBuilder(sun_enabled=True, sun_dir=(0.35, 0.65, 0.4),
+                      sun_radiance=(1e5, 9.5e4, 9e4), seed=1337,
+                      bvh_method="sbvh")
+    bv.add_mesh(iss_standin_mesh(DETAIL))
+    bv.add_constant_medium_sphere((0.0, 0.0, 0.0), 70.0, density=0.004,
+                                  albedo=(0.85, 0.9, 0.95))
+    scene_vm = bv.build()
+    cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
+                          vfov=cfg.vfov, width=800, height=450)
+    if fused_kind(scene_vm, cfg):
+        mrays, dt, exact = _fused_mrays(scene_vm, cam, cfg)
+        mode = "fused"
+    else:
+        mrays, dt, exact = _wavefront_mrays(scene_vm, cam, cfg)
+        mode = "wavefront"
+    out.append({"config": "volumetric_mesh_800x450_32spp",
+                "metric": "Mrays/sec/chip", "value": round(mrays, 3),
+                "mode": mode, "n_tris": int(scene_vm.n_tris),
+                "n_media": int(scene_vm.n_media), "rays": exact,
+                "sec_per_frame": round(dt, 3)})
+
     # --- configs[4]: volumetric + importance-sampled scene ---------------
     cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
     scene = volumetric_scene()

@@ -361,7 +361,7 @@ class SceneBuilder:
                  sun_radiance: Tuple[float, float, float] = (1e5, 9.5e4, 9e4),
                  seed: int = 1337,
                  bvh_method: str = "median",
-                 wide_max_leaf: int = 8):
+                 wide_max_leaf: int = 16):
         self._meshes: List[_MeshEntry] = []
         self._spheres: List[tuple] = []
         self._quads: List[tuple] = []

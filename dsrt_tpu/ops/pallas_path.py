@@ -151,6 +151,41 @@ def _draw(state, mask):
     return u, ns
 
 
+def _pool_fetch_rows(poolT, pidx, n_rows: int):
+    """Per-lane texel fetch from the de-interleaved pool planes
+    (poolT[j, ch*Rp + c] = channel ch of texel c*TILE_W + j) via
+    one-hot matmul — exact at precision=HIGHEST
+    (benchmarks/proto_gather.py).  pidx: (n_rows, TILE_W) clipped texel
+    indices.  -> (r, g, b) planes.  Shared by both megakernels (tri
+    texture/env gather; sphere env gather)."""
+    Rp = poolT.shape[1] // 3
+    c_all = pidx // TILE_W
+    j_all = pidx % TILE_W
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+    crange = jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1)
+    trs, tgs, tbs = [], [], []
+    for s in range(n_rows):
+        jT = jnp.transpose(j_all[s:s + 1, :])
+        cT = jnp.transpose(c_all[s:s + 1, :])
+        onehot = (jT == lane).astype(jnp.float32)
+        tmp = jax.lax.dot_general(
+            onehot, poolT, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+        selm = cT == crange
+        vr = jnp.sum(jnp.where(selm, tmp[:, :Rp], 0.0),
+                     axis=1, keepdims=True)
+        vg = jnp.sum(jnp.where(selm, tmp[:, Rp:2 * Rp], 0.0),
+                     axis=1, keepdims=True)
+        vb = jnp.sum(jnp.where(selm, tmp[:, 2 * Rp:], 0.0),
+                     axis=1, keepdims=True)
+        trs.append(jnp.transpose(vr))
+        tgs.append(jnp.transpose(vg))
+        tbs.append(jnp.transpose(vb))
+    return (jnp.concatenate(trs, axis=0),
+            jnp.concatenate(tgs, axis=0),
+            jnp.concatenate(tbs, axis=0))
+
+
 def _rand_in_unit_sphere(state, mask, max_tries: int = 64):
     """Rejection sampler, 3 draws/attempt (src/gpu_render.cu:82-91);
     per-lane retry under mask, same draw count as the scalar loop."""
@@ -2307,37 +2342,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 bmed = jnp.where(okm, i, bmed)
 
         def _pool_fetch(pidx):
-            """Per-lane texel fetch from the de-interleaved VMEM pool
-            planes via one-hot matmul (exact at precision=HIGHEST,
-            benchmarks/proto_gather.py).  pidx: (rows, TILE_W) clipped
-            texel indices.  -> (r, g, b) planes."""
-            Rp = texT_ref.shape[1] // 3
-            poolT = texT_ref[...]
-            c_all = pidx // TILE_W
-            j_all = pidx % TILE_W
-            lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
-            crange = jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1)
-            trs, tgs, tbs = [], [], []
-            for s in range(n_rows):
-                jT = jnp.transpose(j_all[s:s + 1, :])
-                cT = jnp.transpose(c_all[s:s + 1, :])
-                onehot = (jT == lane).astype(jnp.float32)
-                tmp = jax.lax.dot_general(
-                    onehot, poolT, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST)
-                selm = cT == crange
-                vr = jnp.sum(jnp.where(selm, tmp[:, :Rp], 0.0),
-                             axis=1, keepdims=True)
-                vg = jnp.sum(jnp.where(selm, tmp[:, Rp:2 * Rp], 0.0),
-                             axis=1, keepdims=True)
-                vb = jnp.sum(jnp.where(selm, tmp[:, 2 * Rp:], 0.0),
-                             axis=1, keepdims=True)
-                trs.append(jnp.transpose(vr))
-                tgs.append(jnp.transpose(vg))
-                tbs.append(jnp.transpose(vb))
-            return (jnp.concatenate(trs, axis=0),
-                    jnp.concatenate(tgs, axis=0),
-                    jnp.concatenate(tbs, axis=0))
+            return _pool_fetch_rows(texT_ref[...], pidx, n_rows)
 
         if env_id >= 0:
             # environment-map sky (extension; ops/textures.py sample_env

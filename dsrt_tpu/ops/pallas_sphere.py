@@ -49,7 +49,8 @@ from dsrt_tpu.ops.linalg import V3
 from dsrt_tpu.ops.pallas_trace import backend_is_tpu, TILE_H, TILE_W
 from dsrt_tpu.ops.pallas_path import (_draw, _rand_in_unit_sphere,
                                       _normalize3, _cosine_hemisphere,
-                                      STATS_ROWS, PI_F)
+                                      _pool_fetch_rows, _tex_plane_rows,
+                                      TEX_ROWS_MAX, STATS_ROWS, PI_F)
 from dsrt_tpu.models.materials import (DIELECTRIC, DIFFUSE_LIGHT, LAMBERTIAN,
                                        METAL, PTEX_CHECKER, PTEX_MARBLE,
                                        PTEX_NOISE)
@@ -68,7 +69,9 @@ def sphere_fused_supported(scene, cfg) -> bool:
             and scene.n_media <= MAX_MED
             and scene.n_lights <= MAX_LIGHTS
             and not scene.has_image_tex
-            and scene.env_tex < 0     # env-map sky: split path only
+            # env-map sky: in-kernel when the pool fits the gather
+            and (scene.env_tex < 0
+                 or _tex_plane_rows(scene) <= TEX_ROWS_MAX)
             and cfg.aperture == 0.0
             # motion blur (shutter open + moving centers) runs on the
             # split path; the kernel shades static centers only
@@ -136,12 +139,14 @@ def _perlin_turb(px, py, pz, depth: int = 7):
 # ---------------------------------------------------------------------------
 
 def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
-                   spp_ref, px_ref, py_ref, valid_ref,
+                   spp_ref, texT_ref, hdr_ref, px_ref, py_ref, valid_ref,
                    acc_r_ref, acc_g_ref, acc_b_ref, nray_ref,
                    *, n_sph: int, n_med: int, n_lights: int, n_mats: int,
                    max_depth: int, width: int, height: int, seed: int,
                    rr_start: int, rr_max_p: float, t_min: float,
-                   t_max: float, sun_on: bool, has_ptex: bool):
+                   t_max: float, sun_on: bool, has_ptex: bool,
+                   env_id: int = -1, env_rot: float = 0.0,
+                   env_scale: float = 1.0):
     pxf = px_ref[...].astype(jnp.float32)
     pyf = py_ref[...].astype(jnp.float32)
     valid = valid_ref[...] > 0
@@ -339,6 +344,48 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
         nrays = nrays + jnp.sum(jnp.where(alive, 1, 0))
         (hitm, bt, bm, nx, ny, nz, bfr, bmed, state) = _closest_hit(
             rox, roy, roz, rdx, rdy, rdz, alive, state)
+        if env_id >= 0:
+            # environment-map sky on miss lanes (the tri megakernel's
+            # env branch verbatim; shared polynomial atan2/acos +
+            # shared one-hot pool gather)
+            import math as _math
+            from dsrt_tpu.ops.textures import acosf, atan2f
+            missm = alive & ~hitm
+
+            def env_branch(Ls):
+                Lr_, Lg_, Lb_ = Ls
+                inv = 1.0 / jnp.sqrt(jnp.maximum(
+                    rdx * rdx + rdy * rdy + rdz * rdz, 1e-20))
+                two_pi = 2.0 * _math.pi
+                u = (atan2f(rdz * inv, rdx * inv)
+                     / jnp.float32(two_pi) + jnp.float32(0.5)
+                     + jnp.float32(env_rot / two_pi))
+                v = 1.0 - acosf(jnp.clip(rdy * inv, -1.0, 1.0)) \
+                    / jnp.float32(_math.pi)
+                v = jnp.clip(v, 0.0, 1.0 - 1e-6)
+                wt = hdr_ref[3 * env_id]
+                ht = hdr_ref[3 * env_id + 1]
+                ot = hdr_ref[3 * env_id + 2]
+                uu = u - jnp.floor(u)
+                it = (uu * jnp.float32(wt - 1)).astype(jnp.int32)
+                jt = ((1.0 - v) * jnp.float32(ht - 1)).astype(jnp.int32)
+                pidx = ot + jt * wt + it
+                Rp = texT_ref.shape[1] // 3
+                npl = Rp * TILE_W
+                oke = (pidx >= 0) & (pidx < npl)
+                tr, tg, tb = _pool_fetch_rows(
+                    texT_ref[...], jnp.clip(pidx, 0, npl - 1),
+                    shape[0])
+                sc = jnp.float32(env_scale)
+                er = jnp.where(oke, tr, 1.0) * sc
+                eg = jnp.where(oke, tg, 1.0) * sc
+                eb = jnp.where(oke, tb, 1.0) * sc
+                return (jnp.where(missm, Lr_ + thr_r * er, Lr_),
+                        jnp.where(missm, Lg_ + thr_g * eg, Lg_),
+                        jnp.where(missm, Lb_ + thr_b * eb, Lb_))
+
+            Lr, Lg, Lb = lax.cond(jnp.any(missm), env_branch,
+                                  lambda a: a, (Lr, Lg, Lb))
         alive = alive & hitm
         px_ = rox + bt * rdx
         py_ = roy + bt * rdy
@@ -622,18 +669,22 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
 @partial(jax.jit, static_argnames=("n_sph", "n_med", "n_lights", "n_mats",
                                    "max_depth", "width", "height", "seed",
                                    "rr_start", "rr_max_p", "t_min", "t_max",
-                                   "sun_on", "has_ptex", "k", "block_h"))
+                                   "sun_on", "has_ptex", "k", "block_h",
+                                   "env_id", "env_rot", "env_scale"))
 def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
-                spp_vec, px, py, valid,
+                spp_vec, texT, hdr_vec, px, py, valid,
                 n_sph: int, n_med: int, n_lights: int, n_mats: int,
                 max_depth: int, width: int, height: int, seed: int,
                 rr_start: int, rr_max_p: float, t_min: float, t_max: float,
-                sun_on: bool, has_ptex: bool, k: int, block_h: int):
+                sun_on: bool, has_ptex: bool, k: int, block_h: int,
+                env_id: int = -1, env_rot: float = 0.0,
+                env_scale: float = 1.0):
     kern = partial(_sphere_kernel, n_sph=n_sph, n_med=n_med,
                    n_lights=n_lights, n_mats=n_mats, max_depth=max_depth,
                    width=width, height=height, seed=seed, rr_start=rr_start,
                    rr_max_p=rr_max_p, t_min=t_min, t_max=t_max,
-                   sun_on=sun_on, has_ptex=has_ptex)
+                   sun_on=sun_on, has_ptex=has_ptex, env_id=env_id,
+                   env_rot=env_rot, env_scale=env_scale)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -642,7 +693,9 @@ def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
     return pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[smem] * 7 + [ray_spec] * 3,
+        in_specs=[smem] * 7
+        + [pl.BlockSpec(memory_space=pltpu.VMEM), smem]
+        + [ray_spec] * 3,
         out_specs=(ray_spec, ray_spec, ray_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
         out_shape=(
@@ -657,7 +710,7 @@ def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
             bytes_accessed=out_shape[0] * 128 * 24,
             transcendentals=out_shape[0] * 128 * 64),
     )(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec, spp_vec,
-      px, py, valid)
+      texT, hdr_vec, px, py, valid)
 
 
 def trace_fused_spheres(scene, cfg, cam, px, py, valid,
@@ -729,8 +782,31 @@ def trace_fused_spheres(scene, cfg, cam, px, py, valid,
     spp_vec = jnp.stack([jnp.asarray(spp_rt, jnp.int32),
                          jnp.asarray(salt, jnp.int32)])
 
+    # env-map planes (texture pool de-interleaved for the in-kernel
+    # one-hot gather — same layout as trace_fused's texT)
+    env_on = int(scene.env_tex) >= 0
+    if env_on:
+        Rp = _tex_plane_rows(scene)
+        texels = scene.tex_pool.reshape(-1, 3)
+        npad = Rp * TILE_W - texels.shape[0]
+        if npad:
+            texels = jnp.concatenate(
+                [texels, jnp.zeros((npad, 3), jnp.float32)], axis=0)
+        texT = jnp.concatenate(
+            [texels[:, ch].reshape(Rp, TILE_W).T for ch in range(3)],
+            axis=1)
+        hdr_vec = jnp.stack(
+            [scene.tex_w.astype(jnp.int32),
+             scene.tex_h.astype(jnp.int32),
+             (scene.tex_off // 3).astype(jnp.int32)],
+            axis=1).reshape(-1)
+    else:
+        texT = jnp.zeros((TILE_W, 3), jnp.float32)
+        hdr_vec = jnp.zeros((3,), jnp.int32)
+
     acc_r, acc_g, acc_b, stats = _run_sphere(
         mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec, spp_vec,
+        texT, hdr_vec,
         fold(px.astype(jnp.int32)), fold(py.astype(jnp.int32)),
         fold(valid.astype(jnp.int32)),
         n_sph=n_sph, n_med=n_med, n_lights=n_lights,
@@ -739,7 +815,9 @@ def trace_fused_spheres(scene, cfg, cam, px, py, valid,
         height=cam.height, seed=scene.seed, rr_start=cfg.rr_start_depth,
         rr_max_p=float(cfg.rr_max_p), t_min=float(cfg.hit_eps),
         t_max=float(cfg.hit_tmax), sun_on=bool(scene.sun_enabled),
-        has_ptex=bool(scene.has_ptex), k=Kp, block_h=block_h)
+        has_ptex=bool(scene.has_ptex), k=Kp, block_h=block_h,
+        env_id=int(scene.env_tex), env_rot=float(scene.env_rotation),
+        env_scale=float(scene.env_scale))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

@@ -115,11 +115,29 @@ def test_fused_env_matches_split():
 
 
 def test_fused_env_gate():
-    """Env scenes are fused-eligible iff the pool fits the gather
-    budget; the sphere kernel still declines them."""
+    """Env scenes are fused-eligible on BOTH megakernels iff the pool
+    fits the in-kernel gather budget."""
     from dsrt_tpu.ops import pallas_path, pallas_sphere
     cfg = RenderConfig(width=32, height=16, spp=1, max_depth=4)
     scene = _mesh_env_scene()
     if pallas_path.backend_is_tpu():
         assert pallas_path.fused_supported(scene, cfg)
-    assert not pallas_sphere.sphere_fused_supported(_scene(), cfg)
+        assert pallas_sphere.sphere_fused_supported(_scene(), cfg)
+
+
+def test_sphere_fused_env_matches_split():
+    """Env-map sky in the SPHERE megakernel (classic RTiOW spheres
+    under an HDR sky) matches the split pipeline, which is
+    oracle-matched."""
+    from dsrt_tpu.ops import pallas_sphere
+    cfg = RenderConfig(width=48, height=32, spp=4, max_depth=8)
+    scene = _scene(rotation_deg=45.0, scale=1.2)
+    if not pallas_sphere.sphere_fused_supported(scene, cfg):
+        pytest.skip("sphere megakernel needs a TPU backend")
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0, 1.0), (0, 0, -1), vfov=60,
+                      width=cfg.width, height=cfg.height)
+    ref = np.asarray(render_frame(scene, cam, cfg))
+    img = np.asarray(render_frame_fused(scene, cam, cfg))
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)

@@ -80,7 +80,7 @@ def _sphere_light_scene():
     return b.build()
 
 
-def test_gate_accepts_mixed_and_rejects_media():
+def test_gate_accepts_mixed_and_media_bounds():
     scene = _sphere_mix_scene()
     if not pallas_path.backend_is_tpu():
         pytest.skip("needs TPU backend")
@@ -88,8 +88,13 @@ def test_gate_accepts_mixed_and_rejects_media():
     many = dataclasses.replace(
         scene, n_spheres=pallas_path.MIX_MAX_SPH + 1)
     assert not pallas_path.fused_supported(many, CFG)
+    # media are now IN fused scope (tests/test_fused_media.py) up to
+    # the unrolled loop bound
     media = dataclasses.replace(scene, n_media=1)
-    assert not pallas_path.fused_supported(media, CFG)
+    assert pallas_path.fused_supported(media, CFG)
+    toomany = dataclasses.replace(scene,
+                                  n_media=pallas_path.MIX_MAX_MED + 1)
+    assert not pallas_path.fused_supported(toomany, CFG)
 
 
 def test_fused_sphere_mix_matches_split():
