@@ -45,6 +45,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from dsrt_tpu.exec_opts import OPTS as _OPTS
+from dsrt_tpu.models.materials import (PTEX_CHECKER, PTEX_MARBLE,
+                                       PTEX_NOISE)
 from dsrt_tpu.ops.linalg import V3
 from dsrt_tpu.ops.pallas_trace import (_load_many, fits_vmem_fused,
                                        fits_vmem_fused_packed,
@@ -103,8 +105,6 @@ def fused_supported(scene, cfg) -> bool:
             and not (scene.n_spheres and getattr(scene, "has_moving",
                                                  False))
             and scene.n_media <= MIX_MAX_MED
-            and not scene.has_ptex
-            and cfg.aperture == 0.0
             and fits and backend_is_tpu())
 
 
@@ -151,6 +151,61 @@ def _draw(state, mask):
     return u, ns
 
 
+# ---------------------------------------------------------------------
+# in-kernel procedural textures (scalar-triplet forms of ops/textures.py
+# — the gather-free hash-gradient Perlin; shared by both megakernels)
+
+def _hash3(i, j, k):
+    h = (i.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
+         ^ j.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+         ^ k.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0x27D4EB2F)
+    h = h ^ (h >> 16)
+    return h
+
+
+def _grad_dot(h, x, y, z):
+    hh = (h & jnp.uint32(15)).astype(jnp.int32)
+    u = jnp.where(hh < 8, x, y)
+    v = jnp.where(hh < 4, y, jnp.where((hh == 12) | (hh == 14), x, z))
+    return (jnp.where((hh & 1) == 0, u, -u)
+            + jnp.where((hh & 2) == 0, v, -v))
+
+
+def _perlin_noise(px, py, pz):
+    u = px - jnp.floor(px)
+    v = py - jnp.floor(py)
+    w = pz - jnp.floor(pz)
+    i = jnp.floor(px).astype(jnp.int32)
+    j = jnp.floor(py).astype(jnp.int32)
+    k = jnp.floor(pz).astype(jnp.int32)
+    uu = u * u * (3.0 - 2.0 * u)
+    vv = v * v * (3.0 - 2.0 * v)
+    ww = w * w * (3.0 - 2.0 * w)
+    accum = jnp.zeros_like(u)
+    for di in (0, 1):
+        for dj in (0, 1):
+            for dk in (0, 1):
+                h = _hash3(i + di, j + dj, k + dk)
+                dotv = _grad_dot(h, u - di, v - dj, w - dk)
+                wt = ((uu if di else 1.0 - uu) * (vv if dj else 1.0 - vv)
+                      * (ww if dk else 1.0 - ww))
+                accum = accum + wt * dotv
+    return accum * 0.5
+
+
+def _perlin_turb(px, py, pz, depth: int = 7):
+    accum = jnp.zeros_like(px)
+    weight = 1.0
+    qx, qy, qz = px, py, pz
+    for _ in range(depth):
+        accum = accum + weight * _perlin_noise(qx, qy, qz)
+        weight *= 0.5
+        qx, qy, qz = qx * 2.0, qy * 2.0, qz * 2.0
+    return jnp.abs(accum)
+
+
 def _pool_fetch_rows(poolT, pidx, n_rows: int):
     """Per-lane texel fetch from the de-interleaved pool planes
     (poolT[j, ch*Rp + c] = channel ch of texel c*TILE_W + j) via
@@ -184,6 +239,40 @@ def _pool_fetch_rows(poolT, pidx, n_rows: int):
     return (jnp.concatenate(trs, axis=0),
             jnp.concatenate(tgs, axis=0),
             jnp.concatenate(tbs, axis=0))
+
+
+def _rand_in_unit_disk(state, mask, max_tries: int = 64):
+    """Rejection-sample the unit disk (2 draws/attempt): the in-kernel
+    mirror of ops/camera.random_in_unit_disk (same masked draw
+    schedule), used by the thin-lens raygen when aperture > 0."""
+    def attempt(state, need):
+        x, state = _draw(state, need)
+        y, state = _draw(state, need)
+        return x * 2.0 - 1.0, y * 2.0 - 1.0, state
+
+    x0, y0, state = attempt(state, mask)
+
+    # masks carried as f32 — i1 vectors in scf loop carries trip a Mosaic
+    # layout bug (same workaround as _rand_in_unit_sphere)
+    def cond(c):
+        i, _, _, _, need_f = c
+        return jnp.logical_and(i < max_tries, jnp.any(need_f > 0.5))
+
+    def body(c):
+        i, x, y, state, need_f = c
+        need = need_f > 0.5
+        cx, cy, state = attempt(state, need)
+        accept = cx * cx + cy * cy < 1.0
+        x = jnp.where(need, cx, x)
+        y = jnp.where(need, cy, y)
+        need_f = jnp.where(need & ~accept, 1.0, 0.0)
+        return i + 1, x, y, state, need_f
+
+    need0 = jnp.where(
+        jnp.logical_and(mask, (x0 * x0 + y0 * y0) >= 1.0), 1.0, 0.0)
+    _, x, y, state, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), x0, y0, state, need0))
+    return x, y, state
 
 
 def _rand_in_unit_sphere(state, mask, max_tries: int = 64):
@@ -306,7 +395,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  leaf_parts: int = 1, hbm: bool = False, gw: int = 2,
                  leaf_tail: str = "pad", env_id: int = -1,
                  env_rot: float = 0.0, env_scale: float = 1.0,
-                 defer_aux: bool = False):
+                 defer_aux: bool = False, has_ptex: bool = False,
+                 aperture_on: bool = False):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -2213,12 +2303,30 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                               - cam_oy)
             crz = jnp.minimum(crz, ll[2] + u2 * hz[2] + v2 * vt[2]
                               - cam_oz)
-        rox = jnp.where(need, cam_ox, rox)
-        roy = jnp.where(need, cam_oy, roy)
-        roz = jnp.where(need, cam_oz, roz)
-        rdx = jnp.where(need, crx, rdx)
-        rdy = jnp.where(need, cry, rdy)
-        rdz = jnp.where(need, crz, rdz)
+        if aperture_on:
+            # thin-lens DOF (ops/camera.generate_rays_dof in-kernel,
+            # inc/camera.h:35-61): lens offset = lens_radius * disk
+            # sample on the camera (u, v) basis; draws ride the same
+            # masked schedule as the split path (after the jitter pair)
+            ldx, ldy, state = _rand_in_unit_disk(state, need)
+            lrx = cam_ref[18] * ldx
+            lry = cam_ref[18] * ldy
+            offx = cam_ref[12] * lrx + cam_ref[15] * lry
+            offy = cam_ref[13] * lrx + cam_ref[16] * lry
+            offz = cam_ref[14] * lrx + cam_ref[17] * lry
+            rox = jnp.where(need, cam_ox + offx, rox)
+            roy = jnp.where(need, cam_oy + offy, roy)
+            roz = jnp.where(need, cam_oz + offz, roz)
+            rdx = jnp.where(need, crx - offx, rdx)
+            rdy = jnp.where(need, cry - offy, rdy)
+            rdz = jnp.where(need, crz - offz, rdz)
+        else:
+            rox = jnp.where(need, cam_ox, rox)
+            roy = jnp.where(need, cam_oy, roy)
+            roz = jnp.where(need, cam_oz, roz)
+            rdx = jnp.where(need, crx, rdx)
+            rdy = jnp.where(need, cry, rdy)
+            rdz = jnp.where(need, crz, rdz)
         Lr = jnp.where(need, 0.0, Lr)
         Lg = jnp.where(need, 0.0, Lg)
         Lb = jnp.where(need, 0.0, Lb)
@@ -2480,6 +2588,43 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     (alb_r, alb_g, alb_b))
                 a1 = tuple(jnp.maximum(x, y) for x, y in zip(a1, a2))
             alb_r, alb_g, alb_b = a1
+
+        if has_ptex:
+            # procedural textures at the hit point (the sphere
+            # megakernel's block verbatim; ops/textures.py
+            # sample_procedural contract — checker 3D-sine, marble,
+            # noise over the gather-free hash-gradient Perlin).
+            # mat_pack cols: 9 ptex_kind, 10 ptex_scale, 11-13 color2
+            kind_p = _mat_field(bm, 9).astype(jnp.int32)
+            pscale = _mat_field(bm, 10)
+            c2r = _mat_field(bm, 11)
+            c2g = _mat_field(bm, 12)
+            c2b = _mat_field(bm, 13)
+            sines = (jnp.sin(pscale * px_) * jnp.sin(pscale * py_)
+                     * jnp.sin(pscale * pz_))
+            chk = sines < 0.0
+            chk_r = jnp.where(chk, c2r, alb_r)
+            chk_g = jnp.where(chk, c2g, alb_g)
+            chk_b = jnp.where(chk, c2b, alb_b)
+            need_noise = surf & ((kind_p == PTEX_NOISE)
+                                 | (kind_p == PTEX_MARBLE))
+            turb = lax.cond(jnp.any(need_noise),
+                            lambda: _perlin_turb(px_, py_, pz_),
+                            lambda: jnp.zeros(shape, jnp.float32))
+            marble_v = 0.5 * (1.0 + jnp.sin(pscale * pz_ + 10.0 * turb))
+            noise_v = jnp.clip(turb, 0.0, 1.0)
+            is_chk = surf & (kind_p == PTEX_CHECKER)
+            alb_r = jnp.where(is_chk, chk_r, alb_r)
+            alb_g = jnp.where(is_chk, chk_g, alb_g)
+            alb_b = jnp.where(is_chk, chk_b, alb_b)
+            is_mar = surf & (kind_p == PTEX_MARBLE)
+            alb_r = jnp.where(is_mar, marble_v, alb_r)
+            alb_g = jnp.where(is_mar, marble_v, alb_g)
+            alb_b = jnp.where(is_mar, marble_v, alb_b)
+            is_noi = surf & (kind_p == PTEX_NOISE)
+            alb_r = jnp.where(is_noi, noise_v, alb_r)
+            alb_g = jnp.where(is_noi, noise_v, alb_g)
+            alb_b = jnp.where(is_noi, noise_v, alb_b)
 
         # ---- 4. specular -------------------------------------------------
         # The whole metal/dielectric chain (incl. the rejection-sampler
@@ -2875,7 +3020,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "n_quads", "n_lights", "n_med",
                                    "leaf_parts",
                                    "hbm", "gw", "leaf_tail", "env_id",
-                                   "env_rot", "env_scale", "defer_aux"))
+                                   "env_rot", "env_scale", "defer_aux",
+                                   "has_ptex", "aperture_on"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, med_vec, px, py, valid,
@@ -2894,7 +3040,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               leaf_parts: int = 1, hbm: bool = False, gw: int = 2,
               leaf_tail: str = "pad", env_id: int = -1,
               env_rot: float = 0.0, env_scale: float = 1.0,
-              defer_aux: bool = False):
+              defer_aux: bool = False, has_ptex: bool = False,
+              aperture_on: bool = False):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -2910,7 +3057,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    n_med=n_med,
                    leaf_parts=leaf_parts, hbm=hbm, gw=gw,
                    leaf_tail=leaf_tail, env_id=env_id, env_rot=env_rot,
-                   env_scale=env_scale, defer_aux=defer_aux)
+                   env_scale=env_scale, defer_aux=defer_aux,
+                   has_ptex=has_ptex, aperture_on=aperture_on)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -3078,7 +3226,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         sd.astype(jnp.float32), scene.sun_radiance.astype(jnp.float32),
         jnp.array([cfg.shadow_bias, 0.0], jnp.float32)])
     cam_vec = jnp.concatenate([
-        cam.origin, cam.lower_left, cam.horizontal, cam.vertical
+        cam.origin, cam.lower_left, cam.horizontal, cam.vertical,
+        cam.u, cam.v, cam.lens_radius[None]
     ]).astype(jnp.float32)
 
     # [spp, stream salt] — both runtime scalars (one compiled kernel
@@ -3171,7 +3320,9 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         leaf_parts=_resolve_leaf_parts(packed, block_h),
         hbm=hbm, gw=_hbm_gw(scene), leaf_tail=str(_OPTS.leaf_tail),
         env_id=int(scene.env_tex), env_rot=float(scene.env_rotation),
-        env_scale=float(scene.env_scale), defer_aux=defer_aux)
+        env_scale=float(scene.env_scale), defer_aux=defer_aux,
+        has_ptex=bool(scene.has_ptex),
+        aperture_on=bool(cfg.aperture > 0))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

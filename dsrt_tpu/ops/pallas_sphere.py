@@ -50,6 +50,7 @@ from dsrt_tpu.ops.pallas_trace import backend_is_tpu, TILE_H, TILE_W
 from dsrt_tpu.ops.pallas_path import (_draw, _rand_in_unit_sphere,
                                       _normalize3, _cosine_hemisphere,
                                       _pool_fetch_rows, _tex_plane_rows,
+                                      _perlin_turb,
                                       TEX_ROWS_MAX, STATS_ROWS, PI_F)
 from dsrt_tpu.models.materials import (DIELECTRIC, DIFFUSE_LIGHT, LAMBERTIAN,
                                        METAL, PTEX_CHECKER, PTEX_MARBLE,
@@ -77,61 +78,6 @@ def sphere_fused_supported(scene, cfg) -> bool:
             # split path; the kernel shades static centers only
             and not (scene.has_moving and cfg.time1 > cfg.time0)
             and backend_is_tpu())
-
-
-# ---------------------------------------------------------------------------
-# in-kernel procedural textures (scalar-triplet forms of ops/textures.py)
-# ---------------------------------------------------------------------------
-
-def _hash3(i, j, k):
-    h = (i.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)
-         ^ j.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
-         ^ k.astype(jnp.uint32) * jnp.uint32(0xC2B2AE3D))
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0x27D4EB2F)
-    h = h ^ (h >> 16)
-    return h
-
-
-def _grad_dot(h, x, y, z):
-    hh = (h & jnp.uint32(15)).astype(jnp.int32)
-    u = jnp.where(hh < 8, x, y)
-    v = jnp.where(hh < 4, y, jnp.where((hh == 12) | (hh == 14), x, z))
-    return (jnp.where((hh & 1) == 0, u, -u)
-            + jnp.where((hh & 2) == 0, v, -v))
-
-
-def _perlin_noise(px, py, pz):
-    u = px - jnp.floor(px)
-    v = py - jnp.floor(py)
-    w = pz - jnp.floor(pz)
-    i = jnp.floor(px).astype(jnp.int32)
-    j = jnp.floor(py).astype(jnp.int32)
-    k = jnp.floor(pz).astype(jnp.int32)
-    uu = u * u * (3.0 - 2.0 * u)
-    vv = v * v * (3.0 - 2.0 * v)
-    ww = w * w * (3.0 - 2.0 * w)
-    accum = jnp.zeros_like(u)
-    for di in (0, 1):
-        for dj in (0, 1):
-            for dk in (0, 1):
-                h = _hash3(i + di, j + dj, k + dk)
-                dotv = _grad_dot(h, u - di, v - dj, w - dk)
-                wt = ((uu if di else 1.0 - uu) * (vv if dj else 1.0 - vv)
-                      * (ww if dk else 1.0 - ww))
-                accum = accum + wt * dotv
-    return accum * 0.5
-
-
-def _perlin_turb(px, py, pz, depth: int = 7):
-    accum = jnp.zeros_like(px)
-    weight = 1.0
-    qx, qy, qz = px, py, pz
-    for _ in range(depth):
-        accum = accum + weight * _perlin_noise(qx, qy, qz)
-        weight *= 0.5
-        qx, qy, qz = qx * 2.0, qy * 2.0, qz * 2.0
-    return jnp.abs(accum)
 
 
 # ---------------------------------------------------------------------------

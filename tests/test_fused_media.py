@@ -76,3 +76,58 @@ def test_fused_media_gate():
     scene = _mesh_media_scene()
     if pallas_path.backend_is_tpu():
         assert pallas_path.fused_supported(scene, CFG)
+
+
+def test_fused_ptex_tris_matches_split():
+    """Procedural (checker/marble) textures on TRIANGLES in the fused
+    megakernel (the sphere kernel's block transplanted): bit-identical
+    to the split path's sample_procedural."""
+    from dsrt_tpu.ops import pallas_path
+    b = SceneBuilder(sun_enabled=True, sun_dir=(0.2, -0.8, -0.3),
+                     sun_radiance=(25.0, 25.0, 24.0), seed=1337)
+    g = Material.checker((0.2, 0.3, 0.1), (0.9, 0.9, 0.9), scale=3.0)
+    b.add_triangle((-2, -1, -3), (2, -1, -3), (2, -1, 1), g)
+    b.add_triangle((-2, -1, -3), (2, -1, 1), (-2, -1, 1), g)
+    b.add_triangle((-0.6, -1, -2), (0.6, -1, -2), (0, 0.4, -2),
+                   Material.marble(scale=2.0)
+                   if hasattr(Material, "marble")
+                   else Material.noise(scale=2.0))
+    scene = b.build()
+    assert scene.has_ptex
+    if not pallas_path.fused_supported(scene, CFG):
+        pytest.skip("fused path needs a TPU backend")
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0.2, 1.6), (0, -0.3, -2), vfov=55,
+                      width=W, height=H)
+    ref = np.asarray(render_frame(scene, cam, CFG))
+    img = np.asarray(render_frame_fused(scene, cam, CFG))
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_dof_matches_split():
+    """Thin-lens DOF (cfg.aperture > 0 — the reference defines but
+    never calls it, inc/camera.h:35-61) inside the fused raygen: the
+    disk-sampler draws ride the same per-pixel schedule as the split
+    path."""
+    from dsrt_tpu.ops import pallas_path
+    cfg = RenderConfig(width=64, height=40, spp=4, max_depth=6,
+                       aperture=0.35)
+    b = SceneBuilder(sun_enabled=True, sun_dir=(0.2, -0.8, -0.3),
+                     sun_radiance=(25.0, 25.0, 24.0), seed=1337)
+    m = Material.lambertian((0.7, 0.7, 0.7))
+    b.add_triangle((-2, -1, -3), (2, -1, -3), (2, -1, 1), m)
+    b.add_triangle((-2, -1, -3), (2, -1, 1), (-2, -1, 1), m)
+    b.add_triangle((-0.5, -1, -2), (0.5, -1, -2), (0, 0.2, -2),
+                   Material.lambertian((0.8, 0.3, 0.3)))
+    scene = b.build()
+    if not pallas_path.fused_supported(scene, cfg):
+        pytest.skip("fused path needs a TPU backend")
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0.2, 1.6), (0, -0.3, -2), vfov=55,
+                      width=cfg.width, height=cfg.height,
+                      aperture=cfg.aperture)
+    ref = np.asarray(render_frame(scene, cam, cfg))
+    img = np.asarray(render_frame_fused(scene, cam, cfg))
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
