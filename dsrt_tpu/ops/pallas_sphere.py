@@ -29,7 +29,10 @@ draw on masked lanes:
 Scope (see `sphere_fused_supported`): no triangles/quads, <= MAX_SPH
 spheres, <= MAX_MED media, no image textures; checker/marble/noise
 procedural textures evaluate in-kernel with the gather-free
-hash-gradient Perlin of ops/textures.py.
+hash-gradient Perlin of ops/textures.py.  Thin-lens DOF (aperture > 0,
+inc/camera.h:35-61) and moving-sphere motion blur (center-as-ray,
+inc/sphere.h:143-146; one shutter-time draw per sample after the
+jitter/aperture draws, ops/../render.py sample_body) run in-kernel.
 """
 
 from __future__ import annotations
@@ -48,6 +51,7 @@ from dsrt_tpu.exec_opts import OPTS as _OPTS
 from dsrt_tpu.ops.linalg import V3
 from dsrt_tpu.ops.pallas_trace import backend_is_tpu, TILE_H, TILE_W
 from dsrt_tpu.ops.pallas_path import (_draw, _rand_in_unit_sphere,
+                                      _rand_in_unit_disk,
                                       _normalize3, _cosine_hemisphere,
                                       _pool_fetch_rows, _tex_plane_rows,
                                       _perlin_turb,
@@ -73,10 +77,6 @@ def sphere_fused_supported(scene, cfg) -> bool:
             # env-map sky: in-kernel when the pool fits the gather
             and (scene.env_tex < 0
                  or _tex_plane_rows(scene) <= TEX_ROWS_MAX)
-            and cfg.aperture == 0.0
-            # motion blur (shutter open + moving centers) runs on the
-            # split path; the kernel shades static centers only
-            and not (scene.has_moving and cfg.time1 > cfg.time0)
             and backend_is_tpu())
 
 
@@ -92,7 +92,9 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
                    rr_start: int, rr_max_p: float, t_min: float,
                    t_max: float, sun_on: bool, has_ptex: bool,
                    env_id: int = -1, env_rot: float = 0.0,
-                   env_scale: float = 1.0):
+                   env_scale: float = 1.0, aperture_on: bool = False,
+                   motion_on: bool = False, time0: float = 0.0,
+                   time1: float = 0.0):
     pxf = px_ref[...].astype(jnp.float32)
     pyf = py_ref[...].astype(jnp.float32)
     valid = valid_ref[...] > 0
@@ -131,10 +133,12 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
 
     # ---------------- scene intersection (ops/trace.py semantics) ------
 
-    def _closest_hit(rox, roy, roz, rdx, rdy, rdz, act, state):
+    def _closest_hit(rox, roy, roz, rdx, rdy, rdz, act, state, tm=None):
         """Sequential sphere loop (`<=` ties, later sphere wins,
         src/gpu_render.cu:529-545) then per-medium probabilistic hits
-        (one draw per medium on `act` lanes).  Returns (hitm, t, mat,
+        (one draw per medium on `act` lanes).  With per-lane `tm`,
+        moving centers evaluate at c0 + tm*(c2-c0) (ops/trace.py
+        sphere_pass, inc/sphere.h:143-146).  Returns (hitm, t, mat,
         n flipped(3), front, medium, state)."""
         closest = jnp.where(act, tmax_f, tmin_f)
         bt, bm = closest, i0
@@ -144,9 +148,13 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
         bmed = jnp.full(shape, -1, jnp.int32)
         a = rdx * rdx + rdy * rdy + rdz * rdz
         for i in range(n_sph):
-            cx, cy, cz = sph_ref[5 * i], sph_ref[5 * i + 1], sph_ref[5 * i + 2]
-            r = sph_ref[5 * i + 3]
-            mid = sph_ref[5 * i + 4].astype(jnp.int32)
+            cx, cy, cz = sph_ref[8 * i], sph_ref[8 * i + 1], sph_ref[8 * i + 2]
+            r = sph_ref[8 * i + 3]
+            mid = sph_ref[8 * i + 4].astype(jnp.int32)
+            if motion_on and tm is not None:
+                cx = cx + tm * (sph_ref[8 * i + 5] - cx)
+                cy = cy + tm * (sph_ref[8 * i + 6] - cy)
+                cz = cz + tm * (sph_ref[8 * i + 7] - cz)
             ocx, ocy, ocz = rox - cx, roy - cy, roz - cz
             half_b = ocx * rdx + ocy * rdy + ocz * rdz
             cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
@@ -238,7 +246,7 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
 
     def wave_body(c):
         (acc_r, acc_g, acc_b, Lr, Lg, Lb, thr3, alive_f, state, scnt,
-         depth, ro3, rd3, nrays, waves) = c
+         depth, ro3, rd3, nrays, waves, tm) = c
         thr_r, thr_g, thr_b = thr3
         rox, roy, roz = ro3
         rdx, rdy, rdz = rd3
@@ -256,12 +264,37 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
         crx = ll[0] + u * hz[0] + v * vt[0] - cam_ox
         cry = ll[1] + u * hz[1] + v * vt[1] - cam_oy
         crz = ll[2] + u * hz[2] + v * vt[2] - cam_oz
-        rox = jnp.where(need, cam_ox, rox)
-        roy = jnp.where(need, cam_oy, roy)
-        roz = jnp.where(need, cam_oz, roz)
-        rdx = jnp.where(need, crx, rdx)
-        rdy = jnp.where(need, cry, rdy)
-        rdz = jnp.where(need, crz, rdz)
+        if aperture_on:
+            # thin-lens DOF (ops/camera.generate_rays_dof in-kernel,
+            # inc/camera.h:35-61): lens offset = lens_radius * disk
+            # sample on the camera (u, v) basis; same masked draw
+            # schedule as the split path (after the jitter pair)
+            ldx, ldy, state = _rand_in_unit_disk(state, need)
+            lrx = cam_ref[18] * ldx
+            lry = cam_ref[18] * ldy
+            offx = cam_ref[12] * lrx + cam_ref[15] * lry
+            offy = cam_ref[13] * lrx + cam_ref[16] * lry
+            offz = cam_ref[14] * lrx + cam_ref[17] * lry
+            rox = jnp.where(need, cam_ox + offx, rox)
+            roy = jnp.where(need, cam_oy + offy, roy)
+            roz = jnp.where(need, cam_oz + offz, roz)
+            rdx = jnp.where(need, crx - offx, rdx)
+            rdy = jnp.where(need, cry - offy, rdy)
+            rdz = jnp.where(need, crz - offz, rdz)
+        else:
+            rox = jnp.where(need, cam_ox, rox)
+            roy = jnp.where(need, cam_oy, roy)
+            roz = jnp.where(need, cam_oz, roz)
+            rdx = jnp.where(need, crx, rdx)
+            rdy = jnp.where(need, cry, rdy)
+            rdz = jnp.where(need, crz, rdz)
+        if motion_on:
+            # camera shutter: ONE draw after jitter/aperture, held for
+            # the whole path incl. shadow rays (render.py sample_body)
+            ut, state = _draw(state, need)
+            tm = jnp.where(need,
+                           jnp.float32(time0)
+                           + ut * jnp.float32(time1 - time0), tm)
         Lr = jnp.where(need, 0.0, Lr)
         Lg = jnp.where(need, 0.0, Lg)
         Lb = jnp.where(need, 0.0, Lb)
@@ -289,7 +322,7 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
         # ---- 1. closest hit --------------------------------------------
         nrays = nrays + jnp.sum(jnp.where(alive, 1, 0))
         (hitm, bt, bm, nx, ny, nz, bfr, bmed, state) = _closest_hit(
-            rox, roy, roz, rdx, rdy, rdz, alive, state)
+            rox, roy, roz, rdx, rdy, rdz, alive, state, tm=tm)
         if env_id >= 0:
             # environment-map sky on miss lanes (the tri megakernel's
             # env branch verbatim; shared polynomial atan2/acos +
@@ -482,7 +515,7 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
             sdir_y = jnp.broadcast_to(sdy, shape)
             sdir_z = jnp.broadcast_to(sdz, shape)
             (sh_hit, _, _, _, _, _, _, _, state) = _closest_hit(
-                sox, soy, soz, sdir_x, sdir_y, sdir_z, pot, state)
+                sox, soy, soz, sdir_x, sdir_y, sdir_z, pot, state, tm=tm)
             unb = pot & ~sh_hit
             pdf_b = cos_sun / jnp.float32(PI_F)
             w_sun = pdf_b / (0.5 + 0.5 * pdf_b)
@@ -594,10 +627,10 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
         return (acc_r, acc_g, acc_b, Lr, Lg, Lb,
                 (thr_r, thr_g, thr_b),
                 jnp.where(alive, 1.0, 0.0), state, scnt, depth,
-                (rox, roy, roz), (rdx, rdy, rdz), nrays, waves + 1)
+                (rox, roy, roz), (rdx, rdy, rdz), nrays, waves + 1, tm)
 
     init = (f0, f0, f0, f0, f0, f0, (f1, f1, f1), f0, state0, i0, i0,
-            (f0, f0, f0), (f0, f0, f1), jnp.int32(0), jnp.int32(0))
+            (f0, f0, f0), (f0, f0, f1), jnp.int32(0), jnp.int32(0), f0)
     out = lax.while_loop(wave_cond, wave_body, init)
     acc_r_ref[...] = out[0]
     acc_g_ref[...] = out[1]
@@ -616,7 +649,9 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
                                    "max_depth", "width", "height", "seed",
                                    "rr_start", "rr_max_p", "t_min", "t_max",
                                    "sun_on", "has_ptex", "k", "block_h",
-                                   "env_id", "env_rot", "env_scale"))
+                                   "env_id", "env_rot", "env_scale",
+                                   "aperture_on", "motion_on",
+                                   "time0", "time1"))
 def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
                 spp_vec, texT, hdr_vec, px, py, valid,
                 n_sph: int, n_med: int, n_lights: int, n_mats: int,
@@ -624,13 +659,17 @@ def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
                 rr_start: int, rr_max_p: float, t_min: float, t_max: float,
                 sun_on: bool, has_ptex: bool, k: int, block_h: int,
                 env_id: int = -1, env_rot: float = 0.0,
-                env_scale: float = 1.0):
+                env_scale: float = 1.0, aperture_on: bool = False,
+                motion_on: bool = False, time0: float = 0.0,
+                time1: float = 0.0):
     kern = partial(_sphere_kernel, n_sph=n_sph, n_med=n_med,
                    n_lights=n_lights, n_mats=n_mats, max_depth=max_depth,
                    width=width, height=height, seed=seed, rr_start=rr_start,
                    rr_max_p=rr_max_p, t_min=t_min, t_max=t_max,
                    sun_on=sun_on, has_ptex=has_ptex, env_id=env_id,
-                   env_rot=env_rot, env_scale=env_scale)
+                   env_rot=env_rot, env_scale=env_scale,
+                   aperture_on=aperture_on, motion_on=motion_on,
+                   time0=time0, time1=time1)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -680,11 +719,13 @@ def trace_fused_spheres(scene, cfg, cam, px, py, valid,
     n_med = int(scene.n_media)
     n_lights = int(scene.n_lights)
 
-    # SMEM parameter vectors (host-resolved indirections)
+    # SMEM parameter vectors (host-resolved indirections); stride 8 per
+    # sphere: c0(3), radius, mat, c2(3) — c2 drives in-kernel motion blur
     sph_vec = jnp.concatenate([
         jnp.concatenate([scene.sph_center[:n_sph],
                          scene.sph_radius[:n_sph, None],
-                         scene.sph_mat[:n_sph, None].astype(jnp.float32)],
+                         scene.sph_mat[:n_sph, None].astype(jnp.float32),
+                         scene.sph_center2[:n_sph]],
                         axis=1).reshape(-1)
     ]) if n_sph else jnp.zeros((1,), jnp.float32)
     if n_med:
@@ -721,7 +762,8 @@ def trace_fused_spheres(scene, cfg, cam, px, py, valid,
         sd.astype(jnp.float32), scene.sun_radiance.astype(jnp.float32),
         jnp.array([cfg.shadow_bias, 0.0], jnp.float32)])
     cam_vec = jnp.concatenate([
-        cam.origin, cam.lower_left, cam.horizontal, cam.vertical
+        cam.origin, cam.lower_left, cam.horizontal, cam.vertical,
+        cam.u, cam.v, cam.lens_radius[None]
     ]).astype(jnp.float32)
     # [spp, stream salt] — both runtime scalars; salt 0 keeps parity
     spp_rt = cfg.resolved_spp() if spp is None else spp
@@ -763,7 +805,11 @@ def trace_fused_spheres(scene, cfg, cam, px, py, valid,
         t_max=float(cfg.hit_tmax), sun_on=bool(scene.sun_enabled),
         has_ptex=bool(scene.has_ptex), k=Kp, block_h=block_h,
         env_id=int(scene.env_tex), env_rot=float(scene.env_rotation),
-        env_scale=float(scene.env_scale))
+        env_scale=float(scene.env_scale),
+        aperture_on=bool(cfg.aperture > 0),
+        motion_on=bool(getattr(scene, "has_moving", False)
+                       and cfg.time1 > cfg.time0),
+        time0=float(cfg.time0), time1=float(cfg.time1))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]
