@@ -102,8 +102,6 @@ def fused_supported(scene, cfg) -> bool:
             and scene.n_spheres <= MIX_MAX_SPH
             and scene.n_quads <= MIX_MAX_QUADS
             and scene.n_lights <= MIX_MAX_LIGHTS
-            and not (scene.n_spheres and getattr(scene, "has_moving",
-                                                 False))
             and scene.n_media <= MIX_MAX_MED
             and fits and backend_is_tpu())
 
@@ -396,7 +394,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  leaf_tail: str = "pad", env_id: int = -1,
                  env_rot: float = 0.0, env_scale: float = 1.0,
                  defer_aux: bool = False, has_ptex: bool = False,
-                 aperture_on: bool = False):
+                 aperture_on: bool = False, motion_on: bool = False,
+                 time0: float = 0.0, time1: float = 0.0):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -883,7 +882,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 ranges_half)
 
     def _closest_hit(ox, oy, oz, dx, dy, dz, act,
-                     sox=None, soy=None, soz=None, pot=None):
+                     sox=None, soy=None, soz=None, pot=None, tm=None):
         """Wide-stack closest hit.  Returns (hitmask f32, t, mat i32,
         n(3) face-flipped, front f32, [blocked f32,] node-visit count,
         tri-test count).  Inactive lanes carry closest == t_min so every
@@ -925,7 +924,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             prim0 = _sphere_quad_pass(
                 ox, oy, oz, dx, dy, dz, act,
                 f0, closest0, i0, f0, f0, f1, f0,
-                aux=((f0, f0, f0 - 1.0) if shaded else None))
+                aux=((f0, f0, f0 - 1.0) if shaded else None), tm=tm)
             if shaded:
                 (hitm_p, bt_p, bm_p, pnx, pny, pnz, pfr, paux) = prim0
             else:
@@ -1699,7 +1698,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 if n_sph or n_quads:
                     blkd_f = jnp.maximum(blkd_f,
                                          _prim_shadow(sox, soy, soz,
-                                                      pot))
+                                                      pot, tm=tm))
                 return fl + (blkd_f, nv, nt, ni, sv, st)
             if shaded:
                 fl = fl + aux3
@@ -1874,12 +1873,12 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         if with_shadow:
             if n_sph or n_quads:
                 blkd = jnp.maximum(blkd, _prim_shadow(sox, soy, soz,
-                                                      pot))
+                                                      pot, tm=tm))
             # chain fuse cannot split extension/shadow scan counts
             return out + (blkd, nv, nt, ni, jnp.int32(0), jnp.int32(0))
         return out + (nv, nt, ni)
 
-    def _sun_blocked(sox, soy, soz, pot):
+    def _sun_blocked(sox, soy, soz, pot, tm=None):
         """Any-hit along the (uniform) sun direction for `pot` lanes,
         wide-stack form.  The Moller-Trumbore p-vector and determinant
         are per-triangle scalars (direction uniform).  The walk parks
@@ -2085,28 +2084,33 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             cond, body, (sp0, sc0, f0, jnp.int32(0), jnp.int32(0)))
         if n_sph or n_quads:
             blocked = jnp.maximum(blocked, _prim_shadow(sox, soy, soz,
-                                                        pot))
+                                                        pot, tm=tm))
         return blocked > 0.5, nv, nt
 
     def _sphere_quad_pass(ox, oy, oz, dx, dy, dz, act,
                           hitm, bt, bm, bnx, bny, bnz, bfr,
-                          aux=None):
+                          aux=None, tm=None):
         """Sequential sphere then quad loops after the BVH result, the
         exact split-path semantics (ops/trace.py sphere_pass/quad_pass:
         `<=` tie acceptance so a later primitive wins, per-primitive
         face flip, scene_hit order src/gpu_render.cu:509-551).  `aux`
         is the (iu, iv, btex) triple on shaded walks (primitive hits
-        reset the texture id).  SMEM layouts: sph_ref [cx cy cz r mat]
-        x n_sph; quad_ref [q(3) u(3) v(3) n(3) w(3) d area mat] x
-        n_quads."""
+        reset the texture id).  With per-lane `tm`, moving centers
+        evaluate at c0 + tm*(c2-c0) (inc/sphere.h:143-146).  SMEM
+        layouts: sph_ref [cx cy cz r mat c2x c2y c2z] x n_sph; quad_ref
+        [q(3) u(3) v(3) n(3) w(3) d area mat] x n_quads."""
         closest = bt
         a = dx * dx + dy * dy + dz * dz
         for i in range(n_sph):
-            cx = sph_ref[5 * i]
-            cy = sph_ref[5 * i + 1]
-            cz = sph_ref[5 * i + 2]
-            r = sph_ref[5 * i + 3]
-            mid = sph_ref[5 * i + 4].astype(jnp.int32)
+            cx = sph_ref[8 * i]
+            cy = sph_ref[8 * i + 1]
+            cz = sph_ref[8 * i + 2]
+            r = sph_ref[8 * i + 3]
+            mid = sph_ref[8 * i + 4].astype(jnp.int32)
+            if motion_on and tm is not None:
+                cx = cx + tm * (sph_ref[8 * i + 5] - cx)
+                cy = cy + tm * (sph_ref[8 * i + 6] - cy)
+                cz = cz + tm * (sph_ref[8 * i + 7] - cz)
             ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
             half_b = ocx * dx + ocy * dy + ocz * dz
             cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
@@ -2181,17 +2185,22 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             return hitm, bt, bm, bnx, bny, bnz, bfr, aux
         return hitm, bt, bm, bnx, bny, bnz, bfr
 
-    def _prim_shadow(sox, soy, soz, pot):
+    def _prim_shadow(sox, soy, soz, pot, tm=None):
         """Sphere/quad any-hit along the uniform sun direction (the
         split path shadows against the whole scene via scene_hit,
-        ops/shade.py:296-300)."""
+        ops/shade.py:296-300).  Moving centers evaluate at the lane's
+        shutter time `tm` (shadow rays share the sample's time)."""
         occ = jnp.zeros(shape, jnp.float32)
         a = sdx * sdx + sdy * sdy + sdz * sdz   # scalar
         for i in range(n_sph):
-            cx = sph_ref[5 * i]
-            cy = sph_ref[5 * i + 1]
-            cz = sph_ref[5 * i + 2]
-            r = sph_ref[5 * i + 3]
+            cx = sph_ref[8 * i]
+            cy = sph_ref[8 * i + 1]
+            cz = sph_ref[8 * i + 2]
+            r = sph_ref[8 * i + 3]
+            if motion_on and tm is not None:
+                cx = cx + tm * (sph_ref[8 * i + 5] - cx)
+                cy = cy + tm * (sph_ref[8 * i + 6] - cy)
+                cz = cz + tm * (sph_ref[8 * i + 7] - cz)
             ocx, ocy, ocz = sox - cx, soy - cy, soz - cz
             half_b = ocx * sdx + ocy * sdy + ocz * sdz
             cq = ocx * ocx + ocy * ocy + ocz * ocz - r * r
@@ -2263,6 +2272,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             (pend_f, pcr, pcg, pcb, pox, poy, poz), defer_f = c[16], c[17]
             defer = defer_f > 0.5
             pot = pend_f > 0.5
+        # per-lane shutter time (carried last so the fuse indices hold)
+        tm = c[-1] if motion_on else None
 
         # ---- regeneration: idle lanes start their next sample ----------
         need = valid & ~alive & (scnt < spp)
@@ -2327,6 +2338,14 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             rdx = jnp.where(need, crx, rdx)
             rdy = jnp.where(need, cry, rdy)
             rdz = jnp.where(need, crz, rdz)
+        if motion_on:
+            # camera shutter: ONE draw after jitter/aperture, held for
+            # the whole path incl. shadow rays (render.py sample_body,
+            # inc/sphere.h:143-146 center-as-ray semantics)
+            ut, state = _draw(state, need)
+            tm = jnp.where(need,
+                           jnp.float32(time0)
+                           + ut * jnp.float32(time1 - time0), tm)
         Lr = jnp.where(need, 0.0, Lr)
         Lg = jnp.where(need, 0.0, Lg)
         Lb = jnp.where(need, 0.0, Lb)
@@ -2370,7 +2389,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             nrays = nrays + jnp.sum(jnp.where(pot, 1, 0))
             (hitm_f, bt, bm, nx, ny, nz, bfr, blkd_f, cv_, ct_,
              ci_, sv_, st_) = _closest_hit(rox, roy, roz, rdx, rdy, rdz,
-                                           alive, pox, poy, poz, pot)
+                                           alive, pox, poy, poz, pot,
+                                           tm=tm)
             svis = svis + sv_
             stst = stst + st_
             # resolve LAST wave's sun MIS (contribution precomputed at
@@ -2386,10 +2406,11 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             acc_b = jnp.where(defer, acc_b + jnp.clip(Lb, 0.0, 1.0), acc_b)
         elif shaded:
             (hitm_f, bt, bm, nx, ny, nz, bfr, biu, biv, btex, cv_, ct_,
-             ci_) = _closest_hit(rox, roy, roz, rdx, rdy, rdz, alive)
+             ci_) = _closest_hit(rox, roy, roz, rdx, rdy, rdz, alive,
+                                 tm=tm)
         else:
             hitm_f, bt, bm, nx, ny, nz, bfr, cv_, ct_, ci_ = _closest_hit(
-                rox, roy, roz, rdx, rdy, rdz, alive)
+                rox, roy, roz, rdx, rdy, rdz, alive, tm=tm)
         cvis = cvis + cv_
         ctst = ctst + ct_
         cidl = cidl + ci_
@@ -2753,13 +2774,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             soy = py_ + sh_bias * ny
             soz = pz_ + sh_bias * nz
             if "sunwalk" in dup_set:     # perf triage: 2x the sun walk
-                blocked2, _, _ = _sun_blocked(sox, soy, soz, pot)
+                blocked2, _, _ = _sun_blocked(sox, soy, soz, pot, tm=tm)
 
             # whole walk under a scalar gate: a wave with no potential
             # receiver (all-miss / all-specular / sun behind every
             # surface) pays nothing
             def sun_branch(_):
-                b, sv_, st_ = _sun_blocked(sox, soy, soz, pot)
+                b, sv_, st_ = _sun_blocked(sox, soy, soz, pot, tm=tm)
                 return jnp.where(b, 1.0, 0.0), sv_, st_
 
             blocked_f, sv_, st_ = lax.cond(
@@ -2978,6 +2999,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         if fuse:
             out = out + ((pend_out, pcr, pcg, pcb, pox, poy, poz),
                          jnp.where(defer_new, 1.0, 0.0))
+        if motion_on:
+            out = out + (tm,)
         return out
 
     init = (f0, f0, f0, f0, f0, f0, (f1, f1, f1), f0, state0, i0, i0,
@@ -2986,6 +3009,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
              jnp.int32(0)))
     if fuse:
         init = init + ((f0, f0, f0, f0, f0, f0, f0), f0)
+    if motion_on:
+        init = init + (f0,)
     out = lax.while_loop(wave_cond, wave_body, init)
     acc_r_ref[...] = out[0]
     acc_g_ref[...] = out[1]
@@ -3021,7 +3046,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "leaf_parts",
                                    "hbm", "gw", "leaf_tail", "env_id",
                                    "env_rot", "env_scale", "defer_aux",
-                                   "has_ptex", "aperture_on"))
+                                   "has_ptex", "aperture_on",
+                                   "motion_on", "time0", "time1"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, med_vec, px, py, valid,
@@ -3041,7 +3067,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               leaf_tail: str = "pad", env_id: int = -1,
               env_rot: float = 0.0, env_scale: float = 1.0,
               defer_aux: bool = False, has_ptex: bool = False,
-              aperture_on: bool = False):
+              aperture_on: bool = False, motion_on: bool = False,
+              time0: float = 0.0, time1: float = 0.0):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -3058,7 +3085,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    leaf_parts=leaf_parts, hbm=hbm, gw=gw,
                    leaf_tail=leaf_tail, env_id=env_id, env_rot=env_rot,
                    env_scale=env_scale, defer_aux=defer_aux,
-                   has_ptex=has_ptex, aperture_on=aperture_on)
+                   has_ptex=has_ptex, aperture_on=aperture_on,
+                   motion_on=motion_on, time0=time0, time1=time1)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -3241,10 +3269,13 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
     n_quads = int(scene.n_quads)
     n_lights = int(scene.n_lights)
     if n_sph:
+        # stride 8 per sphere: c0(3), radius, mat, c2(3) — c2 drives
+        # in-kernel motion blur (inc/sphere.h:143-146 center lerp)
         sph_vec = jnp.concatenate([
             scene.sph_center[:n_sph],
             scene.sph_radius[:n_sph, None],
-            scene.sph_mat[:n_sph, None].astype(jnp.float32)],
+            scene.sph_mat[:n_sph, None].astype(jnp.float32),
+            scene.sph_center2[:n_sph]],
             axis=1).reshape(-1)
     else:
         sph_vec = jnp.zeros((1,), jnp.float32)
@@ -3322,7 +3353,12 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         env_id=int(scene.env_tex), env_rot=float(scene.env_rotation),
         env_scale=float(scene.env_scale), defer_aux=defer_aux,
         has_ptex=bool(scene.has_ptex),
-        aperture_on=bool(cfg.aperture > 0))
+        aperture_on=bool(cfg.aperture > 0),
+        # the shutter draw fires whenever the shutter is OPEN, moving
+        # spheres or not (render.py:96 draws on time1 > time0 alone);
+        # the center lerp is an exact no-op when c2 == c0
+        motion_on=bool(cfg.time1 > cfg.time0),
+        time0=float(cfg.time0), time1=float(cfg.time1))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

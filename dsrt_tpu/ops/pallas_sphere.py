@@ -807,8 +807,10 @@ def trace_fused_spheres(scene, cfg, cam, px, py, valid,
         env_id=int(scene.env_tex), env_rot=float(scene.env_rotation),
         env_scale=float(scene.env_scale),
         aperture_on=bool(cfg.aperture > 0),
-        motion_on=bool(getattr(scene, "has_moving", False)
-                       and cfg.time1 > cfg.time0),
+        # the shutter draw fires whenever the shutter is OPEN, moving
+        # spheres or not (render.py:96 draws on time1 > time0 alone);
+        # the center lerp is an exact no-op when c2 == c0
+        motion_on=bool(cfg.time1 > cfg.time0),
         time0=float(cfg.time0), time1=float(cfg.time1))
 
     def unfold(a):

@@ -177,3 +177,45 @@ def test_fused_mixed_defer_shadow_matches():
     finally:
         OPTS.defer_shadow = old
     np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_mixed_motion_blur():
+    """Moving spheres in a MIXED tri+sphere scene stay on the fused
+    megakernel and match the split path bit-for-bit: one shutter-time
+    draw per sample after the jitter pair (render.py:96), centers at
+    c0 + t*(c2-c0) in both the closest-hit and sun-shadow passes
+    (inc/sphere.h:143-146)."""
+    b = SceneBuilder(sun_enabled=True, sun_dir=(0.25, -0.8, -0.4),
+                     sun_radiance=(6.0, 5.7, 5.4))
+    _mesh_floor(b)
+    b.add_sphere((0.6, -0.4, -2.6), 0.5,
+                 Material.lambertian((0.8, 0.3, 0.3)),
+                 center2=(-0.6, -0.4, -2.6))
+    b.add_sphere((-0.9, 0.6, -2.2), 0.35,
+                 Material.metal((0.8, 0.8, 0.9), fuzz=0.1))
+    scene = b.build()
+    cfg = dataclasses.replace(CFG, time0=0.1, time1=0.9)
+    _require_fused(scene, cfg)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0.3, 1.2), (0, 0, -2), **CAM)
+    ref = render_frame(scene, cam, cfg)
+    img = render_frame_fused(scene, cam, cfg)
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_tri_shutter_open_draw_parity():
+    """A shutter-open config on a STATIC scene still burns one LCG
+    draw per sample (render.py:96 draws on time1 > time0 alone, moving
+    spheres or not) — the fused kernel must mirror that draw."""
+    b = SceneBuilder(sun_enabled=True, sun_dir=(0.25, -0.8, -0.4),
+                     sun_radiance=(6.0, 5.7, 5.4))
+    _mesh_floor(b)
+    scene = b.build()
+    cfg = dataclasses.replace(CFG, time0=0.0, time1=1.0)
+    _require_fused(scene, cfg)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0.3, 1.2), (0, 0, -2), **CAM)
+    ref = render_frame(scene, cam, cfg)
+    img = render_frame_fused(scene, cam, cfg)
+    np.testing.assert_array_equal(img, ref)
