@@ -186,6 +186,15 @@ class ExecOptions:
     # the 16-field gather matmul is ~25x the texture-pool gather's
     # width); bit-identical (tested).  Opt-in A/B knob.
     defer_aux: bool = False
+    # In-record UV engine for FLAT TEXTURED scenes (fused kernel): the
+    # tile engine reads per-vertex UVs as bf16 pairs packed in the MT
+    # record's 3 spare lanes (models/scene.py tri_pack lanes 13-15) and
+    # resolves the texture id from the winning material row (mat_pack
+    # col 14) — no aux tile loads, no per-accept texture-id candidate
+    # plane.  Smooth (vn) scenes keep the aux-tile engine (normals
+    # don't fit the record).  Off = A/B against the aux-tile engine
+    # (bit-identical; UVs are source-quantized to bf16 either way).
+    uvrec: bool = True
 
 
 OPTS = ExecOptions()

@@ -42,11 +42,13 @@ def _pack_for_kernel(bvh: BVH, v0: np.ndarray, v1: np.ndarray,
     miss/leaf — no stack.  Integer fields are stored as exact small floats.
 
     tri_pack f32[Tp,16] per triangle (in leaf order): [v0(3), e1(3), e2(3),
-    mat_id, fn(3), 0...] with e = precomputed Moller-Trumbore edges, mat_id
-    the material row (exact small float), and fn the stored flat face
-    normal (so the fused path kernel shades with bit-identical normals).
-    Rows padded to a multiple of 8 (sublane tile); padded triangles are
-    degenerate (det 0).
+    mat_id, fn(3), uvp(3)] with e = precomputed Moller-Trumbore edges,
+    mat_id the material row (exact small float), fn the stored flat face
+    normal (so the fused path kernel shades with bit-identical normals),
+    and uvp the per-vertex texture UVs as packed bf16 pairs (lane 13 =
+    [u0:v0] bits, 14 = [u1:v1], 15 = [u2:v2]) — bit patterns, extract
+    with bitcasts, never float arithmetic.  Rows padded to a multiple
+    of 8 (sublane tile); padded triangles are degenerate (det 0).
 
     thr_pack f32[Bp,16] per node: the *octant thread table* for front-to-
     back (ordered) descent — lanes [2o, 2o+1] hold (enter, skip) for ray-
@@ -117,6 +119,27 @@ def _pack_for_kernel(bvh: BVH, v0: np.ndarray, v1: np.ndarray,
         tpack[:t, 9] = tri_mat.astype(np.float32)
         tpack[:t, 10:13] = fn
     return pack, tpack, thr
+
+
+def _bf16_round(a: np.ndarray) -> np.ndarray:
+    """Round f32 to the nearest bf16 (ties to even), returned as f32
+    with zero low mantissa bits — the value the fused kernel's packed
+    uv lanes reproduce exactly via bitmask extraction."""
+    bits = np.ascontiguousarray(a, np.float32).view(np.uint32)
+    rounded = ((bits + np.uint32(0x7FFF) + ((bits >> np.uint32(16))
+                                            & np.uint32(1)))
+               & np.uint32(0xFFFF0000)).astype(np.uint32)
+    # NaN payloads don't matter for uv data; keep it simple
+    return rounded.view(np.float32).reshape(a.shape)
+
+
+def _pack_uv_bf16(uv: np.ndarray) -> np.ndarray:
+    """(N,2) bf16-rounded f32 uv -> (N,) f32 whose bits are
+    [u_bf16 : v_bf16] (u in the high 16).  The kernel unpacks with
+    (bits & 0xffff0000) and (bits << 16) bitcasts — exact."""
+    ub = np.ascontiguousarray(uv[:, 0], np.float32).view(np.uint32)
+    vb = np.ascontiguousarray(uv[:, 1], np.float32).view(np.uint32)
+    return ((ub & np.uint32(0xFFFF0000)) | (vb >> 16)).view(np.float32)
 
 
 def _pack8(rows16: np.ndarray) -> np.ndarray:
@@ -235,7 +258,9 @@ class Scene:
     # column gathers (TPU gathers are op-overhead-bound).
     # tri_shade f32[T,16]: n(3) uv0(2) uv1(2) uv2(2) mat tex pad...
     # mat_pack f32[M,16]: type albedo(3) emissive(3) fuzz ref_idx
-    #                     ptex_kind ptex_scale ptex_color2(3) pad
+    #                     ptex_kind ptex_scale ptex_color2(3) tex pad
+    #   (col 14 `tex` = image-texture id, a pure function of the
+    #    material row — upsert() keys entries on (material, texture))
     tri_shade: jnp.ndarray
     mat_pack: jnp.ndarray
     # dense-packed variants (8 records per 128-lane row) for scenes whose
@@ -506,16 +531,26 @@ class SceneBuilder:
         texreg = TextureRegistry()
         mats: List[Material] = []
         mat_index = {}
+        mat_tex: List[int] = []   # per-entry image-texture id (-1 = none)
 
-        def upsert(m: Optional[Material]) -> int:
-            # None -> fresh default entry each time (builder.cpp:76-86)
+        def upsert(m: Optional[Material], tex_id: int = -1) -> int:
+            # None -> fresh default entry each time (builder.cpp:76-86).
+            # Keyed on (material, texture): the image texture is a
+            # property of the material ROW (reference: map_Kd belongs to
+            # the MTL material), so one Material object used with two
+            # different textures gets two entries — this makes tex a
+            # pure function of the material id, which lets the fused
+            # kernel drop its per-accept texture-id candidate plane
+            # (ops/pallas_path.py tile engine).
             if m is None:
                 mats.append(DEFAULT_MATERIAL)
+                mat_tex.append(tex_id)
                 return len(mats) - 1
-            key = id(m)
+            key = (id(m), tex_id)
             if key in mat_index:
                 return mat_index[key]
             mats.append(m)
+            mat_tex.append(tex_id)
             mat_index[key] = len(mats) - 1
             return mat_index[key]
 
@@ -529,9 +564,9 @@ class SceneBuilder:
         for mesh in self._meshes:
             mn0 = getattr(mesh, "n0", None)
             for i in range(len(mesh.v0)):
-                mid = upsert(mesh.materials[i])
                 path = mesh.tex_paths[i] if i < len(mesh.tex_paths) else ""
                 tex_id = texreg.get_or_load(path)
+                mid = upsert(mesh.materials[i], tex_id)
                 if tex_id >= 0:
                     # textured triangles force the material albedo to white
                     # (src/gpu_scene_builder.cpp:274-278)
@@ -557,9 +592,18 @@ class SceneBuilder:
             fn = np.cross(v1 - v0, v2 - v0)
             ln = np.linalg.norm(fn, axis=1, keepdims=True)
             fn = np.where(ln > 0, fn / np.maximum(ln, 1e-30), 0.0).astype(np.float32)
-            uv0 = np.asarray(tuv0, np.float32)
-            uv1 = np.asarray(tuv1, np.float32)
-            uv2 = np.asarray(tuv2, np.float32)
+            # Triangle UVs are quantized to bf16 AT BUILD TIME (round to
+            # nearest even, stored back as f32 with zero low mantissa
+            # bits): the fused kernel carries them as bf16 pairs packed
+            # into the tri record's 3 spare lanes (no aux tile loads),
+            # and every path — oracle, split, fused — reads these same
+            # quantized values, so cross-path bit-identity holds.
+            # Error <= 2^-9 relative (~0.2% of a texel span per 512
+            # texels); the reference samples at f32 (gpu_render.cu:
+            # 763-774) — within the pixel-match tolerance.
+            uv0 = _bf16_round(np.asarray(tuv0, np.float32))
+            uv1 = _bf16_round(np.asarray(tuv1, np.float32))
+            uv2 = _bf16_round(np.asarray(tuv2, np.float32))
             tri_mat = np.asarray(tmat, np.int32)
             tri_tex = np.asarray(ttex, np.int32)
             if has_smooth:
@@ -616,6 +660,14 @@ class SceneBuilder:
         bvh_pack, tri_pack, thr_pack = _pack_for_kernel(
             bvh, v0[:n_tris], v1[:n_tris], v2[:n_tris], tri_mat[:n_tris],
             fn[:n_tris])
+        if n_tris:
+            # spare lanes 13-15: per-vertex uv as packed bf16 pairs —
+            # the fused kernel's flat-textured engine reads UVs straight
+            # from the MT record (no aux tile loads; pallas_path
+            # tile_update_row texrec branch)
+            tri_pack[:n_tris, 13] = _pack_uv_bf16(uv0[:n_tris])
+            tri_pack[:n_tris, 14] = _pack_uv_bf16(uv1[:n_tris])
+            tri_pack[:n_tris, 15] = _pack_uv_bf16(uv2[:n_tris])
         bvh_pk8 = _pack8(bvh_pack)
         tri_pk8 = _pack8(tri_pack)
         thr_pk8 = _pack8(thr_pack)
@@ -724,6 +776,7 @@ class SceneBuilder:
         # --- materials table
         if not mats:
             mats.append(DEFAULT_MATERIAL)
+            mat_tex.append(-1)
         n_mats = len(mats)
         mat_type = np.asarray([m.kind for m in mats], np.int32)
         mat_albedo = np.asarray([m.albedo for m in mats], np.float32)
@@ -744,6 +797,11 @@ class SceneBuilder:
         mat_pack[:, 9] = mat_ptk.astype(np.float32)
         mat_pack[:, 10] = mat_pts
         mat_pack[:, 11:14] = mat_ptc
+        # col 14: image-texture id (-1 = none) — exact by construction
+        # since upsert() keys entries on (material, texture), so the
+        # fused kernel resolves the winning triangle's texture from its
+        # material row instead of carrying a per-accept candidate plane
+        mat_pack[:, 14] = np.asarray(mat_tex, np.float32)
 
         # --- emissive area lights, spheres then quads
         # (the per-bounce scan of src/gpu_render.cu:841-847, hoisted to

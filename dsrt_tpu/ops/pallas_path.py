@@ -90,7 +90,12 @@ def fused_supported(scene, cfg) -> bool:
             and _tex_plane_rows(scene) > TEX_ROWS_MAX):
         return False
     shaded = scene.has_image_tex or scene.has_smooth
-    extra = ((scene.tri_tile.shape[0] if shaded else 0)
+    # flat-textured scenes on the in-record-UV engine keep no aux
+    # table resident (UVs ride the MT record's spare lanes)
+    aux_res = (shaded and not (_OPTS.uvrec and scene.has_image_tex
+                               and not scene.has_smooth
+                               and not _OPTS.defer_aux))
+    extra = ((scene.tri_tile.shape[0] if aux_res else 0)
              + 3 * _tex_plane_rows(scene))
     fits = fits_vmem_fused_packed(scene, extra)
     if not fits and _hbm_eligible(scene):
@@ -395,7 +400,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  env_rot: float = 0.0, env_scale: float = 1.0,
                  defer_aux: bool = False, has_ptex: bool = False,
                  aperture_on: bool = False, motion_on: bool = False,
-                 time0: float = 0.0, time1: float = 0.0):
+                 time0: float = 0.0, time1: float = 0.0,
+                 uvrec: bool = True):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -416,6 +422,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
     # (tested: test_fused_shaded A/B).  Kept as an opt-in knob; the
     # in-engine (8,1)x(1,128) interpolation is the efficient design.
     defer_attrs = shaded and not hbm and defer_aux
+    # In-record UV engine (flat textured scenes): per-vertex UVs ride
+    # the MT record's spare lanes 13-15 as bf16 pairs (models/scene.py
+    # tri_pack) and the texture id resolves from the winning material
+    # row at walk end (mat_pack col 14) — the leaf engine then loads NO
+    # aux tiles and carries one fewer candidate plane.  Smooth scenes
+    # keep the aux-tile engine (3 vn vectors don't fit the record).
+    texrec = textured and not smooth and not defer_attrs and uvrec
     # deferred-shadow mode only matters when the sun is on; the chain
     # walk has no shading-field tracking (trace_fused forces it off)
     assert not (shaded and defer_shadow and sun_on)
@@ -989,6 +1002,10 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     # select count as the UNSHADED engine — normals/UV/
                     # texture resolve from ONE aux gather at walk end
                     cl, mf, tid_, u_, v_ = st
+                elif texrec:
+                    # in-record UVs: no texture-id plane (resolved from
+                    # the winning material row at walk end)
+                    cl, mf, nx_, ny_, nz_, iu_, iv_ = st
                 elif shaded:
                     cl, mf, nx_, ny_, nz_, iu_, iv_, tx_ = st
                 else:
@@ -1023,6 +1040,22 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     u_ = jnp.where(ok, u, u_)
                     v_ = jnp.where(ok, v, v_)
                     return (cl, mf, tid_, u_, v_)
+                if texrec:
+                    # UV interp from the record's unpacked bf16 pairs —
+                    # the aux engine's exact expression over the same
+                    # quantized values (ops/trace.py:158-192 order).
+                    # `Wa` carries the 6 unpacked (8,1) columns (hoisted
+                    # once per tile by the callers).
+                    u0c, v0c, u1c, v1c, u2c, v2c = Wa
+                    wb = 1.0 - u - v
+                    tu = wb * u0c + u * u1c + v * u2c
+                    tv = wb * v0c + u * v1c + v * v2c
+                    iu_ = jnp.where(ok, tu, iu_)
+                    iv_ = jnp.where(ok, tv, iv_)
+                    nx_ = jnp.where(ok, fnx, nx_)
+                    ny_ = jnp.where(ok, fny, ny_)
+                    nz_ = jnp.where(ok, fnz, nz_)
+                    return (cl, mf, nx_, ny_, nz_, iu_, iv_)
                 if shaded:
                     wb = 1.0 - u - v
                     if smooth:
@@ -1054,7 +1087,24 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 nz_ = jnp.where(ok, fnz, nz_)
                 return (cl, mf, nx_, ny_, nz_)
 
+            def _unpack_uv(W):
+                """The record's uv lanes as 6 (8,1) f32 columns: bf16
+                bit pairs extracted with bitcasts + integer masks only
+                (bf16-in-f32 patterns can be denormal — no float math
+                may touch the packed lanes)."""
+                cols = []
+                for lane in (13, 14, 15):
+                    bits = jax.lax.bitcast_convert_type(
+                        W[:, lane:lane + 1], jnp.int32)
+                    cols.append(jax.lax.bitcast_convert_type(
+                        bits & jnp.int32(-65536), jnp.float32))
+                    cols.append(jax.lax.bitcast_convert_type(
+                        bits << 16, jnp.float32))
+                return tuple(cols)
+
             def tile_update(W, SR, Wa=None, rows=None):
+                if texrec:
+                    Wa = _unpack_uv(W)   # once per tile, all rows share
                 if rows is None:
                     return tuple(tile_update_row(W, r, SR[r], Wa)
                                  for r in range(n_rows))
@@ -1064,7 +1114,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                              for r in range(n_rows))
 
             def load_aux(t_, win=None):
-                if not shaded:
+                if not shaded or texrec:
                     return None
                 if defer_attrs:
                     # deferred-attribute mode: the engine records only
@@ -1256,7 +1306,9 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                 r1u = jnp.maximum(r1u, rg[1])
                             r0u = jnp.where(r1u > 0, r0u, 0)
                             uni.append((r0u, r1u, jnp.int32(0)))
-                        wins = _leaf_windows(uni, with_aux=shaded)
+                        wins = _leaf_windows(uni,
+                                             with_aux=shaded and
+                                             not texrec)
                         for p, (grp, (r0u, r1u, _), (gs, cps)) in \
                                 enumerate(zip(grps, uni, wins)):
                             for cp in cps:
@@ -1274,7 +1326,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                         # first (they overlap each other and the wait-
                         # free scans before them), then wait + scan
                         wins = _leaf_windows(ranges_sets[0],
-                                             with_aux=shaded)
+                                             with_aux=shaded and
+                                             not texrec)
                         for p, ((r0, r1, _), (gs, cps)) in enumerate(
                                 zip(ranges_sets[0], wins)):
                             for cp in cps:
@@ -1357,6 +1410,12 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 # (closest, mat, tri-row id, bary u, bary v)
                 SR0 = tuple(
                     (zt + closest0[r:r + 1, :], zt, zt, zt, zt)
+                    for r in range(n_rows))
+            elif texrec:
+                # + interpolated (iu, iv); texture id resolves from the
+                # winning material row at walk end
+                SR0 = tuple(
+                    (zt + closest0[r:r + 1, :], zt, zt, zt, zt, zt, zt)
                     for r in range(n_rows))
             elif shaded:
                 # + interpolated (iu, iv) and texture id (-1 = none)
@@ -1549,7 +1608,9 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                     Wt = pltpu.roll(
                                         grp, -16 * (t_ % 8), 1)[:, :16]
                                     out.append(tile_update_row(
-                                        Wt, r, SR[r], load_aux(t_)))
+                                        Wt, r, SR[r],
+                                        _unpack_uv(Wt) if texrec
+                                        else load_aux(t_)))
                                 return tuple(out)
 
                             SR = lax.fori_loop(0, nit, tbody, SR)
@@ -1676,7 +1737,18 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             sgn = jnp.where(front_b, 1.0, -1.0)
             fl = (hitm, closest, bm, sgn * bnx, sgn * bny, sgn * bnz,
                   jnp.where(front_b, 1.0, 0.0))
-            if shaded and not defer_attrs:
+            if texrec:
+                # texture id from the winning material row (exact: tex
+                # is a pure function of the material, models/scene.py
+                # upsert); misses carry -1 like the aux engine's init
+                btex = jnp.full(bm.shape, -1.0, jnp.float32)
+                for m in range(n_mats):
+                    btex = jnp.where(bm == m, mat_ref[m, 14], btex)
+                btex = jnp.where(hitm > 0.5, btex, -1.0)
+                aux3 = (jnp.concatenate([fr[5] for fr in frows], 0),
+                        jnp.concatenate([fr[6] for fr in frows], 0),
+                        btex)
+            elif shaded and not defer_attrs:
                 aux3 = (jnp.concatenate([fr[5] for fr in frows], 0),
                         jnp.concatenate([fr[6] for fr in frows], 0),
                         jnp.concatenate([fr[7] for fr in frows], 0))
@@ -3047,7 +3119,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "hbm", "gw", "leaf_tail", "env_id",
                                    "env_rot", "env_scale", "defer_aux",
                                    "has_ptex", "aperture_on",
-                                   "motion_on", "time0", "time1"))
+                                   "motion_on", "time0", "time1",
+                                   "uvrec"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, med_vec, px, py, valid,
@@ -3068,7 +3141,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               env_rot: float = 0.0, env_scale: float = 1.0,
               defer_aux: bool = False, has_ptex: bool = False,
               aperture_on: bool = False, motion_on: bool = False,
-              time0: float = 0.0, time1: float = 0.0):
+              time0: float = 0.0, time1: float = 0.0,
+              uvrec: bool = True):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -3086,7 +3160,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    leaf_tail=leaf_tail, env_id=env_id, env_rot=env_rot,
                    env_scale=env_scale, defer_aux=defer_aux,
                    has_ptex=has_ptex, aperture_on=aperture_on,
-                   motion_on=motion_on, time0=time0, time1=time1)
+                   motion_on=motion_on, time0=time0, time1=time1,
+                   uvrec=uvrec)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -3095,7 +3170,9 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
     # the tile engine; tile_tab is DMA'd per entered leaf window)
     tri_spec = pl.BlockSpec(memory_space=pl.ANY) if hbm else full
     aux_spec = tri_spec if hbm else full
-    hbm_aux = hbm and (smooth or textured)
+    # aux windows only when the engine actually loads aux tiles —
+    # in-record-UV (texrec) scenes don't
+    hbm_aux = hbm and (smooth or (textured and not uvrec))
     nslots = max(pops, sun_pops)
     out_shape = (k * TILE_H, TILE_W)
     n_blocks = (k * TILE_H) // block_h
@@ -3193,7 +3270,12 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
     env_on = int(scene.env_tex) >= 0
     n_texs = int(scene.n_textures) if (textured or env_on) else 0
     Rp = _tex_plane_rows(scene)
-    extra = (int(scene.tri_tile.shape[0]) if shaded else 0) + 3 * Rp
+    # in-record-UV candidate (resolvable before the hbm decision: the
+    # defer_aux knob forces the aux-tile engine regardless of hbm)
+    uvrec_ = (bool(_OPTS.uvrec) and textured and not smooth
+              and not bool(_OPTS.defer_aux))
+    extra = (int(scene.tri_tile.shape[0]) if (shaded and not uvrec_)
+             else 0) + 3 * Rp
     packed = not fits_vmem_fused(scene, extra)
     # HBM-streamed leaf mode: tri tables stay in HBM, incompatible with
     # the knobs that read them straight from VMEM (stream / rowtrav /
@@ -3206,6 +3288,7 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
     # channel ch of texel c*128 + j (texel k of the interleaved pool is
     # pool[3k + ch], ops/textures.py:35)
     defer_aux = bool(_OPTS.defer_aux) and shaded and not hbm
+    texrec = uvrec_ and not defer_aux
     if defer_aux:
         # deferred-attribute mode: the aux table rides as TRANSPOSED
         # per-field planes for the walk-end one-hot gather —
@@ -3219,9 +3302,10 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
                 [t16, jnp.zeros((npad, 16), jnp.float32)], axis=0)
         aux_tab = (t16.reshape(Ta, TILE_W, 16).transpose(1, 2, 0)
                    .reshape(TILE_W, 16 * Ta))
-    elif shaded:
+    elif shaded and not texrec:
         aux_tab = scene.tri_aux_tile
     else:
+        # unshaded or in-record-UV engine: no aux table shipped
         aux_tab = jnp.zeros((8, TILE_W), jnp.float32)
     if textured or env_on:
         texels = scene.tex_pool.reshape(-1, 3)
@@ -3358,7 +3442,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         # spheres or not (render.py:96 draws on time1 > time0 alone);
         # the center lerp is an exact no-op when c2 == c0
         motion_on=bool(cfg.time1 > cfg.time0),
-        time0=float(cfg.time0), time1=float(cfg.time1))
+        time0=float(cfg.time0), time1=float(cfg.time1),
+        uvrec=uvrec_)
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

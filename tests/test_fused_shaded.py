@@ -179,3 +179,54 @@ def test_fused_defer_aux_knob_bit_identical(tmp_path):
     finally:
         OPTS.defer_aux = False
     np.testing.assert_array_equal(np.asarray(img), np.asarray(base))
+
+
+def test_fused_texrec_ab_matches_aux_engine(tmp_path):
+    """The in-record-UV engine (uvrec, default) must be bit-identical
+    to the aux-tile engine (uvrec off): both interpolate the SAME
+    bf16-quantized UVs with the same expression; the texture id is a
+    pure function of the material row (models/scene.py upsert)."""
+    scene = _textured_scene(tmp_path)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame_fused
+    from dsrt_tpu.exec_opts import OPTS
+    cam = make_camera((0, 0, 1.0), (0, 0, -2), vfov=60, width=W, height=H)
+    old = OPTS.uvrec
+    try:
+        OPTS.uvrec = False
+        ref = render_frame_fused(scene, cam, CFG)
+        OPTS.uvrec = True
+        img = render_frame_fused(scene, cam, CFG)
+    finally:
+        OPTS.uvrec = old
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_texrec_mixed_primitives(tmp_path):
+    """Textured mesh + spheres: primitive hits must reset the texture
+    id even though the in-record engine derives it from the material
+    row (the <=-tie primitive merge carries tex = -1)."""
+    path = _write_checker(tmp_path)
+    b = SceneBuilder(sun_enabled=True, sun_dir=(0.0, -0.3, -1.0),
+                     sun_radiance=(8.0, 8.0, 8.0))
+    mat = Material.lambertian((0.9, 0.9, 0.9), tex_path=path)
+    uv = lambda u, v: (u, 1.0 - v)
+    b.add_triangle((-2, -1, -3), (2, -1, -3), (2, -1, 1), mat,
+                   uv0=uv(0, 0), uv1=uv(1, 0), uv2=uv(1, 1))
+    b.add_triangle((-2, -1, -3), (2, -1, 1), (-2, -1, 1), mat,
+                   uv0=uv(0, 0), uv1=uv(1, 1), uv2=uv(0, 1))
+    # a sphere SHARING the textured material object: upsert keys on
+    # (material, tex) so the sphere gets its own untextured row
+    b.add_sphere((0.0, -0.4, -1.2), 0.45, mat)
+    b.add_sphere((-0.8, -0.2, -1.8), 0.3,
+                 Material.metal((0.9, 0.8, 0.7), fuzz=0.05))
+    scene = b.build()
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0.4, 1.2), (0, -0.3, -2), vfov=60,
+                      width=W, height=H)
+    ref = render_frame(scene, cam, CFG)
+    img = render_frame_fused(scene, cam, CFG)
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
