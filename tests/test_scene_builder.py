@@ -88,3 +88,60 @@ def test_flat_normals():
     np.testing.assert_allclose(n, [0, 0, 1], atol=1e-7)
     np.testing.assert_array_equal(np.asarray(s.tri_n0), np.asarray(s.tri_n1))
     np.testing.assert_array_equal(np.asarray(s.tri_n0), np.asarray(s.tri_n2))
+
+
+def test_uv_bf16_pack_roundtrip_exact():
+    """The fused kernel's in-record UV contract: _pack_uv_bf16 packs two
+    bf16-rounded f32 values into one f32 bit pattern; the kernel's
+    bitcast extraction ((bits & 0xffff0000) for u, (bits << 16) for v)
+    must reproduce the _bf16_round values EXACTLY (ops/pallas_path.py
+    _unpack_uv)."""
+    from dsrt_tpu.models.scene import _bf16_round, _pack_uv_bf16
+    rng = np.random.default_rng(7)
+    uv = rng.uniform(-3, 3, size=(4096, 2)).astype(np.float32)
+    uv[:16] = [[0, 0], [1, 1], [0.5, 0.25], [1e-8, -1e-8]] * 4
+    q = _bf16_round(uv)
+    # rounding is correct-to-nearest bf16 (ties-to-even), verified
+    # against the ml_dtypes/jnp bf16 cast
+    import jax.numpy as jnp
+    ref = np.asarray(jnp.asarray(uv).astype(jnp.bfloat16).astype(jnp.float32))
+    np.testing.assert_array_equal(q, ref)
+    packed = _pack_uv_bf16(q)
+    bits = packed.view(np.uint32)
+    u_back = (bits & np.uint32(0xFFFF0000)).view(np.float32)
+    v_back = (bits << np.uint32(16)).view(np.float32)
+    np.testing.assert_array_equal(u_back, q[:, 0])
+    np.testing.assert_array_equal(v_back, q[:, 1])
+
+
+def test_upsert_keys_on_material_and_texture(tmp_path):
+    """One Material object used with two different map_Kd textures gets
+    two material rows (tex is a pure function of the material row —
+    the fused kernel's in-record-UV engine depends on this)."""
+    from dsrt_tpu.utils.image_io import write_png
+
+    class _Mesh:
+        pass
+
+    p1 = str(tmp_path / "a.png")
+    p2 = str(tmp_path / "b.png")
+    for p, val in ((p1, 64), (p2, 192)):
+        write_png(p, np.full((4, 4, 3), val, np.uint8))
+    shared = Material.lambertian((0.5, 0.5, 0.5))
+    b = SceneBuilder(sun_enabled=False)
+    m = _Mesh()
+    m.v0 = np.array([[0, 0, 0], [0, 0, 1]], np.float32)
+    m.v1 = np.array([[1, 0, 0], [1, 0, 1]], np.float32)
+    m.v2 = np.array([[0, 1, 0], [0, 1, 1]], np.float32)
+    m.uv0 = np.zeros((2, 2), np.float32)
+    m.uv1 = np.zeros((2, 2), np.float32)
+    m.uv2 = np.zeros((2, 2), np.float32)
+    m.materials = [shared, shared]
+    m.tex_paths = [p1, p2]
+    b.add_mesh(m)
+    s = b.build()
+    assert s.mat_type.shape[0] == 2
+    # mat_pack col 14 carries each row's texture id; the two rows
+    # reference different pool entries
+    t0, t1 = int(s.mat_pack[0, 14]), int(s.mat_pack[1, 14])
+    assert t0 >= 0 and t1 >= 0 and t0 != t1
