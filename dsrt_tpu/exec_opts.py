@@ -195,6 +195,18 @@ class ExecOptions:
     # don't fit the record).  Off = A/B against the aux-tile engine
     # (bit-identical; UVs are source-quantized to bf16 either way).
     uvrec: bool = True
+    # Half-leaf mode (leaf_split=2): scan DUAL-entered ranges (both
+    # halves entered leaves of the same node, ~7% of entered ranges)
+    # once over the union range at full rows instead of twice at half
+    # rows — same MT row work, half the tile load+roll chains for
+    # those ranges.  Bit-identical (superset scans only add misses;
+    # tested).  MEASURED FLAT at 47.7k tris (sweep50k18: 49.2 vs 49.3
+    # Mrays/s, repeats inside the ±5% noise band) — the saved tile
+    # load+roll chains are latency-absorbed, consistent with the
+    # findings bank ("vector work is nearly free; only serial spine
+    # and true throughput work move the needle").  Off = the simpler
+    # r2-verified codegen; kept as an A/B knob.
+    dual_union: bool = False
 
 
 OPTS = ExecOptions()

@@ -401,7 +401,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  defer_aux: bool = False, has_ptex: bool = False,
                  aperture_on: bool = False, motion_on: bool = False,
                  time0: float = 0.0, time1: float = 0.0,
-                 uvrec: bool = True):
+                 uvrec: bool = True, dual_union: bool = True):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -1336,6 +1336,37 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                     cp.wait()
 
                             SR = run_tiles(SR, r0, r1, win=(p, gs))
+                    elif leaf_parts == 2 and dual_union:
+                        # dual-entered ranges (both halves entered
+                        # leaves of the SAME node, ~7% of entered
+                        # ranges) are scanned ONCE over the union range
+                        # at full rows instead of twice at half rows —
+                        # near-identical MT row work (dual halves'
+                        # ranges overlap almost entirely), half the
+                        # tile load+roll chains.  Bit-identical:
+                        # scanning a superset of a row's entered range
+                        # only adds misses (a genuine hit implies the
+                        # row's half entered that leaf).
+                        pr = n_rows // 2
+                        for grp in zip(*ranges_half):
+                            (ra0, ra1, _), (rb0, rb1, _) = grp
+                            dual = (ra1 > ra0) & (rb1 > rb0)
+
+                            def scan_union(SR, ra0=ra0, ra1=ra1,
+                                           rb0=rb0, rb1=rb1):
+                                return run_tiles(
+                                    SR, jnp.minimum(ra0, rb0),
+                                    jnp.maximum(ra1, rb1))
+
+                            def scan_halves(SR, ra0=ra0, ra1=ra1,
+                                            rb0=rb0, rb1=rb1):
+                                SR = run_tiles(SR, ra0, ra1,
+                                               rows=range(0, pr))
+                                return run_tiles(SR, rb0, rb1,
+                                                 rows=range(pr, n_rows))
+
+                            SR = lax.cond(dual, scan_union,
+                                          scan_halves, SR)
                     elif leaf_parts > 1:
                         # ... and each row group scans only the leaves
                         # ITS rays entered: a range entered by one
@@ -1391,6 +1422,15 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     # the row groups counts k times — proportional to
                     # MT row work within one leaf_split setting)
                     for grp in zip(*ranges_half):
+                        if leaf_parts == 2 and dual_union:
+                            (ra0, ra1, idl), (rb0, rb1, _) = grp
+                            dual = (ra1 > ra0) & (rb1 > rb0)
+                            uni2 = 2 * (jnp.maximum(ra1, rb1)
+                                        - jnp.minimum(ra0, rb0))
+                            nt = nt + jnp.where(
+                                dual, uni2, (ra1 - ra0) + (rb1 - rb0))
+                            ni = ni + idl
+                            continue
                         for rg in grp:
                             nt = nt + (rg[1] - rg[0])
                             ni = ni + rg[2]
@@ -3120,7 +3160,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "env_rot", "env_scale", "defer_aux",
                                    "has_ptex", "aperture_on",
                                    "motion_on", "time0", "time1",
-                                   "uvrec"))
+                                   "uvrec", "dual_union"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, med_vec, px, py, valid,
@@ -3142,7 +3182,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               defer_aux: bool = False, has_ptex: bool = False,
               aperture_on: bool = False, motion_on: bool = False,
               time0: float = 0.0, time1: float = 0.0,
-              uvrec: bool = True):
+              uvrec: bool = True, dual_union: bool = True):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -3161,7 +3201,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    env_scale=env_scale, defer_aux=defer_aux,
                    has_ptex=has_ptex, aperture_on=aperture_on,
                    motion_on=motion_on, time0=time0, time1=time1,
-                   uvrec=uvrec)
+                   uvrec=uvrec, dual_union=dual_union)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -3443,7 +3483,7 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         # the center lerp is an exact no-op when c2 == c0
         motion_on=bool(cfg.time1 > cfg.time0),
         time0=float(cfg.time0), time1=float(cfg.time1),
-        uvrec=uvrec_)
+        uvrec=uvrec_, dual_union=bool(_OPTS.dual_union))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

@@ -111,3 +111,29 @@ def test_fused_rowtrav_matches_union_walk():
     finally:
         OPTS.stream, OPTS.rowtrav = olds, oldr
     np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_dual_union_bit_identical():
+    """Half-leaf mode's dual-union scan (both halves entered the same
+    node's leaves -> one full-row union scan) must be bit-identical to
+    the two half-row scans AND to the parity renderer: superset tile
+    scans only add misses (exec_opts.dual_union)."""
+    from dsrt_tpu.exec_opts import OPTS
+    scene = iss_standin_scene(detail=3)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = point_camera_at((20.0, 30.0, 95.0), (0.0, 0.0, 0.0),
+                          vfov=CFG.vfov, width=W, height=H)
+    old_split, old_du = OPTS.leaf_split, OPTS.dual_union
+    try:
+        OPTS.leaf_split = "half"   # force halves on this small scene
+        OPTS.dual_union = False
+        a = render_frame_fused(scene, cam, CFG)
+        OPTS.dual_union = True
+        b = render_frame_fused(scene, cam, CFG)
+    finally:
+        OPTS.leaf_split, OPTS.dual_union = old_split, old_du
+    ref = render_frame(scene, cam, CFG)
+    assert (b > 0).any()
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_array_equal(b, ref)
