@@ -58,8 +58,13 @@ class ExecOptions:
     # 2 -> 31.6, 4 -> 34.9, 6 -> 35.9, 8 -> 31.1 Mrays/s at the 8x128
     # layout; at 32x32 p6 41.8 vs p4 41.2 vs p8 37.0.  8 loses to
     # stack starvation (masked pops still pay the visit's vector+load
-    # work); 6 edges 4 within noise at both layouts.
-    pops: int = 6
+    # work).  RE-TUNED after SBVH + half-split + wml16 (sweep50k19/20):
+    # the optimum moved to 4 — 47.7k tris p4 beats p6 in every paired
+    # rep (135.1 vs 153.0, 131.7 vs 140.3 ms), and the 5.8k headline
+    # scene gains 10-15% (89.6 -> 98.5, 87.0 -> 100.6 Mrays/s):
+    # cheaper leaf rows mean shallower stacks, so masked 5th/6th pops
+    # waste more than they overlap.
+    pops: int = 4
     # Per-ROW traversal in the fused megakernel: each of the block_h ray
     # rows walks the wide BVH with its own cursor + SMEM stack and only
     # box/leaf-tests its OWN 128 lanes.  Hypothesis was that the block-
