@@ -592,18 +592,43 @@ class SceneBuilder:
             fn = np.cross(v1 - v0, v2 - v0)
             ln = np.linalg.norm(fn, axis=1, keepdims=True)
             fn = np.where(ln > 0, fn / np.maximum(ln, 1e-30), 0.0).astype(np.float32)
-            # Triangle UVs are quantized to bf16 AT BUILD TIME (round to
-            # nearest even, stored back as f32 with zero low mantissa
-            # bits): the fused kernel carries them as bf16 pairs packed
-            # into the tri record's 3 spare lanes (no aux tile loads),
-            # and every path — oracle, split, fused — reads these same
-            # quantized values, so cross-path bit-identity holds.
-            # Error <= 2^-9 relative (~0.2% of a texel span per 512
-            # texels); the reference samples at f32 (gpu_render.cu:
-            # 763-774) — within the pixel-match tolerance.
-            uv0 = _bf16_round(np.asarray(tuv0, np.float32))
-            uv1 = _bf16_round(np.asarray(tuv1, np.float32))
-            uv2 = _bf16_round(np.asarray(tuv2, np.float32))
+            uv0 = np.asarray(tuv0, np.float32)
+            uv1 = np.asarray(tuv1, np.float32)
+            uv2 = np.asarray(tuv2, np.float32)
+            tri_tex_arr = np.asarray(ttex, np.int32)
+            if textured_mat_ids:
+                # Anchor-shift image-textured triangles' UVs by
+                # floor(uv0): the sampler wraps to [0,1) via floor-frac
+                # (src/gpu_render.cu:245-248) and interpolation is
+                # affine with wb+u+v=1, so shifting all three corners by
+                # one integer shifts the interpolated uv by exactly that
+                # integer — the same texel after wrapping, but the
+                # values now sit near [0,1) where quantization error is
+                # bounded by the texture span instead of growing with
+                # |uv| (tiled OBJ/MTL UVs reach tens).  Applied to the
+                # SOURCE tables so oracle/split/fused all read the same
+                # shifted values (cross-path bit-identity).
+                anchor = np.floor(uv0) * (tri_tex_arr >= 0)[:, None]
+                uv0 = uv0 - anchor
+                uv1 = uv1 - anchor
+                uv2 = uv2 - anchor
+            if textured_mat_ids and not has_smooth:
+                # Flat-textured scenes are quantized to bf16 AT BUILD
+                # TIME (round to nearest even, stored back as f32 with
+                # zero low mantissa bits): the fused kernel's in-record
+                # engine carries them as bf16 pairs packed into the MT
+                # record's 3 spare lanes (no aux tile loads), and every
+                # path — oracle, split, fused — reads these same
+                # quantized values, so cross-path bit-identity holds.
+                # Error <= 2^-9 relative of the anchored uv (~1/512 of
+                # the texture span); the reference samples at f32
+                # (gpu_render.cu:763-774) — within the pixel-match
+                # tolerance.  Smooth (vn) scenes never engage the
+                # in-record engine (normals don't fit the record) and
+                # keep full f32 UVs in their aux tiles.
+                uv0 = _bf16_round(uv0)
+                uv1 = _bf16_round(uv1)
+                uv2 = _bf16_round(uv2)
             tri_mat = np.asarray(tmat, np.int32)
             tri_tex = np.asarray(ttex, np.int32)
             if has_smooth:

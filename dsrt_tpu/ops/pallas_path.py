@@ -401,7 +401,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  defer_aux: bool = False, has_ptex: bool = False,
                  aperture_on: bool = False, motion_on: bool = False,
                  time0: float = 0.0, time1: float = 0.0,
-                 uvrec: bool = True, dual_union: bool = True):
+                 uvrec: bool = True, dual_union: bool = False):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -1781,10 +1781,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 # texture id from the winning material row (exact: tex
                 # is a pure function of the material, models/scene.py
                 # upsert); misses carry -1 like the aux engine's init
-                btex = jnp.full(bm.shape, -1.0, jnp.float32)
-                for m in range(n_mats):
-                    btex = jnp.where(bm == m, mat_ref[m, 14], btex)
-                btex = jnp.where(hitm > 0.5, btex, -1.0)
+                btex = jnp.where(hitm > 0.5, _mat_field(bm, 14), -1.0)
                 aux3 = (jnp.concatenate([fr[5] for fr in frows], 0),
                         jnp.concatenate([fr[6] for fr in frows], 0),
                         btex)
@@ -2355,11 +2352,23 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         return occ
 
     def _mat_field(bm, col):
-        """Per-lane material scalar via static unroll (n_mats is tiny)."""
-        out = jnp.zeros(shape, jnp.float32)
-        for m in range(n_mats):
-            out = jnp.where(bm == m, mat_ref[m, col], out)
-        return out
+        """Per-lane material scalar resolve.  Static unroll while the
+        material table is small (the common case — the select chain
+        folds into the surrounding vector code); MTL-heavy scenes
+        (hundreds of material rows) switch to a fori_loop so each call
+        stays one loop instead of an unbounded serial unroll (ADVICE r3:
+        the chain's length scales with n_mats on every wave)."""
+        if n_mats <= 32:
+            out = jnp.zeros(shape, jnp.float32)
+            for m in range(n_mats):
+                out = jnp.where(bm == m, mat_ref[m, col], out)
+            return out
+
+        def body(m, out):
+            return jnp.where(bm == m, mat_ref[m, col], out)
+
+        return lax.fori_loop(0, n_mats, body,
+                             jnp.zeros(shape, jnp.float32))
 
     # ---------------- the persistent wave loop -------------------------
 
@@ -3182,7 +3191,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               defer_aux: bool = False, has_ptex: bool = False,
               aperture_on: bool = False, motion_on: bool = False,
               time0: float = 0.0, time1: float = 0.0,
-              uvrec: bool = True, dual_union: bool = True):
+              uvrec: bool = True, dual_union: bool = False):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,

@@ -28,6 +28,7 @@ def cam():
 
 
 @pytest.mark.tpu
+@pytest.mark.slow
 def test_adaptive_saves_samples_and_matches_reference(scene, cam):
     if fused_kind(scene, CFG) is None:
         pytest.skip("needs a TPU fused kernel")

@@ -7,6 +7,7 @@ import numpy as np
 from dsrt_tpu import driver
 from dsrt_tpu.utils.image_io import read_png
 from dsrt_tpu.utils.pose import write_pose_file
+import pytest
 
 
 def _tiny_args(tmp_path, poses_file, extra=()):
@@ -44,6 +45,7 @@ def test_driver_resume_skips_existing(tmp_path):
     assert png.stat().st_mtime_ns == mtime  # untouched
 
 
+@pytest.mark.slow
 def test_driver_default_pose_without_file(tmp_path):
     args = driver.build_parser().parse_args([
         "--output_dir", str(tmp_path / "out"), "--width", "16",

@@ -50,6 +50,7 @@ def test_env_matches_oracle_u8():
     np.testing.assert_array_equal(ours, gold)
 
 
+@pytest.mark.slow
 def test_env_rotation_shifts_background():
     from dsrt_tpu.render import render_frame
     cfg = RenderConfig(width=24, height=16, spp=1, max_depth=3)
@@ -95,6 +96,7 @@ def _mesh_env_scene(rotation_deg=0.0, scale=1.0):
     return b.build()
 
 
+@pytest.mark.slow
 def test_fused_env_matches_split():
     """Env-map sky inside the fused megakernel (in-kernel equirect
     gather at miss) must match the split pipeline, which is

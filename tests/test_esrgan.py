@@ -99,6 +99,7 @@ def _roundtrip(net, tmp_path, scale, nb):
 
 
 @pytest.mark.parametrize("scale", [4, 2])
+@pytest.mark.slow
 def test_rrdbnet_matches_torch(tmp_path, scale):
     net = _build(scale)
     params = _roundtrip(net, tmp_path, scale, nb=2)
@@ -115,6 +116,7 @@ def test_rrdbnet_matches_torch(tmp_path, scale):
     np.testing.assert_allclose(out, ref, atol=1.5e-3)
 
 
+@pytest.mark.slow
 def test_tiled_matches_whole(tmp_path):
     """Tiled inference == whole-frame inference away from the overlap
     margin's receptive-field bleed (0.2-scaled residuals decay fast)."""

@@ -44,6 +44,7 @@ def _require_fused(scene):
 
 
 @pytest.mark.parametrize("light", [False, True])
+@pytest.mark.slow
 def test_fused_media_matches_split(light):
     scene = _mesh_media_scene(light=light)
     assert scene.n_media == 2 and scene.n_tris == 3
@@ -78,6 +79,7 @@ def test_fused_media_gate():
         assert pallas_path.fused_supported(scene, CFG)
 
 
+@pytest.mark.slow
 def test_fused_ptex_tris_matches_split():
     """Procedural (checker/marble) textures on TRIANGLES in the fused
     megakernel (the sphere kernel's block transplanted): bit-identical
@@ -105,6 +107,7 @@ def test_fused_ptex_tris_matches_split():
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.slow
 def test_fused_dof_matches_split():
     """Thin-lens DOF (cfg.aperture > 0 — the reference defines but
     never calls it, inc/camera.h:35-61) inside the fused raygen: the

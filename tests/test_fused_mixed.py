@@ -97,6 +97,7 @@ def test_gate_accepts_mixed_and_media_bounds():
     assert not pallas_path.fused_supported(toomany, CFG)
 
 
+@pytest.mark.slow
 def test_fused_sphere_mix_matches_split():
     scene = _sphere_mix_scene()
     _require_fused(scene, CFG)
@@ -108,6 +109,7 @@ def test_fused_sphere_mix_matches_split():
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.slow
 def test_fused_quad_light_matches_split():
     scene = _quad_light_scene()
     assert scene.n_quads == 3 and scene.n_lights == 1
@@ -143,6 +145,7 @@ def test_fused_sphere_light_matches_split():
     assert diff.max() <= 255 // CFG.spp + 1, diff.max()
 
 
+@pytest.mark.slow
 def test_fused_quads_only_cornell_matches_split():
     """A quads-ONLY scene (no triangles) also runs the wide-BVH kernel:
     the pre-walk primitive pass does all the intersection work and the
@@ -179,6 +182,7 @@ def test_fused_mixed_defer_shadow_matches():
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.slow
 def test_fused_mixed_motion_blur():
     """Moving spheres in a MIXED tri+sphere scene stay on the fused
     megakernel and match the split path bit-for-bit: one shutter-time

@@ -20,6 +20,7 @@ def _require_fused(scene, cfg):
         pytest.skip("fused path needs a TPU backend")
 
 
+@pytest.mark.slow
 def test_fused_matches_parity_renderer_iss():
     scene = iss_standin_scene(detail=2)
     _require_fused(scene, CFG)
@@ -32,6 +33,7 @@ def test_fused_matches_parity_renderer_iss():
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.slow
 def test_fused_matches_parity_renderer_soup():
     # tri soup exercises metal + dielectric + emissive-triangle paths
     scene = random_tri_soup_scene(n=60)
@@ -43,6 +45,7 @@ def test_fused_matches_parity_renderer_soup():
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.slow
 def test_fused_ray_count_matches_split_pipeline():
     scene = iss_standin_scene(detail=1)
     _require_fused(scene, CFG)
@@ -113,6 +116,7 @@ def test_fused_rowtrav_matches_union_walk():
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.slow
 def test_fused_dual_union_bit_identical():
     """Half-leaf mode's dual-union scan (both halves entered the same
     node's leaves -> one full-row union scan) must be bit-identical to

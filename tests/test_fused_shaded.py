@@ -98,6 +98,7 @@ def test_fused_gate_accepts_textured(tmp_path):
     assert pallas_path.fused_supported(scene, CFG)
 
 
+@pytest.mark.slow
 def test_fused_textured_matches_split(tmp_path):
     scene = _textured_scene(tmp_path)
     _require_fused(scene, CFG)
@@ -109,6 +110,7 @@ def test_fused_textured_matches_split(tmp_path):
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.slow
 def test_fused_two_textures_matches_split(tmp_path):
     scene = _textured_scene(tmp_path, two_tex=True)
     assert scene.n_textures == 2
@@ -120,6 +122,7 @@ def test_fused_two_textures_matches_split(tmp_path):
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.slow
 def test_fused_smooth_matches_split(tmp_path):
     scene = _smooth_scene(tmp_path)
     assert scene.has_smooth
@@ -203,6 +206,7 @@ def test_fused_texrec_ab_matches_aux_engine(tmp_path):
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.slow
 def test_fused_texrec_mixed_primitives(tmp_path):
     """Textured mesh + spheres: primitive hits must reset the texture
     id even though the in-record engine derives it from the material

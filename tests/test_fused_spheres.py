@@ -31,6 +31,7 @@ def test_sphere_fused_matches_parity_rtiow():
     np.testing.assert_array_equal(img, ref)
 
 
+@pytest.mark.slow
 def test_sphere_fused_matches_parity_volumetric():
     # media draws + procedural textures + sphere-light mixture.  The RNG
     # draw schedule is bit-identical (verified by state comparison), but

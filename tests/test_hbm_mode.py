@@ -51,6 +51,7 @@ def _trace(scene, cfg, key):
             int(np.asarray(jax.device_get(nr), np.int64).sum()))
 
 
+@pytest.mark.slow
 def test_hbm_forced_bit_identical():
     """hbm_tris=on must reproduce the VMEM kernel exactly (same LCG
     draws, same accepts) on a scene that fits both modes."""
@@ -69,6 +70,7 @@ def test_hbm_forced_bit_identical():
         np.testing.assert_array_equal(out[i], ref[i])
 
 
+@pytest.mark.slow
 def test_hbm_textured_bit_identical(tmp_path):
     """Shaded scenes ride an aux window per slot (UV/tex-id tiles DMA'd
     alongside the MT tiles): identical streams to the VMEM kernel."""
@@ -96,6 +98,7 @@ def test_hbm_textured_bit_identical(tmp_path):
         np.testing.assert_array_equal(out[i], ref[i])
 
 
+@pytest.mark.slow
 def test_hbm_auto_resolution():
     """auto = engage exactly when the VMEM-resident tables no longer
     fit; the window covers every wide node's contiguous leaf span."""

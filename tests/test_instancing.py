@@ -11,6 +11,7 @@ from dsrt_tpu.models.scene import SceneBuilder
 from dsrt_tpu.ops.camera import make_camera
 from dsrt_tpu.oracle import render_oracle
 from dsrt_tpu.render import render_frame, render_frame_debug
+import pytest
 
 W, H = 24, 16
 CFG = RenderConfig(width=W, height=H, spp=2, max_depth=6)
@@ -52,6 +53,7 @@ def test_translate_and_flip_face():
                                -np.asarray(s2.tri_n0)[0], atol=1e-6)
 
 
+@pytest.mark.slow
 def test_rotated_mesh_golden_vs_oracle():
     """Rotated + translated stand-in mesh must stay oracle-exact (the
     transforms are pre-applied, so this checks the full pipeline sees the

@@ -34,6 +34,7 @@ def lane_forced(monkeypatch):
     monkeypatch.setattr(OPTS, "pallas", "off")
 
 
+@pytest.mark.slow
 def test_lane_matches_oracle_tri_soup(lane_forced):
     scene = random_tri_soup_scene(n=60)
     cam = make_camera((0, 0, 2.0), (0, 0, -1), **CAM)
@@ -50,6 +51,7 @@ def test_lane_matches_oracle_single_triangle(lane_forced):
     assert np.array_equal(img, oimg)
 
 
+@pytest.mark.slow
 def test_lane_traverse_equals_packet_on_random_rays():
     scene = random_tri_soup_scene(n=60)
     rng = np.random.default_rng(7)

@@ -10,6 +10,7 @@ from dsrt_tpu.models.scene import SceneBuilder
 from dsrt_tpu.ops.camera import make_camera
 from dsrt_tpu.oracle import render_oracle
 from dsrt_tpu.render import render_frame
+import pytest
 
 W, H = 32, 24
 
@@ -64,6 +65,7 @@ def test_zero_shutter_ignores_center2():
     np.testing.assert_array_equal(a, c)
 
 
+@pytest.mark.slow
 def test_motion_blur_wavefront_statistical():
     """Wavefront mode (decorrelated streams) converges to the same image
     statistically."""

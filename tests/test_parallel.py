@@ -84,6 +84,7 @@ def test_spp_not_divisible_raises(setup):
                                                         devices=CPUS))
 
 
+@pytest.mark.slow
 def test_fused_sharded_matches_fused():
     """dp-sharded fused megakernel == single-chip fused render.  Runs on
     the real TPU (the fused kernel is a TPU path) with a dp=1 mesh —
@@ -117,6 +118,39 @@ def test_fused_sharded_matches_fused():
         OPTS.pallas = "off"  # module fixture's expectation for later tests
 
 
+@needs8
+@pytest.mark.slow
+def test_fused_sharded_dp8_interpret_bit_identical():
+    """The fused megakernel under REAL dp>1 sharding (VERDICT r3 item 4):
+    the persistent Pallas kernel runs on every shard of an 8-device
+    dp mesh through the TPU interpreter (pltpu.force_tpu_interpret_mode
+    on the virtual CPU devices) and the image must be bit-identical to
+    the single-device fused render.  32x16 pixels give k=1 lane packet,
+    so k % dp != 0 covers render_frame_fused_sharded's dead-packet
+    padding branch (parallel/render.py _pad_packets: 7 of the 8 shards
+    run the kernel on all-dead padding).  The driver dryrun
+    (__graft_entry__._dryrun_impl) runs the same check at k=2 so real
+    content also lands on a non-zero shard."""
+    from jax.experimental.pallas import tpu as pltpu
+    from dsrt_tpu.models.mesh_gen import iss_standin_scene
+    from dsrt_tpu.ops.camera import point_camera_at
+    from dsrt_tpu.parallel.mesh import make_mesh
+    from dsrt_tpu.parallel.render import render_frame_fused_sharded
+    from dsrt_tpu.render import render_frame_fused
+
+    cfg = RenderConfig(width=32, height=16, spp=1, max_depth=3)
+    scene = iss_standin_scene(detail=1)
+    cam = point_camera_at((20.0, 30.0, 95.0), (0.0, 0.0, 0.0),
+                          vfov=cfg.vfov, width=cfg.width,
+                          height=cfg.height)
+    mesh = make_mesh(8, sp=1, devices=CPUS)
+    with jax.default_device(CPUS[0]):
+        with pltpu.force_tpu_interpret_mode():
+            img = render_frame_fused_sharded(scene, cam, cfg, mesh)
+            ref = render_frame_fused(scene, cam, cfg)
+    np.testing.assert_array_equal(img, ref)
+
+
 def test_graft_entry_single_chip():
     import __graft_entry__ as ge
     fn, args = ge.entry()
@@ -125,6 +159,7 @@ def test_graft_entry_single_chip():
 
 
 @needs8
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)

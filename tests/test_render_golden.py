@@ -29,6 +29,7 @@ def check(scene, lookfrom=(0, 0.4, 1.5), lookat=(0, 0, -1), cfg=CFG,
     assert d.max() <= u8_tol, f"u8 maxdiff {d.max()}"
 
 
+@pytest.mark.slow
 def test_smoke_scene_matches_oracle():
     check(rtiow_smoke_scene())
 

@@ -69,6 +69,7 @@ def test_textured_albedo_forced_white(tmp_path):
     np.testing.assert_array_equal(np.asarray(scene.mat_albedo[0]), [1, 1, 1])
 
 
+@pytest.mark.slow
 def test_procedural_textures_evaluate():
     import jax.numpy as jnp
     from dsrt_tpu.models.presets import volumetric_scene

@@ -25,6 +25,7 @@ def _random_rays(rng, n):
     return ro, rd
 
 
+@pytest.mark.slow
 def test_packet_traversal_matches_bruteforce(soup, rng):
     n = 256
     ro_np, rd_np = _random_rays(rng, n)
@@ -49,6 +50,7 @@ def test_packet_traversal_matches_bruteforce(soup, rng):
                 ref["normal"], rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sphere_hit_matches_oracle(rng):
     scene = rtiow_smoke_scene()
     n = 128

@@ -35,6 +35,7 @@ def _central_rays(n):
     return ro, rd
 
 
+@pytest.mark.slow
 def test_transmittance_matches_beer_lambert():
     scene = _fog_scene()
     n = 8192

@@ -24,6 +24,7 @@ def cam():
     return make_camera((0, 0.4, 1.5), (0, 0, -1), vfov=55, width=W, height=H)
 
 
+@pytest.mark.slow
 def test_wavefront_statistically_matches_parity(smoke, cam):
     cfg = RenderConfig(width=W, height=H, spp=64, max_depth=10)
     ref = render_frame(smoke, cam, cfg)
@@ -34,6 +35,7 @@ def test_wavefront_statistically_matches_parity(smoke, cam):
     assert np.abs(d).mean() < 6.0
 
 
+@pytest.mark.slow
 def test_wavefront_deterministic(smoke, cam):
     cfg = RenderConfig(width=W, height=H, spp=8, max_depth=6)
     a = render_frame_wavefront(smoke, cam, cfg, spp_batch=4)
@@ -41,6 +43,7 @@ def test_wavefront_deterministic(smoke, cam):
     np.testing.assert_array_equal(a, b)
 
 
+@pytest.mark.slow
 def test_wavefront_light_scene(cam):
     scene = sphere_light_scene()
     cfg = RenderConfig(width=W, height=H, spp=32, max_depth=10)
@@ -56,6 +59,7 @@ def test_wavefront_bad_batch_raises(smoke, cam):
         render_frame_wavefront(smoke, cam, cfg, spp_batch=4)
 
 
+@pytest.mark.slow
 def test_ray_counting_consistent(smoke, cam):
     """count_rays=True must not change radiance, and the count must be
     positive and plausible (>= spp * valid pixels primaries)."""
@@ -77,6 +81,7 @@ def test_ray_counting_consistent(smoke, cam):
     assert int(n1) >= int(valid.sum()) * 4  # at least the primary rays
 
 
+@pytest.mark.slow
 def test_dof_render_differs_and_is_deterministic(smoke):
     """aperture > 0 engages the thin-lens path (reference camera.h:35-61)."""
     cam_d = make_camera((0, 0.4, 1.5), (0, 0, -1), vfov=55, width=W,
@@ -90,6 +95,7 @@ def test_dof_render_differs_and_is_deterministic(smoke):
     np.testing.assert_array_equal(dof, dof2)
 
 
+@pytest.mark.slow
 def test_queue_renderer_statistically_matches(smoke, cam):
     from dsrt_tpu.render import render_frame_queue
     cfg = RenderConfig(width=W, height=H, spp=32, max_depth=10)
@@ -101,6 +107,7 @@ def test_queue_renderer_statistically_matches(smoke, cam):
     np.testing.assert_array_equal(q, q2)
 
 
+@pytest.mark.slow
 def test_queue_banding_is_identical(smoke, cam):
     """Auto-banding (render.render_frame_queue) must produce exactly the
     unbanded image: per-pixel LCG seeds use true frame coordinates."""
