@@ -240,6 +240,14 @@ def main() -> int:
         if skey not in scene_cache:
             scene_cache[skey] = build_scene(args, *skey)
         scene = scene_cache[skey]
+        # ExecOptions is a mutable global that jit cannot see: without
+        # this, an OPTS-only combo (pops/dup/block_h/...) silently
+        # reuses the previous combo's compiled kernel and the row
+        # measures NOTHING (caught via identical in-kernel wave
+        # counts across a block_h sweep).  Scene/cfg combos recompile
+        # anyway (shape/static changes); the cost here is one extra
+        # compile per combo, which measure() already discards.
+        _run.clear_cache()
         px, py, valid, _ = lane_layout(cfg.width, cfg.height)
         px, py, valid = (jnp.asarray(px), jnp.asarray(py),
                          jnp.asarray(valid))

@@ -200,6 +200,31 @@ class ExecOptions:
     # don't fit the record).  Off = A/B against the aux-tile engine
     # (bit-identical; UVs are source-quantized to bf16 either way).
     uvrec: bool = True
+    # Carried-UV variant of the in-record engine: accepts select the
+    # RAW packed-uv lanes (int32 bit patterns) plus barycentric (u, v)
+    # into the candidate state, and the UV interpolation runs ONCE per
+    # wave at walk end on the tournament winners — replacing 12
+    # interpolation vector ops per accepted tile-row with 3 integer
+    # selects.  Bit-identical (the same formula over the same bits,
+    # evaluated on the winning accept's exact inputs).  Only engages
+    # when the in-record engine does (texrec scenes).  MEASURED FLAT
+    # at 47.7k tris / tex256 (45.38 off vs 45.46 on, min-of-3): the
+    # removed interpolation is latency-absorbed vector work, and the
+    # 3 extra carried candidate planes cost about what the interp
+    # saved.  Off = the per-accept-interpolating r3 codegen (simpler,
+    # longer-tested); kept as a bit-identical A/B knob.
+    uvcarry: bool = False
+    # Texture-pool gather chunk rows (pallas_path._pool_fetch_rows_ref
+    # granularity): pools wider than one chunk gather per chunk under
+    # a scalar any-lane-in-chunk branch, so per-wave gather work
+    # scales with the chunks a wave's texel indices TOUCH, not the
+    # pool size.  The whole-pool gather was measured to scale with
+    # POOL SIZE at identical traversal telemetry (47.7k tris, wml 20:
+    # tex=64 51.6, tex=256 48.3, tex=512 30.1 Mrays/s) — the
+    # full-table load+matmul per wave was the real textured-scene
+    # tax, not the per-accept interpolation.  0 = whole-pool (the r3
+    # codegen, bit-identical A/B).
+    tex_chunk: int = 512
     # Half-leaf mode (leaf_split=2): scan DUAL-entered ranges (both
     # halves entered leaves of the same node, ~7% of entered ranges)
     # once over the union range at full rows instead of twice at half

