@@ -129,13 +129,15 @@ def _panel_texture(path: str, size: int) -> None:
     write_png(path, img.astype(np.uint8))
 
 
-def build_scene(args, detail, wml, tex, bvh):
+def build_scene(args, detail, wml, tex, bvh, salpha=None):
     from dsrt_tpu.models.mesh_gen import iss_standin_scene, iss_mixed_scene
     kw = dict(detail=detail)
     if wml:
         kw["wide_max_leaf"] = wml
     if bvh:
         kw["bvh_method"] = bvh
+    if salpha is not None:
+        kw["sbvh_alpha"] = salpha
     if tex:
         with tempfile.TemporaryDirectory() as td:
             tp = os.path.join(td, "panel.png")
@@ -147,7 +149,7 @@ def build_scene(args, detail, wml, tex, bvh):
             else iss_standin_scene(**kw))
 
 
-SCENE_KEYS = {"wml", "detail", "tex", "bvh"}
+SCENE_KEYS = {"wml", "detail", "tex", "bvh", "salpha"}
 CFG_KEYS = {"spp", "depth", "width", "height"}
 DETAIL_BY_SCENE = {"iss": 4, "iss50k": 12, "iss130k": 20, "mixed": 12}
 
@@ -236,7 +238,7 @@ def main() -> int:
         cfg = RenderConfig(**cfgkw)
         skey = (over.get("detail", DETAIL_BY_SCENE[args.scene]),
                 over.get("wml", 0), over.get("tex", args.tex),
-                over.get("bvh", ""))
+                over.get("bvh", ""), over.get("salpha", None))
         if skey not in scene_cache:
             scene_cache[skey] = build_scene(args, *skey)
         scene = scene_cache[skey]

@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="honor OBJ vn normals (smooth shading; the "
                         "reference parses and discards vn, "
                         "triangle_mesh.h:227-234 — default stays flat)")
+    p.add_argument("--standin_tex", default="",
+                   help="image texture for the stand-in mesh's panel/"
+                        "radiator quads (the real NASA OBJ carries "
+                        "map_Kd textures, inc/triangle_mesh.h:244-251; "
+                        "this makes the no-asset stand-in match that "
+                        "workload)")
     p.add_argument("--standin_detail", type=int, default=2,
                    help="procedural ISS stand-in detail when no --obj")
     p.add_argument("--bvh", choices=["median", "sah", "sbvh"],
@@ -155,7 +161,8 @@ def build_scene(args, timer: StageTimer):
                             smooth=args.smooth)
         else:
             from dsrt_tpu.models.mesh_gen import iss_standin_mesh
-            mesh = iss_standin_mesh(args.standin_detail)
+            mesh = iss_standin_mesh(args.standin_detail,
+                                    tex_path=args.standin_tex)
     with timer.stage("scene_compile"):
         b = SceneBuilder(sun_enabled=True, sun_dir=(0.0, 1.0, 0.0),
                          sun_radiance=tuple(args.sun_radiance),

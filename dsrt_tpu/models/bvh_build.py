@@ -79,8 +79,13 @@ def _tri_bounds_centroids(v0, v1, v2):
     return lo, hi, cent
 
 
-def build_bvh(v0, v1, v2, method: str = "median", prefer_native: bool = True) -> BVH:
-    """Build a BVH over triangles given as (N,3) vertex arrays."""
+def build_bvh(v0, v1, v2, method: str = "median", prefer_native: bool = True,
+              sbvh_alpha: float = 1e-5, sbvh_ref_budget: float = 2.0) -> BVH:
+    """Build a BVH over triangles given as (N,3) vertex arrays.
+
+    `sbvh_alpha` / `sbvh_ref_budget` tune SBVH spatial splitting
+    (overlap gate as a fraction of root SA; reference cap as a
+    multiple of N) — ignored for median/sah."""
     v0 = np.asarray(v0, np.float32)
     v1 = np.asarray(v1, np.float32)
     v2 = np.asarray(v2, np.float32)
@@ -94,7 +99,9 @@ def build_bvh(v0, v1, v2, method: str = "median", prefer_native: bool = True) ->
     if prefer_native and method in ("median", "sah", "sbvh"):
         try:
             from dsrt_tpu import native
-            out = native.build_bvh(v0, v1, v2, method)
+            out = native.build_bvh(v0, v1, v2, method,
+                                   alpha=sbvh_alpha,
+                                   ref_budget=sbvh_ref_budget)
             if out is not None:
                 return out
         except ImportError:
@@ -104,7 +111,8 @@ def build_bvh(v0, v1, v2, method: str = "median", prefer_native: bool = True) ->
     if method == "sah":
         return _build_sah(v0, v1, v2)
     if method == "sbvh":
-        return _build_sbvh(v0, v1, v2)
+        return _build_sbvh(v0, v1, v2, ref_budget=sbvh_ref_budget,
+                           alpha=sbvh_alpha)
     raise ValueError(f"unknown BVH method '{method}'")
 
 

@@ -173,7 +173,7 @@ def iss_standin_mesh(detail: int = 2, tex_path: str = "") -> MeshData:
 def iss_standin_scene(detail: int = 2, sun_dir=(0.35, 0.65, 0.4),
                       sun_radiance=(1e5, 9.5e4, 9e4), seed: int = 1337,
                       bvh_method: str = "sbvh", wide_max_leaf=None,
-                      tex_path: str = ""):
+                      tex_path: str = "", sbvh_alpha: float = 1e-5):
     """Stand-in for the per-frame ISS scene: mesh at origin, directional
     sun.  `sun_dir` here is the model->Sun direction exactly as the pose
     pipeline supplies it (the renderer negates it, reference parity).
@@ -181,7 +181,8 @@ def iss_standin_scene(detail: int = 2, sun_dir=(0.35, 0.65, 0.4),
     from dsrt_tpu.models.scene import SceneBuilder
     b = SceneBuilder(sun_enabled=True, sun_dir=sun_dir,
                      sun_radiance=sun_radiance, seed=seed,
-                     bvh_method=bvh_method, wide_max_leaf=wide_max_leaf)
+                     bvh_method=bvh_method, wide_max_leaf=wide_max_leaf,
+                     sbvh_alpha=sbvh_alpha)
     b.add_mesh(iss_standin_mesh(detail, tex_path=tex_path))
     return b.build()
 

@@ -386,7 +386,8 @@ class SceneBuilder:
                  sun_radiance: Tuple[float, float, float] = (1e5, 9.5e4, 9e4),
                  seed: int = 1337,
                  bvh_method: str = "median",
-                 wide_max_leaf: Optional[int] = None):
+                 wide_max_leaf: Optional[int] = None,
+                 sbvh_alpha: float = 1e-5):
         self._meshes: List[_MeshEntry] = []
         self._spheres: List[tuple] = []
         self._quads: List[tuple] = []
@@ -396,6 +397,13 @@ class SceneBuilder:
         self.sun_radiance = np.asarray(sun_radiance, np.float32)
         self.seed = seed
         self.bvh_method = bvh_method
+        # SBVH spatial-split gate (overlap SA fraction of root that
+        # triggers a split attempt; 0 = always try).  At ISS scale
+        # alpha 0 raises refs 1.07x -> 1.55x — sweepable because the
+        # fused kernel is SPINE-LATENCY-bound (r4 dup attribution:
+        # 2x ANY vector segment is free), so trading leaf refs for
+        # fewer node visits can pay.
+        self.sbvh_alpha = sbvh_alpha
         # 8-ary collapse leaf bound (box-test-count vs tri-test-count
         # knob; identical intersection semantics for any value).
         # None = size-dependent auto: 16 for small scenes, 20 at
@@ -661,7 +669,8 @@ class SceneBuilder:
             tri_tex = -np.ones(1, np.int32)
 
         bvh: BVH = build_bvh(v0[:n_tris], v1[:n_tris], v2[:n_tris],
-                             method=self.bvh_method)
+                             method=self.bvh_method,
+                             sbvh_alpha=self.sbvh_alpha)
         if n_tris:
             # permute triangles into BVH-leaf order so leaves reference
             # contiguous rows; tri_indices becomes the identity (the

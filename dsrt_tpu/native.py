@@ -67,9 +67,13 @@ def available() -> bool:
 
 
 def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
-              method: str = "median"):
+              method: str = "median", alpha: float = 1e-5,
+              ref_budget: float = 2.0):
     """Native BVH build; returns a models.bvh_build.BVH or None if the
-    native library is unavailable."""
+    native library is unavailable.  `alpha` / `ref_budget` tune the
+    SBVH spatial-split gate (overlap-area fraction of root SA that
+    triggers a spatial-split attempt) and the reference cap
+    (budget * n) — ignored for median/sah."""
     lib = _find_lib()
     if lib is None:
         return None
@@ -79,7 +83,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
     if method == "sbvh":
         if not hasattr(lib, "dsrt_build_sbvh"):
             return None
-        budget = 2.0
+        budget = float(ref_budget)
         cap_refs = int(budget * n) + 8
         cap_nodes = 2 * cap_refs + 8
         bb_min = np.empty((cap_nodes, 3), np.float32)
@@ -94,7 +98,7 @@ def build_bvh(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray,
             np.ascontiguousarray(v0, np.float32),
             np.ascontiguousarray(v1, np.float32),
             np.ascontiguousarray(v2, np.float32),
-            n, np.float32(1e-5), np.float32(budget), cap_nodes, cap_refs,
+            n, np.float32(alpha), np.float32(budget), cap_nodes, cap_refs,
             bb_min, bb_max, left, right, off, cnt, idx, n_refs)
         if n_nodes <= 0:
             return None

@@ -45,6 +45,25 @@ def test_driver_resume_skips_existing(tmp_path):
     assert png.stat().st_mtime_ns == mtime  # untouched
 
 
+def test_driver_standin_tex_textures_the_scene(tmp_path):
+    """--standin_tex threads an image texture onto the stand-in mesh's
+    panel/radiator quads (the real NASA OBJ carries map_Kd textures,
+    inc/triangle_mesh.h:244-251) — the north-star artifact run uses
+    this to render the TRUE flagship workload."""
+    from dsrt_tpu.utils.image_io import write_png
+    tex = str(tmp_path / "panel.png")
+    write_png(tex, np.full((4, 4, 3), 128, np.uint8))
+    poses = str(tmp_path / "p.txt")
+    write_pose_file(poses, np.array([[0.0, 200.0, 1800.0]]),
+                    np.zeros((1, 3)), yaw=0.0)
+    args = _tiny_args(tmp_path, poses, extra=("--standin_tex", tex))
+    from dsrt_tpu.utils.timing import StageTimer
+    scene = driver.build_scene(args, StageTimer())
+    assert scene.has_image_tex
+    assert driver.run(args) == 0
+    assert os.path.exists(tmp_path / "out" / "frame_0000.png")
+
+
 @pytest.mark.slow
 def test_driver_default_pose_without_file(tmp_path):
     args = driver.build_parser().parse_args([
