@@ -122,6 +122,20 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default: the bench-measured ExecOptions default)")
     p.add_argument("--pallas", choices=["auto", "on", "off"], default="auto",
                    help="Pallas kernel gating (off = pure-XLA traversal)")
+    p.add_argument("--dispatch_rays", type=int, default=None,
+                   help="per-dispatch primary-ray budget for the fused "
+                        "megakernels; frames above it render as salted "
+                        "spp chunks so one kernel never runs long enough "
+                        "to trip the TPU runtime's hang detection "
+                        "(default: the measured ExecOptions value; "
+                        "0 = never chunk)")
+    p.add_argument("--sun_pops", type=int, default=None,
+                   help="stack pops per fused sun-shadow wave (3 measured "
+                        "~+1.6%% on big textured scenes; default 2 is "
+                        "best for small scenes)")
+    p.add_argument("--pops", type=int, default=None,
+                   help="stack pops per fused traversal wave "
+                        "(default: the bench-measured ExecOptions value)")
     p.add_argument("--shard", action="store_true",
                    help="shard the render across all visible devices "
                         "(Mesh('sp','dp') + psum; dp-only sharding is "
@@ -201,6 +215,12 @@ def run(args) -> int:
     if args.block_h is not None:
         OPTS.block_h = args.block_h
     OPTS.pallas = args.pallas
+    if args.dispatch_rays is not None:
+        OPTS.fused_dispatch_rays = args.dispatch_rays
+    if args.sun_pops is not None:
+        OPTS.sun_pops = args.sun_pops
+    if args.pops is not None:
+        OPTS.pops = args.pops
 
     timer = StageTimer()
     os.makedirs(args.output_dir, exist_ok=True)

@@ -237,6 +237,20 @@ class ExecOptions:
     # and true throughput work move the needle").  Off = the simpler
     # r2-verified codegen; kept as an A/B knob.
     dual_union: bool = False
+    # Per-dispatch primary-ray budget for the fused megakernels.  A
+    # frame whose width*height*spp exceeds this is rendered as several
+    # salted spp chunks through the runtime-spp kernel (one compile,
+    # the adaptive path's scheme) instead of one monolithic dispatch.
+    # A single 1080p@1000spp dispatch runs 1.5-2.5e9 scene rays; at the
+    # close-in end of the rendezvous trajectory (~12-28 Mrays/s full
+    # occupancy) that is a 90-100 s kernel, which the TPU runtime's
+    # hang detection kills (reproduced: frame 93 of the 99-pose
+    # 1080p@1000spp run dies in one dispatch at ~2.6e9 rays; frame 92
+    # at 2.49e9/87 s survived).  256M primary rays keeps the worst
+    # measured occupancy under ~30 s per dispatch.  Frames at or below
+    # the budget take the old single-dispatch path, bit-identical to
+    # r3; 0 disables chunking.
+    fused_dispatch_rays: int = 256 * 1024 * 1024
 
 
 OPTS = ExecOptions()

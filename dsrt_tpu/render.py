@@ -190,8 +190,9 @@ def render_frame_fused(scene, cam: Camera, cfg: RenderConfig,
     scene-intersection query) for honest Mrays telemetry — free, the
     kernel always counts."""
     px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
-    img, nrays = _render_fused(scene, cam, jnp.asarray(px), jnp.asarray(py),
-                               jnp.asarray(valid), cfg, ty, tx)
+    img, nrays = _render_fused_auto(scene, cam, jnp.asarray(px),
+                                    jnp.asarray(py), jnp.asarray(valid),
+                                    cfg, ty, tx)
     img = np.asarray(jax.device_get(img))
     if with_count:
         # per-block i32 counts summed in int64 (device i32 sum would
@@ -240,6 +241,80 @@ def _render_fused(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
     chans = [tonemap(accum.x), tonemap(accum.y), tonemap(accum.z)]
     padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
     return padded[:cfg.height, :cfg.width][::-1], nrays
+
+
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "spp_total"))
+def _fused_finish(ax, ay, az, counts, cfg: RenderConfig, ty: int, tx: int,
+                  spp_total: int):
+    """Tonemap summed fused accumulators (same chain as _render_fused).
+    The stacked per-chunk bucketed i32 ray counts pass through UNsummed:
+    device i64 is unavailable without x64 mode and an i32 sum overflows
+    at 1080p@1000spp scale (2.5e9 rays) — callers sum host-side in i64,
+    same contract as the single-dispatch buckets."""
+    inv_spp = jnp.float32(1.0 / spp_total)
+    inv_gamma = jnp.float32(1.0 / cfg.gamma)
+
+    def tonemap(c):
+        c = c * inv_spp
+        c = jnp.maximum(c, 0.0)
+        c = jnp.minimum(c, cfg.firefly_clamp)
+        c = jnp.power(c, inv_gamma)
+        c = jnp.clip(c, 0.0, 1.0)
+        return (255.99 * c).astype(jnp.uint8)
+
+    chans = [tonemap(ax), tonemap(ay), tonemap(az)]
+    padded = jnp.stack([lanes_to_image(c, ty, tx) for c in chans], axis=-1)
+    return padded[:cfg.height, :cfg.width][::-1], counts
+
+
+def _fused_chunk_spp(cfg: RenderConfig) -> int | None:
+    """spp per fused dispatch, or None for the single-dispatch path.
+    Bounds one kernel's primary-ray count by exec_opts
+    fused_dispatch_rays so a close-in 1080p@1000spp frame (2e9+ scene
+    rays, 90-100 s in one kernel) cannot trip the TPU runtime's hang
+    detection; everything at or under the budget keeps the r3
+    single-dispatch path (bit-identical images)."""
+    from dsrt_tpu.exec_opts import OPTS
+    budget = int(OPTS.fused_dispatch_rays)
+    spp = cfg.resolved_spp()
+    per_spp = cfg.width * cfg.height
+    if budget <= 0 or per_spp * spp <= budget:
+        return None
+    return max(1, budget // per_spp)
+
+
+def _render_fused_auto(scene, cam: Camera, px, py, valid,
+                       cfg: RenderConfig, ty: int, tx: int):
+    """Fused-frame dispatch with the per-kernel ray budget applied.
+    Over-budget frames render as ceil(spp/chunk) salted spp chunks
+    through the runtime-spp kernel (`_fused_accum`, one compile for
+    all chunks); chunk 0 carries salt 0, so its streams are the parity
+    LCG streams, and later chunks decorrelate with the adaptive path's
+    golden-ratio salt.  Dispatches are enqueued without blocking, so
+    the driver's frame pipeline overlap is preserved."""
+    chunk = _fused_chunk_spp(cfg)
+    if chunk is None:
+        return _render_fused(scene, cam, px, py, valid, cfg, ty, tx)
+    spp = cfg.resolved_spp()
+    salt_mix = 0x9E3779B9
+    ax = ay = az = None
+    counts = []
+    done = 0
+    i = 0
+    while done < spp:
+        spp_c = min(chunk, spp - done)
+        salt = (np.uint32((i * salt_mix) & 0xFFFFFFFF).astype(np.int32)
+                if i else np.int32(0))
+        accum, nr = _fused_accum(scene, cam, px, py, valid, cfg,
+                                 jnp.asarray(spp_c, jnp.int32),
+                                 jnp.asarray(salt))
+        ax = accum.x if ax is None else ax + accum.x
+        ay = accum.y if ay is None else ay + accum.y
+        az = accum.z if az is None else az + accum.z
+        counts.append(nr)
+        done += spp_c
+        i += 1
+    return _fused_finish(ax, ay, az, jnp.stack(counts), cfg, ty, tx, spp)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -613,9 +688,9 @@ def render_frame_async(scene, cam: Camera, cfg: RenderConfig,
     np.asarray(jax.device_get(img))."""
     px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
     if mode == "fused":
-        img, nrays = _render_fused(scene, cam, jnp.asarray(px),
-                                   jnp.asarray(py), jnp.asarray(valid),
-                                   cfg, ty, tx)
+        img, nrays = _render_fused_auto(scene, cam, jnp.asarray(px),
+                                        jnp.asarray(py), jnp.asarray(valid),
+                                        cfg, ty, tx)
         return img, nrays
     # wavefront
     spp = cfg.resolved_spp()
