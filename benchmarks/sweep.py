@@ -82,8 +82,8 @@ sweep50k21    wml x regen at pops4            -> ROADMAP negative-results bank
 BASE = (struct.unpack("<I", os.urandom(4))[0] % 100000) * 1e-5
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _run(scene, cfg, cam, px, py, valid):
+@partial(jax.jit, static_argnames=("cfg", "_opts"))
+def _run(scene, cfg, cam, px, py, valid, _opts=None):
     from dsrt_tpu.ops.pallas_path import trace_fused
     return trace_fused(scene, cfg, cam, px, py, valid, return_stats=True)
 
@@ -105,7 +105,8 @@ def measure(scene, cfg, px, py, valid, reps=3):
         sc = dataclasses.replace(scene, tri_pack=scene.tri_pack + eps,
                                  tri_pk8=scene.tri_pk8 + eps)
         t0 = time.perf_counter()
-        _, _, stats = _run(sc, cfg, cam, px, py, valid)
+        from dsrt_tpu.exec_opts import opts_key
+        _, _, stats = _run(sc, cfg, cam, px, py, valid, _opts=opts_key())
         stats_h = np.asarray(jax.device_get(stats), np.int64)
         dt = time.perf_counter() - t0
         tries += 1
@@ -242,13 +243,10 @@ def main() -> int:
         if skey not in scene_cache:
             scene_cache[skey] = build_scene(args, *skey)
         scene = scene_cache[skey]
-        # ExecOptions is a mutable global that jit cannot see: without
-        # this, an OPTS-only combo (pops/dup/block_h/...) silently
-        # reuses the previous combo's compiled kernel and the row
-        # measures NOTHING (caught via identical in-kernel wave
-        # counts across a block_h sweep).  Scene/cfg combos recompile
-        # anyway (shape/static changes); the cost here is one extra
-        # compile per combo, which measure() already discards.
+        # OPTS now participates in the jit cache key (the static _opts
+        # snapshot threaded through _run), so OPTS-only combos retrace
+        # on their own; this belt-and-suspenders clear also evicts the
+        # previous combo's executable from device memory between rows.
         _run.clear_cache()
         px, py, valid, _ = lane_layout(cfg.width, cfg.height)
         px, py, valid = (jnp.asarray(px), jnp.asarray(py),

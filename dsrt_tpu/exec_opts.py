@@ -3,10 +3,22 @@
 SURVEY.md §5 calls for promoting scattered knobs to a real config; round-1
 kept three in env vars (DSRT_BLOCK_H / DSRT_FUSED_SUN / DSRT_DISABLE_PALLAS).
 They now live here as one mutable process-wide options object, settable from
-driver/bench CLI flags and from tests.  These are *execution strategy* knobs
-(which kernel, what block size) — they never change rendered pixels, so they
-are deliberately separate from the frozen `RenderConfig` that is hashed into
-jit cache keys.
+driver/bench CLI flags and from tests.
+
+Two caveats the earlier "never change rendered pixels" framing missed:
+
+- Most knobs are pure execution strategy (which kernel, block size, pop
+  width) and are bit-identical at any setting, but `fused_dispatch_rays`
+  DOES change pixels: salted spp chunks are Monte-Carlo-equivalent to the
+  single dispatch, not bit-equal (tests/test_dispatch_budget.py).
+
+- These knobs shape the TRACED kernel, so they must participate in jit
+  cache keys.  Every jitted render entry point (render.py,
+  parallel/render.py, bench.py, benchmarks/sweep.py) threads
+  ``opts_key()`` through a static ``_opts`` argument: mutating OPTS
+  between calls retraces instead of silently reusing the previous knobs'
+  compiled kernel (the round-2/round-4 sweep-cache gotcha, now fixed at
+  the root rather than by per-caller cache clearing).
 """
 
 from __future__ import annotations
@@ -129,8 +141,11 @@ class ExecOptions:
     # burns masked pops' box vector work there: sweep50k8 'sunwalk'
     # attribution was 15 ms of a 150 ms ISS frame at sun_pops == pops
     # == 6.  Narrow is bit-identical (pop grouping never changes
-    # verdicts).
-    sun_pops: int = 2
+    # verdicts).  0 = auto, resolved per scene at trace time (pallas_
+    # path.trace_fused): 3 on lane-packed (big) scenes — the r4 sweep
+    # measured +1.6% on the textured 47.7k flagship — else 2 (the 5.8k
+    # headline's optimum).  Explicit values override both.
+    sun_pops: int = 0
     # With defer_shadow, run the combined extension+shadow walk through
     # the old CHAIN leaf engine instead of the tile engine (A/B only —
     # the chain fallback is what made r2's defer_shadow measurement
@@ -252,8 +267,19 @@ class ExecOptions:
     # r3; 0 disables chunking.
     fused_dispatch_rays: int = 256 * 1024 * 1024
 
+    def key(self) -> tuple:
+        """Hashable snapshot of every knob — passed as the static
+        ``_opts`` argument of the jitted render entry points so the jit
+        cache retraces when any knob changes (module docstring)."""
+        return dataclasses.astuple(self)
+
 
 OPTS = ExecOptions()
+
+
+def opts_key() -> tuple:
+    """The CURRENT process-wide options snapshot (see ExecOptions.key)."""
+    return OPTS.key()
 
 
 def use_pallas(scene) -> bool:

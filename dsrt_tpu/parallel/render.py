@@ -40,6 +40,7 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
 
 from dsrt_tpu.config import RenderConfig
+from dsrt_tpu.exec_opts import opts_key
 from dsrt_tpu.ops import rng as rngmod
 from dsrt_tpu.ops.camera import Camera, camera_rays
 from dsrt_tpu.ops.linalg import V3
@@ -56,9 +57,11 @@ def _pad_packets(a: np.ndarray, k_pad: int):
     return np.concatenate([a, pad], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "mesh", "spp_local"))
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "mesh", "spp_local",
+                                   "_opts"))
 def _render_sharded(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
-                    ty: int, tx: int, mesh: Mesh, spp_local: int):
+                    ty: int, tx: int, mesh: Mesh, spp_local: int,
+                    _opts=None):
     # px/py/valid may carry dead padding packets beyond ty*tx (dp rounding);
     # they are sliced off before image assembly.
     spp_total = cfg.resolved_spp()
@@ -118,9 +121,65 @@ def _render_sharded(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
     return img[:cfg.height, :cfg.width][::-1]
 
 
-@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "mesh"))
+def render_frame_sp_emulated(scene, cam: Camera, cfg: RenderConfig,
+                             sp: int) -> np.ndarray:
+    """Single-chip render that runs the EXACT sp-slice schedule of
+    `_render_sharded` (seed ^ i*SP_SEED_MIX per slice, spp/sp strata
+    each, accumulators summed in slice order) — the deterministic
+    ground truth for sp>1 sharded renders.  At sp=2 the psum is one fp
+    add, so the sharded image must equal this BIT-FOR-BIT (VERDICT r4
+    weak #5; used by tests/test_parallel.py and the multichip dryrun)."""
+    spp_total = cfg.resolved_spp()
+    if spp_total % sp != 0:
+        raise ValueError(f"sp={sp} must divide spp={spp_total}")
+    spp_local = spp_total // sp
+    px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
+    pxj, pyj, vj = (jnp.asarray(px), jnp.asarray(py), jnp.asarray(valid))
+
+    def slice_accum(i):
+        seed = rngmod.seed_pixels(pxj, pyj, cam.width, scene.seed)
+        state = seed if i == 0 else seed ^ jnp.uint32(i * SP_SEED_MIX)
+        zero = jnp.zeros(pxj.shape, jnp.float32)
+        accum = V3(zero, zero, zero)
+        for s in range(spp_local):
+            s_global = i * spp_local + s
+            jxu, state = rngmod.draw(state, vj)
+            jyu, state = rngmod.draw(state, vj)
+            sf = jnp.float32(s_global)
+            jx = (sf + jxu) / jnp.float32(spp_total)
+            jy = (sf + jyu) / jnp.float32(spp_total)
+            ro, rd, state = camera_rays(cam, pxj, pyj, jx, jy, state, vj,
+                                        cfg.aperture > 0)
+            L, state = trace_paths(scene, cfg, ro, rd, state, vj)
+            accum = V3(accum.x + L.x, accum.y + L.y, accum.z + L.z)
+        return accum
+
+    parts = [slice_accum(i) for i in range(sp)]
+    ax, ay, az = parts[0].x, parts[0].y, parts[0].z
+    for p in parts[1:]:
+        ax, ay, az = ax + p.x, ay + p.y, az + p.z
+
+    inv_spp = jnp.float32(1.0 / spp_total)
+    inv_gamma = jnp.float32(1.0 / cfg.gamma)
+
+    def tonemap(c):
+        c = c * inv_spp
+        c = jnp.maximum(c, 0.0)
+        c = jnp.minimum(c, cfg.firefly_clamp)
+        c = jnp.power(c, inv_gamma)
+        c = jnp.clip(c, 0.0, 1.0)
+        return (255.99 * c).astype(jnp.uint8)
+
+    out = jnp.stack([tonemap(ax), tonemap(ay), tonemap(az)], axis=-1)
+    img = jnp.stack([lanes_to_image(out[..., c], ty, tx)
+                     for c in range(3)], axis=-1)
+    return np.asarray(jax.device_get(img[:cfg.height, :cfg.width][::-1]))
+
+
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "mesh", "_opts"))
 def _render_fused_sharded(scene, cam: Camera, px, py, valid,
-                          cfg: RenderConfig, ty: int, tx: int, mesh: Mesh):
+                          cfg: RenderConfig, ty: int, tx: int, mesh: Mesh,
+                          _opts=None):
     def shard_body(px, py, valid):
         if scene.n_tris > 0:
             from dsrt_tpu.ops.pallas_path import trace_fused
@@ -186,7 +245,7 @@ def render_frame_fused_sharded(scene, cam: Camera, cfg: RenderConfig,
     pyj = jax.device_put(jnp.asarray(py), dp_sharding)
     vj = jax.device_put(jnp.asarray(valid), dp_sharding)
     img, nrays = _render_fused_sharded(scene, cam, pxj, pyj, vj, cfg, ty,
-                                       tx, mesh)
+                                       tx, mesh, _opts=opts_key())
     img = np.asarray(jax.device_get(img))
     if with_count:
         # exact in-kernel counts, bucketed per shard; int64 host sum
@@ -221,5 +280,5 @@ def render_frame_sharded(scene, cam: Camera, cfg: RenderConfig,
     vj = jax.device_put(jnp.asarray(valid), dp_sharding)
 
     img = _render_sharded(scene, cam, pxj, pyj, vj, cfg, ty, tx, mesh,
-                          spp // sp)
+                          spp // sp, _opts=opts_key())
     return np.asarray(jax.device_get(img))

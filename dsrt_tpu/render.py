@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from dsrt_tpu.config import RenderConfig
+from dsrt_tpu.exec_opts import opts_key
 from dsrt_tpu.ops import rng as rngmod
 from dsrt_tpu.ops.camera import Camera, camera_rays
 from dsrt_tpu.ops.linalg import V3
@@ -77,9 +78,9 @@ def lanes_to_image(vals: jnp.ndarray, ty: int, tx: int) -> jnp.ndarray:
             .reshape(ty * th, tx * tw))
 
 
-@partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "_opts"))
 def _render_lanes(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
-                  ty: int, tx: int):
+                  ty: int, tx: int, _opts=None):
     spp = cfg.resolved_spp()
     state = rngmod.seed_pixels(px, py, cam.width, scene.seed)
     zero = jnp.zeros(px.shape, jnp.float32)
@@ -139,14 +140,16 @@ def render_frame(scene, cam: Camera, cfg: RenderConfig | None = None,
     px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
     if spp_batch <= 1:
         img = _render_lanes(scene, cam, jnp.asarray(px), jnp.asarray(py),
-                            jnp.asarray(valid), cfg, ty, tx)
+                            jnp.asarray(valid), cfg, ty, tx,
+                            _opts=opts_key())
     else:
         spp = cfg.resolved_spp()
         if spp % spp_batch != 0:
             raise ValueError(f"spp_batch={spp_batch} must divide spp={spp}")
         img = _render_lanes_batched(scene, cam, jnp.asarray(px),
                                     jnp.asarray(py), jnp.asarray(valid),
-                                    cfg, ty, tx, spp_batch)
+                                    cfg, ty, tx, spp_batch,
+                                    _opts=opts_key())
     return np.asarray(jax.device_get(img))
 
 
@@ -171,7 +174,8 @@ def render_frame_wavefront(scene, cam: Camera, cfg: RenderConfig,
     slot = jnp.repeat(jnp.arange(spp_batch, dtype=jnp.uint32), k)[:, None]
     slot = jnp.broadcast_to(slot, pxb.shape)
     img, nrays = _render_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
-                                   ty, tx, spp_batch, with_count)
+                                   ty, tx, spp_batch, with_count,
+                                   _opts=opts_key())
     img = np.asarray(jax.device_get(img))
     if with_count:
         return img, int(jax.device_get(nrays))
@@ -214,9 +218,9 @@ def fused_kind(scene, cfg) -> str | None:
     return None
 
 
-@partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "_opts"))
 def _render_fused(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
-                  ty: int, tx: int):
+                  ty: int, tx: int, _opts=None):
     # n_tris/n_quads are scene META (static under jit): scenes with
     # tris or quads take the wide-BVH megakernel (quads run in its
     # pre-walk primitive pass; a 0-tri walk is a no-op), sphere-only
@@ -243,9 +247,9 @@ def _render_fused(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
     return padded[:cfg.height, :cfg.width][::-1], nrays
 
 
-@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "spp_total"))
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "spp_total", "_opts"))
 def _fused_finish(ax, ay, az, counts, cfg: RenderConfig, ty: int, tx: int,
-                  spp_total: int):
+                  spp_total: int, _opts=None):
     """Tonemap summed fused accumulators (same chain as _render_fused).
     The stacked per-chunk bucketed i32 ray counts pass through UNsummed:
     device i64 is unavailable without x64 mode and an i32 sum overflows
@@ -294,7 +298,8 @@ def _render_fused_auto(scene, cam: Camera, px, py, valid,
     the driver's frame pipeline overlap is preserved."""
     chunk = _fused_chunk_spp(cfg)
     if chunk is None:
-        return _render_fused(scene, cam, px, py, valid, cfg, ty, tx)
+        return _render_fused(scene, cam, px, py, valid, cfg, ty, tx,
+                             _opts=opts_key())
     spp = cfg.resolved_spp()
     salt_mix = 0x9E3779B9
     ax = ay = az = None
@@ -307,19 +312,20 @@ def _render_fused_auto(scene, cam: Camera, px, py, valid,
                 if i else np.int32(0))
         accum, nr = _fused_accum(scene, cam, px, py, valid, cfg,
                                  jnp.asarray(spp_c, jnp.int32),
-                                 jnp.asarray(salt))
+                                 jnp.asarray(salt), _opts=opts_key())
         ax = accum.x if ax is None else ax + accum.x
         ay = accum.y if ay is None else ay + accum.y
         az = accum.z if az is None else az + accum.z
         counts.append(nr)
         done += spp_c
         i += 1
-    return _fused_finish(ax, ay, az, jnp.stack(counts), cfg, ty, tx, spp)
+    return _fused_finish(ax, ay, az, jnp.stack(counts), cfg, ty, tx, spp,
+                         _opts=opts_key())
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "_opts"))
 def _fused_accum(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
-                 spp, salt):
+                 spp, salt, _opts=None):
     """Raw fused-kernel accumulators (sum of clamp01(L)) for an
     arbitrary lane set; spp/salt are RUNTIME scalars so every adaptive
     chunk reuses one compiled kernel per lane-count bucket."""
@@ -392,7 +398,7 @@ def render_frame_adaptive(scene, cam: Camera, cfg: RenderConfig,
                          ).astype(np.int32) if rounds else np.int32(0)
         accum, nr = _fused_accum(scene, cam, pxl, pyl, val, cfg,
                                  jnp.asarray(spp_c, jnp.int32),
-                                 jnp.asarray(salt))
+                                 jnp.asarray(salt), _opts=opts_key())
         total_rays += int(np.asarray(jax.device_get(nr), np.int64).sum())
         av = np.stack([np.asarray(jax.device_get(c)).reshape(-1)[:n_act]
                        for c in (accum.x, accum.y, accum.z)], axis=-1)
@@ -444,23 +450,25 @@ def render_frame_queue(scene, cam: Camera, cfg: RenderConfig,
     while cfg.width * band_h * spp + pool >= 2 ** 31 - 1:
         band_h = (band_h + 1) // 2
     if band_h == cfg.height:
-        img = _render_queue(scene, cam, cfg, k, 0, cfg.height)
+        img = _render_queue(scene, cam, cfg, k, 0, cfg.height,
+                            _opts=opts_key())
         return np.asarray(jax.device_get(img))
     bands = []
     y0 = 0
     while y0 < cfg.height:
         bh = min(band_h, cfg.height - y0)
         bands.append(np.asarray(jax.device_get(
-            _render_queue(scene, cam, cfg, k, y0, bh))))
+            _render_queue(scene, cam, cfg, k, y0, bh,
+                          _opts=opts_key()))))
         y0 += bh
     # bands are already vertically flipped internally; frame row 0 = top =
     # highest y -> concatenate in reverse band order
     return np.concatenate(bands[::-1], axis=0)
 
 
-@partial(jax.jit, static_argnames=("cfg", "k", "y0", "band_h"))
+@partial(jax.jit, static_argnames=("cfg", "k", "y0", "band_h", "_opts"))
 def _render_queue(scene, cam: Camera, cfg: RenderConfig, k: int, y0: int,
-                  band_h: int):
+                  band_h: int, _opts=None):
     from dsrt_tpu.ops.wavefront import trace_queue
     accum, _ = trace_queue(scene, cfg, cam, cfg.width, band_h,
                            (k, PACKET), y0=y0)
@@ -475,10 +483,11 @@ def _render_queue(scene, cam: Camera, cfg: RenderConfig, k: int, y0: int,
     return img[::-1]  # vertical flip (cu:1027)
 
 
-@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "batch", "count"))
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "batch", "count",
+                                   "_opts"))
 def _render_wavefront(scene, cam: Camera, pxb, pyb, validb, slot,
                       cfg: RenderConfig, ty: int, tx: int, batch: int,
-                      count: bool = False):
+                      count: bool = False, _opts=None):
     from dsrt_tpu.ops.wavefront import trace_accumulate
     spp = cfg.resolved_spp()
     k = pxb.shape[0] // batch
@@ -504,9 +513,10 @@ def _render_wavefront(scene, cam: Camera, pxb, pyb, validb, slot,
     return padded[:cfg.height, :cfg.width][::-1], nrays
 
 
-@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "batch"))
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "batch", "_opts"))
 def _render_lanes_batched(scene, cam: Camera, px, py, valid,
-                          cfg: RenderConfig, ty: int, tx: int, batch: int):
+                          cfg: RenderConfig, ty: int, tx: int, batch: int,
+                          _opts=None):
     """Throughput mode: lanes (B*K, P); slot b traces sample strata
     s = i*B + b, so the bounce-loop tail is amortized over B samples."""
     spp = cfg.resolved_spp()
@@ -562,13 +572,14 @@ def render_radiance(scene, cam: Camera, cfg: RenderConfig) -> np.ndarray:
     by tests and metrics: (H, W, 3) float32."""
     px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
     img = _render_lanes_radiance(scene, cam, jnp.asarray(px), jnp.asarray(py),
-                                 jnp.asarray(valid), cfg, ty, tx)
+                                 jnp.asarray(valid), cfg, ty, tx,
+                                 _opts=opts_key())
     return np.asarray(jax.device_get(img))
 
 
-@partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "_opts"))
 def _render_lanes_radiance(scene, cam, px, py, valid, cfg: RenderConfig,
-                           ty: int, tx: int):
+                           ty: int, tx: int, _opts=None):
     spp = cfg.resolved_spp()
     state = rngmod.seed_pixels(px, py, cam.width, scene.seed)
     zero = jnp.zeros(px.shape, jnp.float32)
@@ -609,13 +620,14 @@ def render_frame_debug(scene, cam: Camera, cfg: RenderConfig) -> np.ndarray:
     like the path tracer for anti-aliasing; same tonemap chain."""
     px, py, valid, (ty, tx) = lane_layout(cfg.width, cfg.height)
     img = _render_debug(scene, cam, jnp.asarray(px), jnp.asarray(py),
-                        jnp.asarray(valid), cfg, ty, tx)
+                        jnp.asarray(valid), cfg, ty, tx,
+                        _opts=opts_key())
     return np.asarray(jax.device_get(img))
 
 
-@partial(jax.jit, static_argnames=("cfg", "ty", "tx"))
+@partial(jax.jit, static_argnames=("cfg", "ty", "tx", "_opts"))
 def _render_debug(scene, cam: Camera, px, py, valid, cfg: RenderConfig,
-                  ty: int, tx: int):
+                  ty: int, tx: int, _opts=None):
     from dsrt_tpu.models.materials import DIFFUSE_LIGHT
     from dsrt_tpu.ops import textures as texmod
     from dsrt_tpu.ops.linalg import normalize, where as vwhere
@@ -705,5 +717,5 @@ def render_frame_async(scene, cam: Camera, cfg: RenderConfig,
     slot = jnp.repeat(jnp.arange(batch, dtype=jnp.uint32), k)[:, None]
     slot = jnp.broadcast_to(slot, pxb.shape)
     img, nrays = _render_wavefront(scene, cam, pxb, pyb, validb, slot, cfg,
-                                   ty, tx, batch, True)
+                                   ty, tx, batch, True, _opts=opts_key())
     return img, nrays
