@@ -38,10 +38,10 @@ def write_png(path: str, rgb8: np.ndarray) -> None:
                 + chunk(b"IEND", b""))
 
 
-def _png_unfilter(raw: bytes, w: int, h: int, nch: int, bpp_bytes: int) -> np.ndarray:
+def _png_unfilter(raw: bytes, w: int, h: int, nch: int, bpp_bytes: int,
+                  pos: int = 0) -> np.ndarray:
     stride = w * nch * bpp_bytes
     out = np.empty((h, stride), np.uint8)
-    pos = 0
     fb = bpp_bytes * nch
     prev = np.zeros(stride, np.uint16)
     for r in range(h):
@@ -79,9 +79,17 @@ def _png_unfilter(raw: bytes, w: int, h: int, nch: int, bpp_bytes: int) -> np.nd
     return out
 
 
+# Adam7 interlace pass geometry: (x0, y0, dx, dy) per pass
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
 def read_png(path: str) -> np.ndarray:
-    """Minimal PNG decoder -> (H,W,3) uint8.  Supports 8-bit gray / RGB /
-    palette / RGBA / gray+alpha, all filter types, no interlace."""
+    """Minimal PNG decoder -> (H,W,3) uint8.  Supports 8/16-bit gray /
+    RGB / RGBA / gray+alpha + 8-bit palette, all filter types, and Adam7
+    interlace (the stb_image PNG surface minus sub-byte depths,
+    inc/stb_image.h png; 16-bit samples reduce to 8 by the high byte,
+    stb's stbi__convert_16_to_8)."""
     with open(path, "rb") as f:
         data = f.read()
     if data[:8] != _PNG_SIG:
@@ -103,11 +111,35 @@ def read_png(path: str) -> np.ndarray:
             idat += payload
         elif tag == b"IEND":
             break
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16) or interlace not in (0, 1):
         raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+    if depth == 16 and ctype == 3:
+        raise ValueError("16-bit palette PNG is invalid")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    sb = depth // 8                       # sample bytes
     raw = zlib.decompress(idat)
-    img = _png_unfilter(raw, w, h, nch, 1).reshape(h, w, nch)
+
+    def decode_sub(pos: int, pw: int, ph: int):
+        """Unfilter one (sub)image; returns ((ph, pw, nch) u8, consumed)."""
+        rows = _png_unfilter(raw, pw, ph, nch, sb, pos)
+        if sb == 2:                       # 16-bit: network order, high byte
+            rows = (rows.reshape(ph, pw * nch, 2)[..., 0]
+                    .reshape(ph, pw * nch))
+        return rows.reshape(ph, pw, nch), ph * (1 + pw * nch * sb)
+
+    if interlace == 0:
+        img, _ = decode_sub(0, w, h)
+    else:                                 # Adam7: 7 independent passes
+        img = np.zeros((h, w, nch), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            sub, used = decode_sub(pos, pw, ph)
+            img[y0::dy, x0::dx] = sub
+            pos += used
     if ctype == 3:
         img = plte[img[..., 0]]
     elif ctype == 0:
@@ -492,6 +524,92 @@ def read_psd(path: str) -> np.ndarray:
     return np.repeat(img[0][..., None], 3, axis=2)
 
 
+def read_pic(path: str) -> np.ndarray:
+    """Softimage PIC -> (H,W,3) uint8 (the stb_image PIC subset,
+    inc/stb_image.h stbi__pic_load: chained packet headers, packet types
+    0 = uncompressed, 1 = pure RLE, 2 = mixed RLE; channel masks 0x80/
+    0x40/0x20/0x10 = R/G/B/A).  Alpha is decoded then dropped (force-RGB,
+    matching the builder's stbi_load(..., STBI_rgb))."""
+    with open(path, "rb") as fh:
+        data = fh.read()
+    if data[:4] != b"\x53\x80\xf6\x34" or data[88:92] != b"PICT":
+        raise ValueError("not a Softimage PIC file")
+    # header: magic(4) version(4) comment(80) 'PICT' w(2be) h(2be)
+    # ratio(4) fields(2) pad(2), then the chained packet headers
+    w = int.from_bytes(data[92:94], "big")
+    h = int.from_bytes(data[94:96], "big")
+    pos = 104
+    packets = []
+    chained = 1
+    while chained:
+        if len(packets) > 10:
+            raise ValueError("PIC packet chain too long")
+        chained, _size, ptype, channel = data[pos:pos + 4]
+        packets.append((ptype, channel))
+        pos += 4
+    img = np.zeros((h, w, 4), np.uint8)
+    chan_idx = {0x80: 0, 0x40: 1, 0x20: 2, 0x10: 3}
+
+    def readval(channel, pos):
+        """One pixel's bytes for the channels in the mask (MSB first)."""
+        vals = []
+        for mask in (0x80, 0x40, 0x20, 0x10):
+            if channel & mask:
+                vals.append(data[pos])
+                pos += 1
+        return vals, pos
+
+    for y in range(h):
+        for ptype, channel in packets:
+            idxs = [chan_idx[m] for m in (0x80, 0x40, 0x20, 0x10)
+                    if channel & m]
+            if ptype == 0:                # uncompressed
+                for x in range(w):
+                    vals, pos = readval(channel, pos)
+                    img[y, x, idxs] = vals
+            elif ptype == 1:              # pure RLE
+                left = 0
+                x = 0
+                while x < w:
+                    count = data[pos]
+                    pos += 1
+                    count = min(count, w - x)
+                    vals, pos = readval(channel, pos)
+                    # slice+list mixed indexing puts the advanced axis
+                    # first: result is (nch, count), so assign columns
+                    img[y, x:x + count, idxs] = np.asarray(
+                        vals, np.uint8)[:, None]
+                    x += count
+            elif ptype == 2:              # mixed RLE
+                x = 0
+                while x < w:
+                    count = data[pos]
+                    pos += 1
+                    if count >= 128:      # run
+                        if count == 128:
+                            count = int.from_bytes(data[pos:pos + 2], "big")
+                            pos += 2
+                        else:
+                            count -= 127
+                        if count > w - x:
+                            raise ValueError("PIC bad RLE run")
+                        vals, pos = readval(channel, pos)
+                        img[y, x:x + count, idxs] = np.asarray(
+                            vals, np.uint8)[:, None]
+                        x += count
+                    else:                 # count+1 literal pixels
+                        count += 1
+                        if count > w - x:
+                            raise ValueError("PIC bad RLE literals")
+                        for _ in range(count):
+                            vals, pos = readval(channel, pos)
+                            img[y, x, idxs] = vals
+                            x += 1
+            else:
+                raise ValueError(f"PIC packet type {ptype} unsupported")
+    return np.ascontiguousarray(img[..., :3])
+
+
 def hdr_to_ldr(hdr: np.ndarray, gamma: float = 2.2) -> np.ndarray:
     """stb's HDR->LDR conversion (scale 1, gamma 2.2): byte =
     clamp(pow(f, 1/gamma)*255+0.5)."""
@@ -502,10 +620,11 @@ def hdr_to_ldr(hdr: np.ndarray, gamma: float = 2.2) -> np.ndarray:
 def load_image_rgb8(path: str) -> np.ndarray:
     """Decode any supported image to (H,W,3) uint8 (stbi_load force-RGB
     analogue, src/gpu_scene_builder.cpp:215).  Native decoders cover
-    PNG, PPM, baseline JPEG, BMP (24/32-bit BI_RGB), and TGA (types
-    2/10), GIF (first frame), PSD (composited raw/RLE), Radiance HDR
-    (tone-mapped like stb's ldr conversion), and PNM — the stb_image
-    format surface; anything else falls through to PIL when available."""
+    PNG (8/16-bit, Adam7 interlace), PPM, baseline+progressive JPEG,
+    BMP (24/32-bit BI_RGB), TGA (types 2/10), GIF (first frame), PSD
+    (composited raw/RLE), Softimage PIC, Radiance HDR (tone-mapped like
+    stb's ldr conversion), and PNM — the stb_image format surface;
+    anything else falls through to PIL when available."""
     lower = path.lower()
     if lower.endswith(".png"):
         try:
@@ -550,6 +669,11 @@ def load_image_rgb8(path: str) -> np.ndarray:
     if lower.endswith(".psd"):
         try:
             return read_psd(path)
+        except ValueError:
+            pass
+    if lower.endswith(".pic"):
+        try:
+            return read_pic(path)
         except ValueError:
             pass
     try:

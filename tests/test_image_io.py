@@ -361,3 +361,140 @@ def test_psd_raw_and_rle(tmp_path):
         _write_psd(p, img, rle=rle)
         np.testing.assert_array_equal(read_psd(p), img)
         np.testing.assert_array_equal(load_image_rgb8(p), img)
+
+
+def _write_png_raw(path, w, h, depth, ctype, interlace, idat_raw):
+    """Hand-assemble a PNG from pre-filtered raw scanline bytes."""
+    import struct
+    import zlib
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, interlace)
+    with open(path, "wb") as f:
+        f.write(b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(idat_raw))
+                + chunk(b"IEND", b""))
+
+
+def test_png_16bit(tmp_path, rng):
+    """16-bit RGB PNG decodes via the high byte (stb's convert_16_to_8),
+    cross-checked against PIL's 8-bit reduction of the same file."""
+    h, w = 6, 9
+    img16 = rng.integers(0, 65536, (h, w, 3), dtype=np.uint16)
+    raw = b"".join(b"\x00" + img16[r].astype(">u2").tobytes()
+                   for r in range(h))
+    p = str(tmp_path / "x16.png")
+    _write_png_raw(p, w, h, 16, 2, 0, raw)
+    back = io.read_png(p)
+    np.testing.assert_array_equal(back, (img16 >> 8).astype(np.uint8))
+    PIL = pytest.importorskip("PIL.Image")
+    with PIL.open(p) as im:
+        # PIL also reduces 16-bit RGB by the high byte
+        np.testing.assert_array_equal(np.asarray(im.convert("RGB")), back)
+
+
+def test_png_interlaced(tmp_path, rng):
+    """Adam7-interlaced PNG (written by PIL via pnginfo? PIL cannot write
+    interlaced RGB reliably across versions, so the file is hand-built
+    from the per-pass scanlines) decodes to the original pixels."""
+    h, w = 11, 13
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = b""
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        raw += b"".join(b"\x00" + sub[r].tobytes()
+                        for r in range(sub.shape[0]))
+    p = str(tmp_path / "i.png")
+    _write_png_raw(p, w, h, 8, 2, 1, raw)
+    np.testing.assert_array_equal(io.read_png(p), img)
+    PIL = pytest.importorskip("PIL.Image")
+    with PIL.open(p) as im:
+        np.testing.assert_array_equal(np.asarray(im.convert("RGB")), img)
+
+
+def test_png_interlaced_16bit_gray(tmp_path, rng):
+    h, w = 5, 7
+    img16 = rng.integers(0, 65536, (h, w), dtype=np.uint16)
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    raw = b""
+    for x0, y0, dx, dy in passes:
+        sub = img16[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        raw += b"".join(b"\x00" + sub[r].astype(">u2").tobytes()
+                        for r in range(sub.shape[0]))
+    p = str(tmp_path / "ig16.png")
+    _write_png_raw(p, w, h, 16, 0, 1, raw)
+    want = np.repeat((img16 >> 8).astype(np.uint8)[..., None], 3, axis=2)
+    np.testing.assert_array_equal(io.read_png(p), want)
+
+
+def _pic_header(w, h):
+    return (b"\x53\x80\xf6\x34" + b"\x00" * 4 + b"\x00" * 80 + b"PICT"
+            + w.to_bytes(2, "big") + h.to_bytes(2, "big")
+            + b"\x00" * 4 + (3).to_bytes(2, "big") + b"\x00" * 2)
+
+
+def test_pic_uncompressed(tmp_path, rng):
+    """Softimage PIC, packet type 0 (uncompressed RGB)."""
+    h, w = 4, 6
+    img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    body = bytes([0, 8, 0, 0xE0])            # last packet, 8-bit, type 0, RGB
+    for y in range(h):
+        body += img[y].tobytes()
+    p = str(tmp_path / "u.pic")
+    with open(p, "wb") as f:
+        f.write(_pic_header(w, h) + body)
+    np.testing.assert_array_equal(io.read_pic(p), img)
+    np.testing.assert_array_equal(io.load_image_rgb8(p), img)
+
+
+def test_pic_mixed_rle(tmp_path, rng):
+    """PIC packet type 2 (mixed RLE): short runs, literals, and a long
+    (count==128 -> 16-bit count) run in one image."""
+    h, w = 3, 200
+    img = np.zeros((h, w, 3), np.uint8)
+    img[0] = [10, 20, 30]                     # long uniform run (>128)
+    img[1, :5] = rng.integers(0, 256, (5, 3), dtype=np.uint8)  # literals
+    img[1, 5:] = [7, 8, 9]
+    img[2, :130] = [1, 2, 3]
+    img[2, 130:] = rng.integers(0, 256, (70, 3), dtype=np.uint8)
+    body = bytes([0, 8, 2, 0xE0])
+    # row 0: one long run of 200 (count byte 128 + u16 count)
+    body += bytes([128]) + (200).to_bytes(2, "big") + bytes(img[0, 0])
+    # row 1: 5 literals (count-1 = 4), then run of 195
+    body += bytes([4]) + img[1, :5].tobytes()
+    body += bytes([128]) + (195).to_bytes(2, "big") + bytes(img[1, 5])
+    # row 2: short run of 130 via long form, then 70 literals
+    body += bytes([128]) + (130).to_bytes(2, "big") + bytes(img[2, 0])
+    body += bytes([69]) + img[2, 130:].tobytes()
+    p = str(tmp_path / "m.pic")
+    with open(p, "wb") as f:
+        f.write(_pic_header(w, h) + body)
+    np.testing.assert_array_equal(io.read_pic(p), img)
+
+
+def test_pic_pure_rle_with_alpha_packet(tmp_path):
+    """PIC packet type 1 (pure RLE) with separate RGB and alpha packets
+    chained; alpha decodes then drops (force-RGB)."""
+    h, w = 2, 7
+    img = np.zeros((h, w, 3), np.uint8)
+    img[0] = [100, 150, 200]
+    img[1] = [5, 6, 7]
+    body = bytes([1, 8, 1, 0xE0])             # chained RGB packet, pure RLE
+    body += bytes([0, 8, 1, 0x10])            # last packet: alpha, pure RLE
+    for y in range(h):
+        body += bytes([w]) + bytes(img[y, 0])  # RGB packet row
+        body += bytes([w, 255])                # alpha packet row
+    p = str(tmp_path / "a.pic")
+    with open(p, "wb") as f:
+        f.write(_pic_header(w, h) + body)
+    np.testing.assert_array_equal(io.read_pic(p), img)
