@@ -94,7 +94,7 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
                    env_id: int = -1, env_rot: float = 0.0,
                    env_scale: float = 1.0, aperture_on: bool = False,
                    motion_on: bool = False, time0: float = 0.0,
-                   time1: float = 0.0):
+                   time1: float = 0.0, tex_chunk: int = 0):
     pxf = px_ref[...].astype(jnp.float32)
     pyf = py_ref[...].astype(jnp.float32)
     valid = valid_ref[...] > 0
@@ -352,9 +352,11 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
                 Rp = texT_ref.shape[1] // 3
                 npl = Rp * TILE_W
                 oke = (pidx >= 0) & (pidx < npl)
+                # exec_opts.tex_chunk plumbed like pallas_path's env
+                # gather (0 = whole-pool A/B; ADVICE r4)
                 tr, tg, tb = _pool_fetch_rows_ref(
                     texT_ref, jnp.clip(pidx, 0, npl - 1),
-                    shape[0])
+                    shape[0], tex_chunk)
                 sc = jnp.float32(env_scale)
                 er = jnp.where(oke, tr, 1.0) * sc
                 eg = jnp.where(oke, tg, 1.0) * sc
@@ -651,7 +653,7 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
                                    "sun_on", "has_ptex", "k", "block_h",
                                    "env_id", "env_rot", "env_scale",
                                    "aperture_on", "motion_on",
-                                   "time0", "time1"))
+                                   "time0", "time1", "tex_chunk"))
 def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
                 spp_vec, texT, hdr_vec, px, py, valid,
                 n_sph: int, n_med: int, n_lights: int, n_mats: int,
@@ -661,7 +663,7 @@ def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
                 env_id: int = -1, env_rot: float = 0.0,
                 env_scale: float = 1.0, aperture_on: bool = False,
                 motion_on: bool = False, time0: float = 0.0,
-                time1: float = 0.0):
+                time1: float = 0.0, tex_chunk: int = 0):
     kern = partial(_sphere_kernel, n_sph=n_sph, n_med=n_med,
                    n_lights=n_lights, n_mats=n_mats, max_depth=max_depth,
                    width=width, height=height, seed=seed, rr_start=rr_start,
@@ -669,7 +671,7 @@ def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
                    sun_on=sun_on, has_ptex=has_ptex, env_id=env_id,
                    env_rot=env_rot, env_scale=env_scale,
                    aperture_on=aperture_on, motion_on=motion_on,
-                   time0=time0, time1=time1)
+                   time0=time0, time1=time1, tex_chunk=tex_chunk)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -694,6 +696,14 @@ def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
             flops=out_shape[0] * TILE_W * 20000,
             bytes_accessed=out_shape[0] * 128 * 24,
             transcendentals=out_shape[0] * 128 * 64),
+        # Mosaic's default scoped-VMEM limit is 16 MB; the resident env
+        # plane table alone is up to 3*TEX_ROWS_MAX*128*4 = 50 MB at the
+        # sphere gate's cap (sphere_fused_supported <= TEX_ROWS_MAX), so
+        # raise the limit like pallas_path does — without this a sphere
+        # scene with a realistic 1024^2+ equirect HDR passed the gate
+        # but failed at Mosaic compile time (ADVICE r4)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=119 * 1024 * 1024),
     )(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec, spp_vec,
       texT, hdr_vec, px, py, valid)
 
@@ -811,7 +821,8 @@ def trace_fused_spheres(scene, cfg, cam, px, py, valid,
         # spheres or not (render.py:96 draws on time1 > time0 alone);
         # the center lerp is an exact no-op when c2 == c0
         motion_on=bool(cfg.time1 > cfg.time0),
-        time0=float(cfg.time0), time1=float(cfg.time1))
+        time0=float(cfg.time0), time1=float(cfg.time1),
+        tex_chunk=int(_OPTS.tex_chunk))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

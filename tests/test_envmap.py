@@ -143,3 +143,50 @@ def test_sphere_fused_env_matches_split():
     img = np.asarray(render_frame_fused(scene, cam, cfg))
     assert (img > 0).any()
     np.testing.assert_array_equal(img, ref)
+
+
+def test_sphere_fused_gate_big_env_pool_accepted_to_cap():
+    """Sphere scenes with big equirect env pools stay fused up to the
+    plane cap (TEX_ROWS_MAX, shared with the tri path) and fall back
+    past it.  ADVICE r4: the gate used to accept pools the kernel's
+    default 16 MB Mosaic scoped-VMEM limit could not hold — the
+    pallas_call now raises the limit like pallas_path's."""
+    import dataclasses
+    from dsrt_tpu.ops import pallas_path, pallas_sphere
+    if not pallas_path.backend_is_tpu():
+        pytest.skip("needs TPU backend")
+    cfg = RenderConfig(width=32, height=16, spp=1, max_depth=4)
+    scene = _scene()
+    big = dataclasses.replace(scene, tex_pool=np.zeros(
+        (3 * pallas_path.TEX_ROWS_MAX * 128,), np.float32))
+    assert pallas_sphere.sphere_fused_supported(big, cfg)
+    over = dataclasses.replace(scene, tex_pool=np.zeros(
+        (3 * (pallas_path.TEX_ROWS_MAX + 1) * 128,), np.float32))
+    assert not pallas_sphere.sphere_fused_supported(over, cfg)
+
+
+@pytest.mark.slow
+def test_sphere_fused_big_env_pool_compiles_and_matches(rng):
+    """A realistic 2048x1024 equirect env (16384 plane rows = 25 MB of
+    f32 planes, past Mosaic's default 16 MB scoped-VMEM limit) must
+    COMPILE and render bit-identically to the split pipeline through
+    the sphere megakernel (the ADVICE r4 failure case)."""
+    from dsrt_tpu.ops import pallas_sphere
+    cfg = RenderConfig(width=48, height=32, spp=2, max_depth=6)
+    env = rng.random((1024, 2048, 3)).astype(np.float32) * 2.0
+    b = SceneBuilder(sun_enabled=False, seed=1337)
+    b.add_sphere((0.0, 0.0, -2.0), 0.6,
+                 Material.lambertian((0.6, 0.6, 0.6)))
+    b.add_sphere((1.2, 0.0, -2.0), 0.4,
+                 Material.metal((0.9, 0.9, 0.9), fuzz=0.05))
+    b.set_environment(env, rotation_deg=30.0)
+    scene = b.build()
+    if not pallas_sphere.sphere_fused_supported(scene, cfg):
+        pytest.skip("sphere megakernel needs a TPU backend")
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0, 1.0), (0, 0, -1), vfov=60,
+                      width=cfg.width, height=cfg.height)
+    ref = np.asarray(render_frame(scene, cam, cfg))
+    img = np.asarray(render_frame_fused(scene, cam, cfg))
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
