@@ -456,7 +456,7 @@ STATS_ROWS = 1024    # telemetry buckets (block pid accumulates mod this)
 
 
 def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
-                 cam_ref, sun_ref, spp_ref, hdr_ref,
+                 matT_ref, cam_ref, sun_ref, spp_ref, hdr_ref,
                  sph_ref, quad_ref, lit_ref, med_ref,
                  px_ref, py_ref, valid_ref,
                  acc_r_ref, acc_g_ref, acc_b_ref, nray_ref, stack_ref,
@@ -2499,24 +2499,47 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             occ = jnp.where(okq, 1.0, occ)
         return occ
 
+    # MTL-heavy scenes (hundreds of material rows): one MXU one-hot
+    # gather resolves ALL 16 material columns of a wave's per-lane ids
+    # at once — (16, Np) @ (Np, 128) per ray row — instead of an
+    # O(n_mats) serial select chain (or fori_loop) PER FIELD per wave
+    # (ADVICE r3 / VERDICT r4 item 9; the same one-hot-matmul pattern
+    # as the texture-pool gather).  Exact: each output column is a dot
+    # with exactly one nonzero 1.0 term.  The trace-time cache keys on
+    # the id of the per-lane id array, so the ~14 shading-site fetches
+    # share one gather.
+    _mat_plane_cache = {}
+
+    def _mat_planes(bm):
+        key = id(bm)
+        if key not in _mat_plane_cache:
+            Np = matT_ref.shape[1]
+            bmi = bm.astype(jnp.int32)
+            row_cols = []
+            for r in range(bm.shape[0]):
+                onehotT = (jax.lax.broadcasted_iota(
+                    jnp.int32, (Np, TILE_W), 0)
+                    == bmi[r:r + 1, :]).astype(jnp.float32)
+                row_cols.append(jax.lax.dot_general(
+                    matT_ref[...], onehotT, (((1,), (0,)), ((), ())),
+                    precision=jax.lax.Precision.HIGHEST))  # (16, 128)
+            _mat_plane_cache[key] = tuple(
+                jnp.concatenate([rc[f:f + 1, :] for rc in row_cols],
+                                axis=0)
+                for f in range(16))
+        return _mat_plane_cache[key]
+
     def _mat_field(bm, col):
         """Per-lane material scalar resolve.  Static unroll while the
         material table is small (the common case — the select chain
-        folds into the surrounding vector code); MTL-heavy scenes
-        (hundreds of material rows) switch to a fori_loop so each call
-        stays one loop instead of an unbounded serial unroll (ADVICE r3:
-        the chain's length scales with n_mats on every wave)."""
+        folds into the surrounding vector code); past 32 rows the MXU
+        one-hot gather takes over (all 16 columns per bm, cached)."""
         if n_mats <= 32:
             out = jnp.zeros(shape, jnp.float32)
             for m in range(n_mats):
                 out = jnp.where(bm == m, mat_ref[m, col], out)
             return out
-
-        def body(m, out):
-            return jnp.where(bm == m, mat_ref[m, col], out)
-
-        return lax.fori_loop(0, n_mats, body,
-                             jnp.zeros(shape, jnp.float32))
+        return _mat_planes(bm)[col]
 
     # ---------------- the persistent wave loop -------------------------
 
@@ -3321,7 +3344,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "uvrec", "uvcarry", "dual_union",
                                    "tex_chunk"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
-              cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
+              matT, cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, med_vec, px, py, valid,
               n_mats: int,
               max_depth: int, width: int, height: int, seed: int,
@@ -3383,8 +3406,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
     return pl.pallas_call(
         kern,
         grid=(n_blocks,),
-        in_specs=[full, tri_spec, tri_spec, aux_spec, full, smem, smem,
-                  smem, smem, smem, smem, smem, smem, smem]
+        in_specs=[full, tri_spec, tri_spec, aux_spec, full, smem, full,
+                  smem, smem, smem, smem, smem, smem, smem, smem]
         + [ray_spec] * 3,
         out_specs=(ray_spec, ray_spec, ray_spec,
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
@@ -3417,7 +3440,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
         # mode) can use it — the budgets in pallas_trace gate admission
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=119 * 1024 * 1024),
-    )(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack, cam_vec,
+    )(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack, matT, cam_vec,
       sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec, lit_vec, med_vec,
       px, py, valid)
 
@@ -3607,9 +3630,21 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
     else:
         med_vec = jnp.zeros((1,), jnp.float32)
 
+    # transposed material table for the MXU one-hot gather (only read
+    # in-kernel when n_mats > 32 — the _mat_field unroll threshold)
+    n_mats_real = int(scene.mat_pack.shape[0])
+    if n_mats_real > 32:
+        pad_m = -(-n_mats_real // 8) * 8 - n_mats_real
+        matT = jnp.transpose(jnp.concatenate(
+            [scene.mat_pack,
+             jnp.zeros((pad_m, 16), jnp.float32)], axis=0)
+            if pad_m else scene.mat_pack)
+    else:
+        matT = jnp.zeros((16, 8), jnp.float32)
+
     acc_r, acc_g, acc_b, stats = _run_path(
         scene.bvh_wide, tri_tab, scene.tri_tile, aux_tab, texT,
-        scene.mat_pack, cam_vec, sun_vec, spp_vec, hdr_vec,
+        scene.mat_pack, matT, cam_vec, sun_vec, spp_vec, hdr_vec,
         sph_vec, quad_vec, lit_vec, med_vec,
         fold(px.astype(jnp.int32)), fold(py.astype(jnp.int32)),
         fold(valid.astype(jnp.int32)),
@@ -3631,7 +3666,14 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
                  else _OPTS.stream in ("on", True))),
         stream_tiles=int(_OPTS.stream_tiles),
         smooth=smooth, textured=textured, n_texs=n_texs,
-        dup=str(_OPTS.dup), sun_pops=int(_OPTS.sun_pops),
+        # sun_pops auto (0): 3 on lane-packed (big) scenes — +1.6% on the
+        # textured 47.7k flagship (ROADMAP r4 knob re-tune) — else the
+        # small-scene optimum 2 (5.8k headline prefers p4s2).  Safe to
+        # key on scene size now that the outer jits carry opts_key():
+        # `packed` is a pure function of scene shapes, which are already
+        # part of the jit cache key.
+        dup=str(_OPTS.dup),
+        sun_pops=(int(_OPTS.sun_pops) or (3 if packed else 2)),
         chain_fuse=bool(_OPTS.chain_fuse) and not hbm,
         n_sph=n_sph, n_quads=n_quads, n_lights=n_lights, n_med=n_med,
         leaf_parts=_resolve_leaf_parts(packed, block_h),

@@ -297,3 +297,47 @@ def test_fused_texrec_mixed_primitives(tmp_path):
     img = render_frame_fused(scene, cam, CFG)
     assert (img > 0).any()
     np.testing.assert_array_equal(img, ref)
+
+
+def _many_material_scene(n_diffuse=36):
+    """A material table past the _mat_field unroll threshold (32): a
+    grid of sun-lit triangles with n_diffuse distinct lambertian rows
+    plus metal / dielectric / emissive rows — the MTL-heavy OBJ shape
+    that drives the kernel's MXU one-hot material gather."""
+    b = SceneBuilder(sun_enabled=True, sun_dir=(0.2, -0.4, -1.0),
+                     sun_radiance=(6.0, 6.0, 6.0))
+    cols = 6
+    for i in range(n_diffuse):
+        r, c = divmod(i, cols)
+        x0 = -1.8 + 0.6 * c
+        y0 = -1.5 + 0.55 * r
+        alb = (0.15 + 0.8 * (i / n_diffuse),
+               0.9 - 0.7 * (i / n_diffuse),
+               0.3 + 0.5 * ((i * 7) % n_diffuse) / n_diffuse)
+        b.add_triangle((x0, y0, -2.0), (x0 + 0.5, y0, -2.0),
+                       (x0 + 0.25, y0 + 0.45, -2.0),
+                       Material.lambertian(alb))
+    b.add_triangle((-2.4, -1, -2.5), (-1.6, -1, -2.5), (-2.0, 0, -2.5),
+                   Material.metal((0.85, 0.85, 0.9), fuzz=0.1))
+    b.add_triangle((1.6, -1, -2.5), (2.4, -1, -2.5), (2.0, 0, -2.5),
+                   Material.dielectric(1.5))
+    b.add_triangle((-0.4, 1.6, -2.2), (0.4, 1.6, -2.2), (0.0, 2.2, -2.2),
+                   Material.diffuse_light((4.0, 4.0, 4.0)))
+    return b.build()
+
+
+def test_fused_many_materials_bit_identical():
+    """n_mats > 32 switches _mat_field to the MXU one-hot gather
+    (all 16 columns per wave, (16,Np)@(Np,128) per ray row) — it must
+    be bit-identical to the parity renderer, which uses XLA gathers
+    (VERDICT r4 item 9 / ADVICE r3: the old per-field select chain
+    serialized with table length on every wave)."""
+    scene = _many_material_scene()
+    assert int(scene.mat_pack.shape[0]) > 32, "scene must exceed unroll cap"
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = make_camera((0, 0, 1.2), (0, 0, -2), vfov=70, width=W, height=H)
+    ref = render_frame(scene, cam, CFG)
+    img = render_frame_fused(scene, cam, CFG)
+    assert (img > 0).any(), "scene not in frame"
+    np.testing.assert_array_equal(img, ref)
