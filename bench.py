@@ -430,8 +430,10 @@ def all_configs() -> list[dict]:
     # 1024^2 RGB map_Kd = 8192 plane rows/channel, 4x the r3-era
     # whole-pool gather cap — in r3 this scene silently fell off to
     # the ~9 Mrays/s split path; the chunked one-hot gather
-    # (_pool_fetch_rows_ref) keeps it fused.  The reference samples
-    # pools of any size from global memory
+    # (_pool_fetch_rows_ref) keeps it fused, and the r5 bf16 pool
+    # (Scene.tex_bf16 source quantization) runs the permute matmul at
+    # MXU-native bf16 rate (15.9 -> 33.4 Mrays/s).  The reference
+    # samples pools of any size from global memory
     # (src/gpu_scene_builder.cpp:513-555). ------------------------------
     cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
     with tempfile.TemporaryDirectory() as td:

@@ -240,6 +240,19 @@ class ExecOptions:
     # tax, not the per-accept interpolation.  0 = whole-pool (the r3
     # codegen, bit-identical A/B).
     tex_chunk: int = 512
+    # Tiled texture-pool layout for the in-kernel gather: the pool is
+    # re-laid into 32x32-texel tiles at scene build
+    # (textures.build_pool_tiled), so a wave's spatially-coherent UV
+    # footprint lands in few gather chunks instead of ~footprint_height
+    # scattered rows (row-major puts v-adjacent texels a full image
+    # width apart).  Same texel values, different addresses: renders
+    # are bit-identical either way (A/B knob).  MEASURED FLAT on the
+    # stand-in (r5: one texture shared across many UV islands — a
+    # wave's footprint unions to most of the map, chunk-skip never
+    # engages); kept for real per-surface-map_Kd OBJs whose footprints
+    # are tight.  The big-texture win came from bf16 pools instead
+    # (Scene.tex_bf16: tex1024 15.9 -> 33.4 Mrays/s).
+    tex_tiled: bool = True
     # Half-leaf mode (leaf_split=2): scan DUAL-entered ranges (both
     # halves entered leaves of the same node, ~7% of entered ranges)
     # once over the union range at full rows instead of twice at half

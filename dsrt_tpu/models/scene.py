@@ -196,6 +196,7 @@ def _i32(a):
              "mat_ref_idx", "mat_ptex_kind", "mat_ptex_scale",
              "mat_ptex_color2",
              "tex_pool", "tex_w", "tex_h", "tex_off",
+             "tex_pool_tiled", "tex_toff", "tex_ttw",
              "perlin_vec", "perlin_px", "perlin_py", "perlin_pz",
              "med_kind", "med_center", "med_radius", "med_min", "med_max",
              "med_neg_inv_density", "med_albedo",
@@ -207,6 +208,7 @@ def _i32(a):
              "max_leaf", "n_textures", "sun_enabled", "has_image_tex",
              "has_ptex", "has_smooth", "has_moving", "seed",
              "wide_max_span", "env_tex", "env_rotation", "env_scale",
+             "tex_bf16",
          ])
 @dataclasses.dataclass(frozen=True)
 class Scene:
@@ -308,6 +310,11 @@ class Scene:
     tex_w: jnp.ndarray
     tex_h: jnp.ndarray
     tex_off: jnp.ndarray
+    # 32x32-texel tiled relayout of tex_pool (fused-kernel gather
+    # locality; same values, tiled addresses — textures.build_pool_tiled)
+    tex_pool_tiled: jnp.ndarray
+    tex_toff: jnp.ndarray
+    tex_ttw: jnp.ndarray
     # Perlin tables (inc/perlin.h:18-37)
     perlin_vec: jnp.ndarray
     perlin_px: jnp.ndarray
@@ -354,6 +361,9 @@ class Scene:
     env_tex: int = -1
     env_rotation: float = 0.0
     env_scale: float = 1.0
+    # texture pools hold bf16-representable values (build-time source
+    # quantization; lets the fused gather matmul run in bf16)
+    tex_bf16: bool = False
 
     @property
     def has_env(self) -> bool:
@@ -387,7 +397,8 @@ class SceneBuilder:
                  seed: int = 1337,
                  bvh_method: str = "median",
                  wide_max_leaf: Optional[int] = None,
-                 sbvh_alpha: float = 1e-5):
+                 sbvh_alpha: float = 1e-5,
+                 tex_bf16: bool = True):
         self._meshes: List[_MeshEntry] = []
         self._spheres: List[tuple] = []
         self._quads: List[tuple] = []
@@ -404,6 +415,15 @@ class SceneBuilder:
         # 2x ANY vector segment is free), so trading leaf refs for
         # fewer node visits can pay.
         self.sbvh_alpha = sbvh_alpha
+        # Source-quantize texture pools to bf16-representable floats:
+        # every sampler (oracle / split / fused) then reads identical
+        # values, and the fused kernel's one-hot gather matmuls run at
+        # the MXU's native bf16 rate (~6x the f32-HIGHEST 6-pass form)
+        # on half the VMEM.  8-bit-sourced textures keep ~all their
+        # information through the bf16 mantissa (the uvrec bf16-UV
+        # precedent); HDR env maps lose <0.4% relative.  Set False for
+        # f32-exact texels (reference parity at float precision).
+        self.tex_bf16 = tex_bf16
         # 8-ary collapse leaf bound (box-test-count vs tri-test-count
         # knob; identical intersection semantics for any value).
         # None = size-dependent auto: 16 for small scenes, 20 at
@@ -872,8 +892,16 @@ class SceneBuilder:
             else:
                 env_tex = texreg.add_array(np.asarray(img, np.float32))
 
-        # --- texture pool
+        # --- texture pool (+ the 32x32-tiled relayout for the fused
+        # kernel's chunked gather — same texels, locality-friendly
+        # addresses)
         pool, tex_w, tex_h, tex_off, n_tex = texreg.build_pool()
+        pool_tiled, tex_toff, tex_ttw = texreg.build_pool_tiled()
+        if self.tex_bf16:
+            # source quantization: every sampler reads the SAME
+            # bf16-representable values (see __init__ docstring)
+            pool = _bf16_round(pool)
+            pool_tiled = _bf16_round(pool_tiled)
 
         # --- perlin
         pv, px, py, pz = make_perlin_tables(
@@ -911,6 +939,8 @@ class SceneBuilder:
             mat_ptex_scale=_f32(mat_pts), mat_ptex_color2=_f32(mat_ptc),
             tex_pool=_f32(pool), tex_w=_i32(tex_w), tex_h=_i32(tex_h),
             tex_off=_i32(tex_off),
+            tex_pool_tiled=_f32(pool_tiled), tex_toff=_i32(tex_toff),
+            tex_ttw=_i32(tex_ttw),
             perlin_vec=_f32(pv), perlin_px=_i32(px), perlin_py=_i32(py),
             perlin_pz=_i32(pz),
             med_kind=_i32(med_kind), med_center=_f32(med_center),
@@ -930,5 +960,5 @@ class SceneBuilder:
             seed=int(self.seed),
             wide_max_span=max(wide_max_span, 1),
             env_tex=int(env_tex), env_rotation=float(env_rot),
-            env_scale=float(env_scale),
+            env_scale=float(env_scale), tex_bf16=bool(self.tex_bf16),
         )

@@ -90,6 +90,41 @@ class TextureRegistry:
         pool = np.concatenate(chunks).astype(np.float32)
         return pool, ws, hs, offs, n
 
+    def build_pool_tiled(self, tile: int = 32):
+        """The SAME texels re-laid into `tile` x `tile` texel tiles
+        (row-major tiles, row-major texels within a tile; images padded
+        up to tile multiples with zeros).  The fused megakernel's
+        per-lane pool gather prices a wave by the number of gather
+        CHUNKS its texel indices touch; row-major layout spreads a
+        spatially-coherent UV footprint across ~footprint_height rows
+        (v-adjacent texels sit a full image width apart), while the
+        tiled layout keeps a 32x32 footprint inside ONE tile — so big
+        map_Kd pools stop touching every chunk per wave.  Returns
+        (pool_f32[Pt] interleaved, toff[i32,N] texel offsets,
+        ttw[i32,N] tiles-across).  Values are identical to build_pool's
+        (addresses differ), so renders stay bit-identical."""
+        n = len(self._images)
+        if n == 0:
+            return (np.zeros((3,), np.float32), np.zeros((1,), np.int32),
+                    np.zeros((1,), np.int32))
+        toffs = np.empty(n, np.int32)
+        ttws = np.empty(n, np.int32)
+        chunks = []
+        off = 0
+        for i, img in enumerate(self._images):
+            h, w = img.shape[:2]
+            th = -(-h // tile)
+            tw = -(-w // tile)
+            pad = np.zeros((th * tile, tw * tile, 3), np.float32)
+            pad[:h, :w] = img
+            t = (pad.reshape(th, tile, tw, tile, 3)
+                 .transpose(0, 2, 1, 3, 4))
+            toffs[i] = off // 3      # texel units
+            ttws[i] = tw
+            chunks.append(t.reshape(-1))
+            off += t.size
+        return np.concatenate(chunks).astype(np.float32), toffs, ttws
+
 
 def make_perlin_tables(rng: np.random.Generator | None = None):
     """Generate the classic Perlin tables (inc/perlin.h:18-37): 256 unit

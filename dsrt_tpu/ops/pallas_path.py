@@ -86,6 +86,18 @@ def _tex_plane_rows(scene) -> int:
                1)
 
 
+def _tex_plane_rows_eff(scene) -> int:
+    """Plane rows of the pool the kernels will actually hold resident:
+    the 32x32-tiled relayout under exec_opts.tex_tiled (images padded
+    to tile multiples, so slightly more rows), else the raw pool."""
+    if not (scene.has_image_tex or scene.env_tex >= 0):
+        return 0
+    if _OPTS.tex_tiled:
+        return max((int(scene.tex_pool_tiled.shape[0]) // 3 + TILE_W - 1)
+                   // TILE_W, 1)
+    return _tex_plane_rows(scene)
+
+
 def fused_supported(scene, cfg) -> bool:
     """Whether the fused megakernel covers this scene/config.  Image-
     textured and smooth-shaded (vn) triangle meshes are in scope — the
@@ -97,7 +109,7 @@ def fused_supported(scene, cfg) -> bool:
     if _OPTS.pallas == "off":
         return False
     if ((scene.has_image_tex or scene.env_tex >= 0)
-            and _tex_plane_rows(scene) > TEX_ROWS_MAX):
+            and _tex_plane_rows_eff(scene) > TEX_ROWS_MAX):
         return False
     shaded = scene.has_image_tex or scene.has_smooth
     # flat-textured scenes on the in-record-UV engine keep no aux
@@ -106,13 +118,13 @@ def fused_supported(scene, cfg) -> bool:
                                and not scene.has_smooth
                                and not _OPTS.defer_aux))
     extra = ((scene.tri_tile.shape[0] if aux_res else 0)
-             + 3 * _tex_plane_rows(scene))
+             + 3 * _tex_plane_rows_eff(scene))
     fits = fits_vmem_fused_packed(scene, extra)
     if not fits and _hbm_eligible(scene):
         # HBM-streamed leaf mode: only the wide BVH (+ the texture
         # planes, which the in-kernel gather needs resident) stays in
         # VMEM; tri tile + aux tables ride leaf-window DMAs
-        fits = fits_vmem_fused_hbm(scene, 3 * _tex_plane_rows(scene))
+        fits = fits_vmem_fused_hbm(scene, 3 * _tex_plane_rows_eff(scene))
     return ((scene.n_tris > 0 or scene.n_quads > 0)
             and scene.n_spheres <= MIX_MAX_SPH
             and scene.n_quads <= MIX_MAX_QUADS
@@ -231,14 +243,19 @@ def _pool_fetch_rows(poolT, pidx, n_rows: int):
     j_all = pidx % TILE_W
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, TILE_W), 1)
     crange = jax.lax.broadcasted_iota(jnp.int32, (1, Rp), 1)
+    # bf16 pools (Scene.tex_bf16 source quantization) run the permute
+    # matmul at the MXU's native bf16 rate; one-hot x bf16 -> f32 is
+    # still EXACT (one nonzero 1.0 term, bf16 values round-trip f32)
+    bf16 = poolT.dtype == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
     trs, tgs, tbs = [], [], []
     for s in range(n_rows):
         jT = jnp.transpose(j_all[s:s + 1, :])
         cT = jnp.transpose(c_all[s:s + 1, :])
-        onehot = (jT == lane).astype(jnp.float32)
+        onehot = (jT == lane).astype(poolT.dtype)
         tmp = jax.lax.dot_general(
             onehot, poolT, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST)
+            precision=prec, preferred_element_type=jnp.float32)
         selm = cT == crange
         vr = jnp.sum(jnp.where(selm, tmp[:, :Rp], 0.0),
                      axis=1, keepdims=True)
@@ -280,11 +297,13 @@ def _pool_fetch_rows_ref(texT_ref, pidx, n_rows: int,
     n_chunks = (Rp + chunk - 1) // chunk
     # per-row one-hot lane selectors + transposed chunk-row ids,
     # hoisted out of the chunk loop
+    bf16 = texT_ref.dtype == jnp.bfloat16
+    prec = None if bf16 else jax.lax.Precision.HIGHEST
     oneh = []
     cTs = []
     for s in range(n_rows):
         oneh.append((jnp.transpose(j_all[s:s + 1, :]) == lane)
-                    .astype(jnp.float32))
+                    .astype(texT_ref.dtype))
         cTs.append(jnp.transpose(c_all[s:s + 1, :]))
     acc = tuple(jnp.zeros((TILE_W, 1), jnp.float32)
                 for _ in range(3 * n_rows))
@@ -303,7 +322,7 @@ def _pool_fetch_rows_ref(texT_ref, pidx, n_rows: int,
             for s in range(n_rows):
                 tmp = jax.lax.dot_general(
                     oneh[s], sub, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST)
+                    precision=prec, preferred_element_type=jnp.float32)
                 selm = cTs[s] == crange
                 # in-chunk mask in transposed space (Mosaic cannot
                 # transpose i1 vectors; cTs is already (TILE_W, 1))
@@ -482,7 +501,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  time0: float = 0.0, time1: float = 0.0,
                  uvrec: bool = True, uvcarry: bool = False,
                  dual_union: bool = False,
-                 tex_chunk: int = TEX_CHUNK_ROWS):
+                 tex_chunk: int = TEX_CHUNK_ROWS, tiled: bool = False):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -2787,13 +2806,21 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 v = 1.0 - acosf(jnp.clip(rdy * inv, -1.0, 1.0)) \
                     / jnp.float32(math.pi)
                 v = jnp.clip(v, 0.0, 1.0 - 1e-6)
-                wt = hdr_ref[3 * env_id]
-                ht = hdr_ref[3 * env_id + 1]
-                ot = hdr_ref[3 * env_id + 2]
+                hs = 4 if tiled else 3
+                wt = hdr_ref[hs * env_id]
+                ht = hdr_ref[hs * env_id + 1]
+                ot = hdr_ref[hs * env_id + 2]
                 uu = u - jnp.floor(u)
                 it = (uu * jnp.float32(wt - 1)).astype(jnp.int32)
                 jt = ((1.0 - v) * jnp.float32(ht - 1)).astype(jnp.int32)
-                pidx = ot + jt * wt + it
+                if tiled:
+                    # 32x32-tiled pool addressing (same texel values):
+                    # tile-row-major tiles, row-major texels within
+                    twt = hdr_ref[4 * env_id + 3]
+                    pidx = (ot + (((jt >> 5) * twt + (it >> 5)) << 10)
+                            + ((jt & 31) << 5) + (it & 31))
+                else:
+                    pidx = ot + jt * wt + it
                 Rp = texT_ref.shape[1] // 3
                 npl = Rp * TILE_W
                 oke = (pidx >= 0) & (pidx < npl)
@@ -2869,20 +2896,29 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             def tex_branch(a):
                 alb_r, alb_g, alb_b = a
                 btex_i = btex.astype(jnp.int32)
+                hs = 4 if tiled else 3
                 wt = i0
                 ht = i0
                 ot = i0
+                twt = i0
                 for tt in range(n_texs):
                     sel = btex_i == tt
-                    wt = jnp.where(sel, hdr_ref[3 * tt], wt)
-                    ht = jnp.where(sel, hdr_ref[3 * tt + 1], ht)
-                    ot = jnp.where(sel, hdr_ref[3 * tt + 2], ot)
+                    wt = jnp.where(sel, hdr_ref[hs * tt], wt)
+                    ht = jnp.where(sel, hdr_ref[hs * tt + 1], ht)
+                    ot = jnp.where(sel, hdr_ref[hs * tt + 2], ot)
+                    if tiled:
+                        twt = jnp.where(sel, hdr_ref[4 * tt + 3], twt)
                 uu = biu - jnp.floor(biu)
                 vv = biv - jnp.floor(biv)
                 it = (uu * (wt - 1).astype(jnp.float32)).astype(jnp.int32)
                 jt = ((1.0 - vv) * (ht - 1).astype(jnp.float32)
                       ).astype(jnp.int32)
-                pidx = ot + jt * wt + it
+                if tiled:
+                    # 32x32-tiled pool addressing (build_pool_tiled)
+                    pidx = (ot + (((jt >> 5) * twt + (it >> 5)) << 10)
+                            + ((jt & 31) << 5) + (it & 31))
+                else:
+                    pidx = ot + jt * wt + it
                 Rp = texT_ref.shape[1] // 3
                 npl = Rp * TILE_W
                 okt = (btex_i >= 0) & (btex_i < n_texs) \
@@ -3342,7 +3378,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "has_ptex", "aperture_on",
                                    "motion_on", "time0", "time1",
                                    "uvrec", "uvcarry", "dual_union",
-                                   "tex_chunk"))
+                                   "tex_chunk", "tiled"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               matT, cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, med_vec, px, py, valid,
@@ -3366,7 +3402,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               time0: float = 0.0, time1: float = 0.0,
               uvrec: bool = True, uvcarry: bool = False,
               dual_union: bool = False,
-              tex_chunk: int = TEX_CHUNK_ROWS):
+              tex_chunk: int = TEX_CHUNK_ROWS, tiled: bool = False):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -3386,7 +3422,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    has_ptex=has_ptex, aperture_on=aperture_on,
                    motion_on=motion_on, time0=time0, time1=time1,
                    uvrec=uvrec, uvcarry=uvcarry, dual_union=dual_union,
-                   tex_chunk=tex_chunk)
+                   tex_chunk=tex_chunk, tiled=tiled)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -3494,7 +3530,7 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
     shaded = textured or smooth
     env_on = int(scene.env_tex) >= 0
     n_texs = int(scene.n_textures) if (textured or env_on) else 0
-    Rp = _tex_plane_rows(scene)
+    Rp = _tex_plane_rows_eff(scene)
     # in-record-UV candidate (resolvable before the hbm decision: the
     # defer_aux knob forces the aux-tile engine regardless of hbm)
     uvrec_ = (bool(_OPTS.uvrec) and textured and not smooth
@@ -3532,8 +3568,10 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
     else:
         # unshaded or in-record-UV engine: no aux table shipped
         aux_tab = jnp.zeros((8, TILE_W), jnp.float32)
+    tiled = bool(_OPTS.tex_tiled) and (textured or env_on)
     if textured or env_on:
-        texels = scene.tex_pool.reshape(-1, 3)
+        texels = (scene.tex_pool_tiled if tiled
+                  else scene.tex_pool).reshape(-1, 3)
         npad = Rp * TILE_W - texels.shape[0]
         if npad:
             texels = jnp.concatenate(
@@ -3541,11 +3579,24 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         texT = jnp.concatenate(
             [texels[:, ch].reshape(Rp, TILE_W).T for ch in range(3)],
             axis=1)
-        hdr_vec = jnp.stack(
-            [scene.tex_w.astype(jnp.int32),
-             scene.tex_h.astype(jnp.int32),
-             (scene.tex_off // 3).astype(jnp.int32)],
-            axis=1).reshape(-1)
+        if bool(scene.tex_bf16):
+            # exact: pool values are bf16-representable (build-time
+            # source quantization); the gather matmul runs bf16-native
+            texT = texT.astype(jnp.bfloat16)
+        if tiled:
+            # 4-stride header: (w, h, tiled texel offset, tiles-across)
+            hdr_vec = jnp.stack(
+                [scene.tex_w.astype(jnp.int32),
+                 scene.tex_h.astype(jnp.int32),
+                 scene.tex_toff.astype(jnp.int32),
+                 scene.tex_ttw.astype(jnp.int32)],
+                axis=1).reshape(-1)
+        else:
+            hdr_vec = jnp.stack(
+                [scene.tex_w.astype(jnp.int32),
+                 scene.tex_h.astype(jnp.int32),
+                 (scene.tex_off // 3).astype(jnp.int32)],
+                axis=1).reshape(-1)
     else:
         texT = jnp.zeros((TILE_W, 3), jnp.float32)
         hdr_vec = jnp.zeros((3,), jnp.int32)
@@ -3689,7 +3740,7 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         time0=float(cfg.time0), time1=float(cfg.time1),
         uvrec=uvrec_, uvcarry=bool(_OPTS.uvcarry),
         dual_union=bool(_OPTS.dual_union),
-        tex_chunk=int(_OPTS.tex_chunk))
+        tex_chunk=int(_OPTS.tex_chunk), tiled=tiled)
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

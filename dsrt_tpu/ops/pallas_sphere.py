@@ -54,6 +54,7 @@ from dsrt_tpu.ops.pallas_path import (_draw, _rand_in_unit_sphere,
                                       _rand_in_unit_disk,
                                       _normalize3, _cosine_hemisphere,
                                       _pool_fetch_rows_ref, _tex_plane_rows,
+                                      _tex_plane_rows_eff,
                                       _perlin_turb,
                                       TEX_ROWS_MAX, STATS_ROWS, PI_F)
 from dsrt_tpu.models.materials import (DIELECTRIC, DIFFUSE_LIGHT, LAMBERTIAN,
@@ -76,7 +77,7 @@ def sphere_fused_supported(scene, cfg) -> bool:
             and not scene.has_image_tex
             # env-map sky: in-kernel when the pool fits the gather
             and (scene.env_tex < 0
-                 or _tex_plane_rows(scene) <= TEX_ROWS_MAX)
+                 or _tex_plane_rows_eff(scene) <= TEX_ROWS_MAX)
             and backend_is_tpu())
 
 
@@ -94,7 +95,8 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
                    env_id: int = -1, env_rot: float = 0.0,
                    env_scale: float = 1.0, aperture_on: bool = False,
                    motion_on: bool = False, time0: float = 0.0,
-                   time1: float = 0.0, tex_chunk: int = 0):
+                   time1: float = 0.0, tex_chunk: int = 0,
+                   tiled: bool = False):
     pxf = px_ref[...].astype(jnp.float32)
     pyf = py_ref[...].astype(jnp.float32)
     valid = valid_ref[...] > 0
@@ -342,13 +344,20 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
                 v = 1.0 - acosf(jnp.clip(rdy * inv, -1.0, 1.0)) \
                     / jnp.float32(_math.pi)
                 v = jnp.clip(v, 0.0, 1.0 - 1e-6)
-                wt = hdr_ref[3 * env_id]
-                ht = hdr_ref[3 * env_id + 1]
-                ot = hdr_ref[3 * env_id + 2]
+                hs = 4 if tiled else 3
+                wt = hdr_ref[hs * env_id]
+                ht = hdr_ref[hs * env_id + 1]
+                ot = hdr_ref[hs * env_id + 2]
                 uu = u - jnp.floor(u)
                 it = (uu * jnp.float32(wt - 1)).astype(jnp.int32)
                 jt = ((1.0 - v) * jnp.float32(ht - 1)).astype(jnp.int32)
-                pidx = ot + jt * wt + it
+                if tiled:
+                    # 32x32-tiled pool addressing (build_pool_tiled)
+                    twt = hdr_ref[4 * env_id + 3]
+                    pidx = (ot + (((jt >> 5) * twt + (it >> 5)) << 10)
+                            + ((jt & 31) << 5) + (it & 31))
+                else:
+                    pidx = ot + jt * wt + it
                 Rp = texT_ref.shape[1] // 3
                 npl = Rp * TILE_W
                 oke = (pidx >= 0) & (pidx < npl)
@@ -653,7 +662,8 @@ def _sphere_kernel(mat_ref, sph_ref, med_ref, lit_ref, cam_ref, sun_ref,
                                    "sun_on", "has_ptex", "k", "block_h",
                                    "env_id", "env_rot", "env_scale",
                                    "aperture_on", "motion_on",
-                                   "time0", "time1", "tex_chunk"))
+                                   "time0", "time1", "tex_chunk",
+                                   "tiled"))
 def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
                 spp_vec, texT, hdr_vec, px, py, valid,
                 n_sph: int, n_med: int, n_lights: int, n_mats: int,
@@ -663,7 +673,8 @@ def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
                 env_id: int = -1, env_rot: float = 0.0,
                 env_scale: float = 1.0, aperture_on: bool = False,
                 motion_on: bool = False, time0: float = 0.0,
-                time1: float = 0.0, tex_chunk: int = 0):
+                time1: float = 0.0, tex_chunk: int = 0,
+                tiled: bool = False):
     kern = partial(_sphere_kernel, n_sph=n_sph, n_med=n_med,
                    n_lights=n_lights, n_mats=n_mats, max_depth=max_depth,
                    width=width, height=height, seed=seed, rr_start=rr_start,
@@ -671,7 +682,8 @@ def _run_sphere(mat_vec, sph_vec, med_vec, lit_vec, cam_vec, sun_vec,
                    sun_on=sun_on, has_ptex=has_ptex, env_id=env_id,
                    env_rot=env_rot, env_scale=env_scale,
                    aperture_on=aperture_on, motion_on=motion_on,
-                   time0=time0, time1=time1, tex_chunk=tex_chunk)
+                   time0=time0, time1=time1, tex_chunk=tex_chunk,
+                   tiled=tiled)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -783,9 +795,11 @@ def trace_fused_spheres(scene, cfg, cam, px, py, valid,
     # env-map planes (texture pool de-interleaved for the in-kernel
     # one-hot gather — same layout as trace_fused's texT)
     env_on = int(scene.env_tex) >= 0
+    tiled = bool(_OPTS.tex_tiled) and env_on
     if env_on:
-        Rp = _tex_plane_rows(scene)
-        texels = scene.tex_pool.reshape(-1, 3)
+        Rp = _tex_plane_rows_eff(scene)
+        texels = (scene.tex_pool_tiled if tiled
+                  else scene.tex_pool).reshape(-1, 3)
         npad = Rp * TILE_W - texels.shape[0]
         if npad:
             texels = jnp.concatenate(
@@ -793,11 +807,22 @@ def trace_fused_spheres(scene, cfg, cam, px, py, valid,
         texT = jnp.concatenate(
             [texels[:, ch].reshape(Rp, TILE_W).T for ch in range(3)],
             axis=1)
-        hdr_vec = jnp.stack(
-            [scene.tex_w.astype(jnp.int32),
-             scene.tex_h.astype(jnp.int32),
-             (scene.tex_off // 3).astype(jnp.int32)],
-            axis=1).reshape(-1)
+        if bool(scene.tex_bf16):
+            texT = texT.astype(jnp.bfloat16)
+        if tiled:
+            # 4-stride header: (w, h, tiled texel offset, tiles-across)
+            hdr_vec = jnp.stack(
+                [scene.tex_w.astype(jnp.int32),
+                 scene.tex_h.astype(jnp.int32),
+                 scene.tex_toff.astype(jnp.int32),
+                 scene.tex_ttw.astype(jnp.int32)],
+                axis=1).reshape(-1)
+        else:
+            hdr_vec = jnp.stack(
+                [scene.tex_w.astype(jnp.int32),
+                 scene.tex_h.astype(jnp.int32),
+                 (scene.tex_off // 3).astype(jnp.int32)],
+                axis=1).reshape(-1)
     else:
         texT = jnp.zeros((TILE_W, 3), jnp.float32)
         hdr_vec = jnp.zeros((3,), jnp.int32)
@@ -822,7 +847,7 @@ def trace_fused_spheres(scene, cfg, cam, px, py, valid,
         # the center lerp is an exact no-op when c2 == c0
         motion_on=bool(cfg.time1 > cfg.time0),
         time0=float(cfg.time0), time1=float(cfg.time1),
-        tex_chunk=int(_OPTS.tex_chunk))
+        tex_chunk=int(_OPTS.tex_chunk), tiled=tiled)
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]

@@ -157,11 +157,14 @@ def test_sphere_fused_gate_big_env_pool_accepted_to_cap():
         pytest.skip("needs TPU backend")
     cfg = RenderConfig(width=32, height=16, spp=1, max_depth=4)
     scene = _scene()
-    big = dataclasses.replace(scene, tex_pool=np.zeros(
-        (3 * pallas_path.TEX_ROWS_MAX * 128,), np.float32))
+    big_pool = np.zeros((3 * pallas_path.TEX_ROWS_MAX * 128,), np.float32)
+    big = dataclasses.replace(scene, tex_pool=big_pool,
+                              tex_pool_tiled=big_pool)
     assert pallas_sphere.sphere_fused_supported(big, cfg)
-    over = dataclasses.replace(scene, tex_pool=np.zeros(
-        (3 * (pallas_path.TEX_ROWS_MAX + 1) * 128,), np.float32))
+    over_pool = np.zeros((3 * (pallas_path.TEX_ROWS_MAX + 1) * 128,),
+                         np.float32)
+    over = dataclasses.replace(scene, tex_pool=over_pool,
+                               tex_pool_tiled=over_pool)
     assert not pallas_sphere.sphere_fused_supported(over, cfg)
 
 

@@ -168,11 +168,17 @@ def test_fused_gate_big_pool_accepted_to_cap(tmp_path):
     scene = _textured_scene(tmp_path)
     if not pallas_path.backend_is_tpu():
         pytest.skip("needs TPU backend")
-    big = dataclasses.replace(scene, tex_pool=np.zeros(
-        (3 * (pallas_path.TEX_CHUNK_ROWS + 1) * 128,), np.float32))
+    # the fused gate sizes the layout the kernel will hold (the tiled
+    # relayout under exec_opts.tex_tiled), so size BOTH pool fields
+    big_pool = np.zeros((3 * (pallas_path.TEX_CHUNK_ROWS + 1) * 128,),
+                        np.float32)
+    big = dataclasses.replace(scene, tex_pool=big_pool,
+                              tex_pool_tiled=big_pool)
     assert pallas_path.fused_supported(big, CFG)
-    over = dataclasses.replace(scene, tex_pool=np.zeros(
-        (3 * (pallas_path.TEX_ROWS_MAX + 1) * 128,), np.float32))
+    over_pool = np.zeros((3 * (pallas_path.TEX_ROWS_MAX + 1) * 128,),
+                         np.float32)
+    over = dataclasses.replace(scene, tex_pool=over_pool,
+                               tex_pool_tiled=over_pool)
     assert not pallas_path.fused_supported(over, CFG)
 
 
@@ -193,11 +199,15 @@ def test_fused_big_pool_multichunk_matches_split(tmp_path):
     # image is unchanged (same texels, same headers relative to data)
     # but every fetch now lands in chunk >= 1 of a 2-chunk pool
     pad = pallas_path.TEX_CHUNK_ROWS * 128   # texels; tex_off is in
-    big = dataclasses.replace(                # FLOAT units (3/texel)
-        scene,
+    big = dataclasses.replace(                # FLOAT units (3/texel),
+        scene,                                # tex_toff in TEXEL units
         tex_pool=jnp.concatenate([jnp.zeros((3 * pad,), jnp.float32),
                                   jnp.asarray(scene.tex_pool)]),
-        tex_off=scene.tex_off + 3 * pad)
+        tex_off=scene.tex_off + 3 * pad,
+        tex_pool_tiled=jnp.concatenate(
+            [jnp.zeros((3 * pad,), jnp.float32),
+             jnp.asarray(scene.tex_pool_tiled)]),
+        tex_toff=scene.tex_toff + pad)
     assert pallas_path.fused_supported(big, CFG)
     ref = render_frame(big, cam, CFG)
     img = render_frame_fused(big, cam, CFG)
@@ -341,3 +351,26 @@ def test_fused_many_materials_bit_identical():
     img = render_frame_fused(scene, cam, CFG)
     assert (img > 0).any(), "scene not in frame"
     np.testing.assert_array_equal(img, ref)
+
+
+def test_fused_tex_tiled_ab_bit_identical(tmp_path):
+    """exec_opts.tex_tiled (32x32-tiled pool layout for gather
+    locality) must not change a single pixel: same texel values,
+    different addresses.  OPTS participates in the jit cache key
+    (_opts threading), so the second render genuinely recompiles the
+    untiled layout."""
+    from dsrt_tpu.exec_opts import OPTS
+    scene = _textured_scene(tmp_path, two_tex=True)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame_fused
+    cam = make_camera((0, 0, 1.0), (0, 0, -2), vfov=60, width=W, height=H)
+    old = OPTS.tex_tiled
+    try:
+        OPTS.tex_tiled = True
+        a = render_frame_fused(scene, cam, CFG)
+        OPTS.tex_tiled = False
+        b = render_frame_fused(scene, cam, CFG)
+    finally:
+        OPTS.tex_tiled = old
+    assert (a > 0).any()
+    np.testing.assert_array_equal(a, b)
