@@ -32,18 +32,22 @@ import bench  # noqa: E402
 def build(n_extra_mats: int, tex_path: str):
     mesh = iss_standin_mesh(12, tex_path=tex_path)
     if n_extra_mats:
-        # splinter: give untextured tris one of n distinct albedos
+        # splinter: give untextured tris one of n distinct albedos.
+        # Material rows upsert by INSTANCE, so build the n materials
+        # once and round-robin the same objects.
+        pool = [Material.lambertian(
+            (0.2 + 0.6 * (i / n_extra_mats),
+             0.7 - 0.4 * (i / n_extra_mats),
+             0.3 + 0.1 * (i / n_extra_mats)))
+            for i in range(n_extra_mats)]
         mats = list(mesh.materials)
         k = 0
-        for i, (m, tp) in enumerate(zip(mats, mesh.tex_paths)):
+        for i, tp in enumerate(mesh.tex_paths):
             if tp:
                 continue
-            f = (k % n_extra_mats) / max(n_extra_mats, 1)
-            mats[i] = Material.lambertian(
-                (0.2 + 0.6 * f, 0.7 - 0.4 * f, 0.3 + 0.1 * f))
+            mats[i] = pool[k % n_extra_mats]
             k += 1
-        mesh = mesh._replace(materials=mats) if hasattr(
-            mesh, "_replace") else _with_mats(mesh, mats)
+        mesh = _with_mats(mesh, mats)
     b = SceneBuilder(sun_enabled=True, sun_dir=(0.35, 0.65, 0.4),
                      sun_radiance=(1e5, 9.5e4, 9e4), seed=1337,
                      bvh_method="sbvh")
