@@ -88,6 +88,27 @@ class ExecOptions:
     # scalar core.  Rays within a pixel block are simply too coherent
     # for per-row walks to pay.  Kept as an opt-in A/B knob.
     rowtrav: bool = False
+    # Split-front traversal (fused megakernel): the block's 8 ray rows
+    # walk the wide BVH as TWO half-block fronts (rows 0-3 / 4-7), each
+    # with its own SMEM stack segment and pop pipeline in the SAME loop
+    # iteration — the middle ground between the union walk (1 front,
+    # minimal visits) and rowtrav (8 fronts, 3x visits).  Each front
+    # box-tests only ITS 4 rows and leaf-scans only ITS entered ranges
+    # with its rows' MT updates (subsumes leaf_split within a front).
+    # Identical accept set per lane (a front enters every node any of
+    # its rows hit — a superset of each lane's own walk; bit-identical,
+    # tests/test_front_split.py).  MEASURED NET-NEGATIVE on v5e at the
+    # textured 47.7k flagship (800x450@32spp, min-of-3): 243.9 -> 259.0
+    # ms at pops 4 (and worse at 2/3/6: 320/288/278) — per-front visits
+    # are +33% as predicted (cvis 160k -> 213k) but the two visit
+    # chains do NOT overlap: per-iteration latency grows ~60% instead,
+    # the rowtrav failure mode at half the front count (the loop body's
+    # ~40 carried vregs + doubled scalar bookkeeping exceed what the
+    # VLIW window absorbs).  The ROADMAP's 'split-front walk' road to
+    # large-scene scaling is hereby banked as closed.  1 = off (union
+    # walk), 2 = two half-block fronts (VMEM-resident scenes only; HBM
+    # leaf streaming keeps the union walk).
+    front_split: int = 1
     # Traversal visits per row per loop iteration in rowtrav mode (the
     # per-row analogue of `pops`; serial-latency vs wasted-pop tradeoff).
     # rp1 measured better than rp2 (17.1 vs 13.9) but both lose badly.

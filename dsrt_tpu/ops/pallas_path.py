@@ -501,7 +501,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  time0: float = 0.0, time1: float = 0.0,
                  uvrec: bool = True, uvcarry: bool = False,
                  dual_union: bool = False,
-                 tex_chunk: int = TEX_CHUNK_ROWS, tiled: bool = False):
+                 tex_chunk: int = TEX_CHUNK_ROWS, tiled: bool = False,
+                 fronts: int = 1):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -696,15 +697,18 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         triples — the combined walk passes the extension rays AND the
         pending sun-shadow rays; the verdict is the UNION, which enters a
         superset of each set's own walk so no hit/occluder is ever
-        missed).  Returns (W (8,16), hitbits, leafbits, base, intmask) —
-        the verdict scalars pack child c at bit c."""
+        missed).  A set may carry a 4th element (an iterable of row
+        indices) to box-test only THOSE rows (split-front walks: each
+        front's verdict is the union over its own rows only).  Returns
+        (W (8,16), hitbits, leafbits, base, intmask) — the verdict
+        scalars pack child c at bit c."""
         W, base, intmask = _load_wide(node)
         minx, miny, minz = W[:, 0:1], W[:, 1:2], W[:, 2:3]
         maxx, maxy, maxz = W[:, 3:4], W[:, 4:5], W[:, 5:6]
 
-        def box_rows(ros, invs, clamp):
+        def box_rows(ros, invs, clamp, rows=None):
             acc = jnp.zeros((8, TILE_W), jnp.float32)
-            for r in range(n_rows):
+            for r in (range(n_rows) if rows is None else rows):
                 ivx = invs[0][r:r + 1, :] if invs[0].ndim else invs[0]
                 ivy = invs[1][r:r + 1, :] if invs[1].ndim else invs[1]
                 ivz = invs[2][r:r + 1, :] if invs[2].ndim else invs[2]
@@ -1002,6 +1006,48 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             ranges_half = None
         return (sp, ranges, npop, [o[2] for o in outs], ranges_sets,
                 ranges_half)
+
+    def _front_pop_visit(sp, ray_sets, soff, npops=None):
+        """_multi_pop_visit for ONE front of a split-front walk: pops
+        come from the stack segment at `soff`, EVERY pop (including the
+        first) is masked by the front's own depth (a front may be
+        exhausted while the other keeps the loop alive), and pushes go
+        back to the same segment (dump slot soff+STACK-1).  ray_sets
+        entries carry the front's row subset (4-tuples, _visit_bits).
+        Returns (sp, npop, leafbits-per-pop, per-set leaf ranges)."""
+        P = POPS if npops is None else npops
+        nodes, valids = [], []
+        for p in range(P):
+            nodes.append(stack_ref[soff + jnp.maximum(sp - 1 - p, 0)])
+            valids.append(sp >= p + 1)
+        npop = jnp.int32(0)
+        for v in valids:
+            npop = npop + v.astype(jnp.int32)
+        sp = sp - npop
+        outs = []
+        for p in range(P):
+            W, hb, lb, base, im, lb_sets, _lh = _visit_bits(
+                nodes[p], ray_sets)
+            hb = jnp.where(valids[p], hb, 0)
+            lb = jnp.where(valids[p], lb, 0)
+            lb_sets = [jnp.where(valids[p], x, 0) for x in lb_sets]
+            outs.append((W, hb, lb, base, im, lb_sets))
+        # parallel push bases (the _multi_pop_visit form), offset into
+        # this front's segment
+        ibs = []
+        for p in range(P - 1, -1, -1):
+            _, hb, lb, base, im, _ls = outs[p]
+            ibs.append((hb & ~lb & im, base, im))
+        np_list = [_popcount8(ib) for ib, _, _ in ibs]
+        s = sp
+        for (ib, base, im), np_ in zip(ibs, np_list):
+            _push_children_at(s, ib, base, im, soff=soff,
+                              dump=soff + STACK - 1, k0=np_)
+            s = s + np_
+        sp = s
+        ranges_sets = [[_leaf_range(o[0], o[5][si]) for o in outs]
+                       for si in range(len(ray_sets))]
+        return sp, npop, [o[2] for o in outs], ranges_sets
 
     def _closest_hit(ox, oy, oz, dx, dy, dz, act,
                      sox=None, soy=None, soz=None, pot=None, tm=None):
@@ -1314,13 +1360,15 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
             def tcond(c):
                 return c[0] > 0
 
-            def shadow_tile(W, blocked, sc):
+            def shadow_tile(W, blocked, sc, rows=None):
                 """Occlusion along the uniform sun direction against one
                 (8,16) triangle tile: the p-vector and determinant are
                 per-TRIANGLE columns (direction scalar), so only the
                 origin-dependent half of Moller-Trumbore pays per-row
                 vector work.  Any accepted tri marks the lane blocked
-                (idempotent; clamp rows sc gate pot/blocked lanes)."""
+                (idempotent; clamp rows sc gate pot/blocked lanes).
+                `rows` restricts the test to a row subset (split-front
+                walks); excluded rows keep their blocked value."""
                 v0x, v0y, v0z = W[:, 0:1], W[:, 1:2], W[:, 2:3]
                 e1x, e1y, e1z = W[:, 3:4], W[:, 4:5], W[:, 5:6]
                 e2x, e2y, e2z = W[:, 6:7], W[:, 7:8], W[:, 8:9]
@@ -1330,8 +1378,13 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 sdet = e1x * spvx + e1y * spvy + e1z * spvz
                 sok0 = jnp.abs(sdet) >= 1e-8
                 sinv = 1.0 / jnp.where(sok0, sdet, 1.0)
+                keep = None if rows is None else set(rows)
                 hit_rows = []
                 for r in range(n_rows):
+                    if keep is not None and r not in keep:
+                        hit_rows.append(
+                            jnp.zeros((1, TILE_W), jnp.float32))
+                        continue
                     stx = sox[r:r + 1, :] - v0x
                     sty = soy[r:r + 1, :] - v0y
                     stz = soz[r:r + 1, :] - v0z
@@ -1349,13 +1402,14 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                 return jnp.maximum(blocked,
                                    jnp.concatenate(hit_rows, axis=0))
 
-            def run_shadow_tiles(blocked, sc, r0, r1):
+            def run_shadow_tiles(blocked, sc, r0, r1, rows=None):
                 tile0 = r0 // 8
                 ntiles = (r1 + 7) // 8 - tile0
 
                 def sng(k, blocked):
                     t0_ = jnp.minimum(tile0 + k, max_tile)
-                    return shadow_tile(_tile_fetch(t0_), blocked, sc)
+                    return shadow_tile(_tile_fetch(t0_), blocked, sc,
+                                       rows=rows)
 
                 if leaf_tail == "single":
                     return lax.fori_loop(0, ntiles, sng, blocked)
@@ -1370,8 +1424,10 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     g1 = tile_ref[pl.ds(8 * (t1_ // 8), 8), :]
                     W0 = pltpu.roll(g0, -16 * (t0_ % 8), 1)[:, :16]
                     W1 = pltpu.roll(g1, -16 * (t1_ % 8), 1)[:, :16]
-                    return shadow_tile(W1, shadow_tile(W0, blocked, sc),
-                                       sc)
+                    return shadow_tile(W1,
+                                       shadow_tile(W0, blocked, sc,
+                                                   rows=rows),
+                                       sc, rows=rows)
 
                 blocked = lax.fori_loop(0, n_it, tb, blocked)
                 if leaf_tail == "cond":
@@ -1609,7 +1665,113 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                     (zt + closest0[r:r + 1, :], zt, zt, zt, zt)
                     for r in range(n_rows))
 
-            if stream and not with_shadow:
+            if fronts == 2 and not hbm:
+                # ---- split-front walk (exec_opts.front_split): the ----
+                # block's row halves walk the BVH as two independent
+                # fronts — own SMEM stack segment, own pop pipeline —
+                # inside ONE loop iteration.  The kernel is serial-
+                # visit-bound (r4/r5 dup attributions: every vector
+                # segment 2x-free), so the two textually independent
+                # visit chains overlap on each other's latency bubbles;
+                # each front's visits are the union over only ITS 4
+                # rows (a tighter front than the block union), and its
+                # leaf scans update only its rows (the leaf_split
+                # benefit, subsumed).  Identical accept set per lane: a
+                # front enters every node any of its rows hit — a
+                # superset of each lane's own walk.  The loop runs
+                # until BOTH stacks drain; an exhausted front's pops
+                # are fully masked (_front_pop_visit).
+                ph = n_rows // 2
+                rowsA = tuple(range(0, ph))
+                rowsB = tuple(range(ph, n_rows))
+                stack_ref[STACK] = jnp.int32(0)
+                awA = jnp.any(act[:ph])
+                awB = jnp.any(act[ph:])
+                if with_shadow:
+                    awA = awA | jnp.any(pot[:ph])
+                    awB = awB | jnp.any(pot[ph:])
+                spA0 = jnp.where(awA, jnp.int32(1), jnp.int32(0))
+                spB0 = jnp.where(awB, jnp.int32(1), jnp.int32(0))
+
+                def fcond(c):
+                    return (c[0] + c[1]) > 0
+
+                def fbody(c):
+                    if with_shadow:
+                        (spA, spB, SR, closest, blocked,
+                         nv, nt, ni, sv, st) = c
+                        sc = jnp.minimum(sc_pot,
+                                         jnp.where(blocked > 0.5,
+                                                   tmin_f, tmax_f))
+                        rsA = [(ros, invs, closest, rowsA),
+                               (sros, s_invs, sc, rowsA)]
+                        rsB = [(ros, invs, closest, rowsB),
+                               (sros, s_invs, sc, rowsB)]
+                    else:
+                        spA, spB, SR, closest, nv, nt, ni = c
+                        rsA = [(ros, invs, closest, rowsA)]
+                        rsB = [(ros, invs, closest, rowsB)]
+                    spA, npA, lbsA, rngA = _front_pop_visit(spA, rsA, 0)
+                    spB, npB, lbsB, rngB = _front_pop_visit(spB, rsB,
+                                                            STACK)
+                    anylb = jnp.int32(0)
+                    for lb in lbsA + lbsB:
+                        anylb = anylb | lb
+
+                    def leaf_branch(a):
+                        if with_shadow:
+                            SR, blocked = a
+                        else:
+                            SR = a
+                        for r0, r1, _ in rngA[0]:
+                            SR = run_tiles(SR, r0, r1, rows=rowsA)
+                        for r0, r1, _ in rngB[0]:
+                            SR = run_tiles(SR, r0, r1, rows=rowsB)
+                        if with_shadow:
+                            for r0, r1, _ in rngA[1]:
+                                blocked = run_shadow_tiles(
+                                    blocked, sc, r0, r1, rows=rowsA)
+                            for r0, r1, _ in rngB[1]:
+                                blocked = run_shadow_tiles(
+                                    blocked, sc, r0, r1, rows=rowsB)
+                            return SR, blocked
+                        return SR
+
+                    if with_shadow:
+                        SR, blocked = lax.cond(anylb != 0, leaf_branch,
+                                               lambda a: a,
+                                               (SR, blocked))
+                    else:
+                        SR = lax.cond(anylb != 0, leaf_branch,
+                                      lambda a: a, SR)
+                    rows_min = [jnp.min(SR[r][0], axis=0, keepdims=True)
+                                for r in range(n_rows)]
+                    closest = jnp.concatenate(rows_min, axis=0)
+                    nv = nv + npA + npB
+                    for r0, r1, idl in rngA[0] + rngB[0]:
+                        nt = nt + (r1 - r0)
+                        ni = ni + idl
+                    if with_shadow:
+                        for r0, r1, _i in rngA[1] + rngB[1]:
+                            st = st + (r1 - r0)
+                            sv = sv + (r1 > r0).astype(jnp.int32)
+                        return (spA, spB, SR, closest, blocked,
+                                nv, nt, ni, sv, st)
+                    return spA, spB, SR, closest, nv, nt, ni
+
+                if with_shadow:
+                    (_, _, SR, closest, blkd_f, nv, nt, ni, sv, st) = \
+                        lax.while_loop(
+                            fcond, fbody,
+                            (spA0, spB0, SR0, closest0, f0,
+                             jnp.int32(0), jnp.int32(0), jnp.int32(0),
+                             jnp.int32(0), jnp.int32(0)))
+                else:
+                    (_, _, SR, closest, nv, nt, ni) = lax.while_loop(
+                        fcond, fbody,
+                        (spA0, spB0, SR0, closest0, jnp.int32(0),
+                         jnp.int32(0), jnp.int32(0)))
+            elif stream and not with_shadow:
                 # ---- streamed walk: node visits + leaf tiles in ONE ---
                 # straight-line iteration body.  Entered leaf ranges are
                 # enqueued (tile cursor pairs) to the SMEM range queue
@@ -3378,7 +3540,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "has_ptex", "aperture_on",
                                    "motion_on", "time0", "time1",
                                    "uvrec", "uvcarry", "dual_union",
-                                   "tex_chunk", "tiled"))
+                                   "tex_chunk", "tiled", "fronts"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               matT, cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, med_vec, px, py, valid,
@@ -3402,7 +3564,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               time0: float = 0.0, time1: float = 0.0,
               uvrec: bool = True, uvcarry: bool = False,
               dual_union: bool = False,
-              tex_chunk: int = TEX_CHUNK_ROWS, tiled: bool = False):
+              tex_chunk: int = TEX_CHUNK_ROWS, tiled: bool = False,
+              fronts: int = 1):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -3422,7 +3585,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    has_ptex=has_ptex, aperture_on=aperture_on,
                    motion_on=motion_on, time0=time0, time1=time1,
                    uvrec=uvrec, uvcarry=uvcarry, dual_union=dual_union,
-                   tex_chunk=tex_chunk, tiled=tiled)
+                   tex_chunk=tex_chunk, tiled=tiled, fronts=fronts)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -3455,9 +3618,11 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                                  jnp.int32),
         ),
         # rowtrav needs block_h per-row segments (>= STACK for block_h
-        # >= 8, so the union-walk sun pass's [0, STACK) region still fits)
+        # >= 8, so the union-walk sun pass's [0, STACK) region still
+        # fits); split-front needs one STACK segment per front
         scratch_shapes=[pltpu.SMEM(
-            ((max(STACK, block_h * ROW_SSEG) if rowtrav else STACK)
+            ((max(STACK, block_h * ROW_SSEG) if rowtrav
+              else fronts * STACK)
              + (STACK if "push" in dup else 0),),
             jnp.int32),
             pltpu.SMEM((2 * RQCAP + 2,), jnp.int32),
@@ -3740,7 +3905,12 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         time0=float(cfg.time0), time1=float(cfg.time1),
         uvrec=uvrec_, uvcarry=bool(_OPTS.uvcarry),
         dual_union=bool(_OPTS.dual_union),
-        tex_chunk=int(_OPTS.tex_chunk), tiled=tiled)
+        tex_chunk=int(_OPTS.tex_chunk), tiled=tiled,
+        # split-front walk: VMEM-resident scenes only for now (the HBM
+        # leaf-window engine would need per-front window slots);
+        # rowtrav keeps precedence when explicitly set
+        fronts=(2 if int(_OPTS.front_split) == 2 and not hbm
+                and not _OPTS.rowtrav else 1))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]
