@@ -112,6 +112,28 @@ def test_front_split_ab_bit_identical_defer_shadow():
     np.testing.assert_array_equal(a, b)
 
 
+def test_front_split_gated_off_under_hbm():
+    """HBM leaf streaming keeps the union walk (per-front DMA window
+    slots are not implemented): front_split=2 with hbm_tris=on must
+    still render, bit-identical to the union-walk HBM frame."""
+    scene = _sun_mesh_scene()
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame_fused
+    from dsrt_tpu.ops.camera import make_camera as mk
+    cam = mk((0, 0, 1.2), (0, 0, -2), vfov=65, width=W, height=H)
+    old_h, old_f = OPTS.hbm_tris, OPTS.front_split
+    try:
+        OPTS.hbm_tris = "on"
+        OPTS.front_split = 1
+        a = render_frame_fused(scene, cam, CFG)
+        OPTS.front_split = 2
+        b = render_frame_fused(scene, cam, CFG)
+    finally:
+        OPTS.hbm_tris, OPTS.front_split = old_h, old_f
+    assert (a > 0).any()
+    np.testing.assert_array_equal(a, b)
+
+
 def test_front_split_matches_parity_renderer():
     """And the split-front frame equals the oracle-matched split
     parity renderer, not just the other fused variant."""
