@@ -27,14 +27,14 @@ from jax.experimental.pallas import tpu as pltpu
 ITERS = 200_000
 
 
-def make_kernel(n_carr: int, n_red: int, n_cond: int):
+def make_kernel(n_carr: int, n_red: int, n_cond: int, unroll: int = 1):
     def kernel(seed_ref, out_ref):
         s0 = seed_ref[...]
 
         def cond(c):
             return c[0] < ITERS
 
-        def body(c):
+        def body1(c):
             it, arrs = c
             arrs = list(arrs)
             s = jnp.float32(0.0)
@@ -51,6 +51,11 @@ def make_kernel(n_carr: int, n_red: int, n_cond: int):
                 arrs[i] = arrs[i] + bump
             return (it + 1, tuple(arrs))
 
+        def body(c):
+            for _ in range(unroll):
+                c = body1(c)
+            return c
+
         out = lax.while_loop(
             cond, body,
             (jnp.int32(0), tuple(s0 + jnp.float32(i)
@@ -63,10 +68,10 @@ def make_kernel(n_carr: int, n_red: int, n_cond: int):
     return kernel
 
 
-def run(n_carr, n_red, n_cond):
+def run(n_carr, n_red, n_cond, unroll=1):
     seed = jnp.zeros((8, 128), jnp.float32)
     fn = pl.pallas_call(
-        make_kernel(n_carr, n_red, n_cond),
+        make_kernel(n_carr, n_red, n_cond, unroll),
         out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -94,14 +99,23 @@ def run(n_carr, n_red, n_cond):
 
 
 def main():
-    for n_carr, n_red, n_cond in [
-        (4, 0, 0), (16, 0, 0), (32, 0, 0), (48, 0, 0),
-        (32, 4, 0), (32, 8, 0), (32, 12, 0),
-        (32, 8, 2), (32, 8, 4),
+    for n_carr, n_red, n_cond, unroll in [
+        (4, 0, 0, 1), (16, 0, 0, 1), (32, 0, 0, 1), (48, 0, 0, 1),
+        (32, 4, 0, 1), (32, 8, 0, 1), (32, 12, 0, 1),
+        (32, 8, 2, 1), (32, 8, 4, 1),
+        # unroll hypothesis: same total body applications (ITERS),
+        # half/quarter the while back-edges — if the back-edge carry
+        # traffic is the fixed cost, ns/body drops toward the
+        # body-work floor
+        (32, 8, 2, 2), (32, 8, 2, 4),
+        (48, 0, 0, 2), (48, 0, 0, 4),
     ]:
-        us = run(n_carr, n_red, n_cond)
-        print(f"carries={n_carr:2d} red={n_red:2d} cond={n_cond}: "
-              f"{us*1000:8.1f} ns/iter", flush=True)
+        # body1 bumps `it` once per application, so cond(it < ITERS)
+        # means ITERS total bodies regardless of unroll — run() is
+        # already us/body
+        us = run(n_carr, n_red, n_cond, unroll)
+        print(f"carries={n_carr:2d} red={n_red:2d} cond={n_cond} "
+              f"unroll={unroll}: {us*1000:8.1f} ns/body", flush=True)
 
 
 if __name__ == "__main__":

@@ -286,6 +286,20 @@ class ExecOptions:
     # and true throughput work move the needle").  Off = the simpler
     # r2-verified codegen; kept as an A/B knob.
     dual_union: bool = False
+    # Wave-body unroll for the fused tri megakernel's persistent loop:
+    # apply the wave body N times per while_loop iteration, so the
+    # loop's back-edge (where Mosaic materializes the ~30 carried
+    # (8,128) planes) is paid once per N waves instead of every wave —
+    # attacking the measured per-wave FIXED cost (benchmarks/
+    # micro_wave.py: ~6.6 us/wave at block_h=8, over a third of the
+    # textured flagship's 16.7 us/wave).  Bit-identical: the loop exits
+    # at the first multiple-of-N wave where no work remains, and a
+    # trailing body on a fully-terminated state is a masked no-op (no
+    # regen fires at scnt == spp, every draw is masked off, and the
+    # walk's any_work gate skips the root push so zero visits run).
+    # Telemetry: the waves counter counts body applications, so up to
+    # N-1 no-op waves per block appear in the count.
+    wave_unroll: int = 1
     # Per-dispatch primary-ray budget for the fused megakernels.  A
     # frame whose width*height*spp exceeds this is rendered as several
     # salted spp chunks through the runtime-spp kernel (one compile,

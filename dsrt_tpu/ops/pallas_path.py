@@ -502,7 +502,7 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                  uvrec: bool = True, uvcarry: bool = False,
                  dual_union: bool = False,
                  tex_chunk: int = TEX_CHUNK_ROWS, tiled: bool = False,
-                 fronts: int = 1):
+                 fronts: int = 1, unroll: int = 1):
     POPS = pops
     # perf-triage duplication set (exec_opts.ExecOptions.dup): named
     # segments run twice, folded via an identity, to measure their cost
@@ -3502,6 +3502,18 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
         init = init + ((f0, f0, f0, f0, f0, f0, f0), f0)
     if motion_on:
         init = init + (f0,)
+    if unroll > 1:
+        # exec_opts.wave_unroll: N wave bodies per while iteration —
+        # the back-edge's carried-plane materialization is paid once
+        # per N waves.  Bit-identical: trailing bodies on a terminated
+        # state are masked no-ops (regen gate at scnt == spp, masked
+        # draws, any_work-gated walks) — see the ExecOptions docstring.
+        _body1 = wave_body
+
+        def wave_body(c):  # noqa: F811 — deliberate unrolled rebind
+            for _ in range(unroll):
+                c = _body1(c)
+            return c
     out = lax.while_loop(wave_cond, wave_body, init)
     acc_r_ref[...] = out[0]
     acc_g_ref[...] = out[1]
@@ -3540,7 +3552,8 @@ def _path_kernel(wide_ref, tri_ref, tile_ref, aux_ref, texT_ref, mat_ref,
                                    "has_ptex", "aperture_on",
                                    "motion_on", "time0", "time1",
                                    "uvrec", "uvcarry", "dual_union",
-                                   "tex_chunk", "tiled", "fronts"))
+                                   "tex_chunk", "tiled", "fronts",
+                                   "unroll"))
 def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               matT, cam_vec, sun_vec, spp_vec, hdr_vec, sph_vec, quad_vec,
               lit_vec, med_vec, px, py, valid,
@@ -3565,7 +3578,7 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
               uvrec: bool = True, uvcarry: bool = False,
               dual_union: bool = False,
               tex_chunk: int = TEX_CHUNK_ROWS, tiled: bool = False,
-              fronts: int = 1):
+              fronts: int = 1, unroll: int = 1):
     kern = partial(_path_kernel,
                    n_mats=n_mats, max_depth=max_depth, width=width,
                    height=height, seed=seed, rr_start=rr_start,
@@ -3585,7 +3598,8 @@ def _run_path(wide_tab, tri_tab, tile_tab, aux_tab, texT, mat_pack,
                    has_ptex=has_ptex, aperture_on=aperture_on,
                    motion_on=motion_on, time0=time0, time1=time1,
                    uvrec=uvrec, uvcarry=uvcarry, dual_union=dual_union,
-                   tex_chunk=tex_chunk, tiled=tiled, fronts=fronts)
+                   tex_chunk=tex_chunk, tiled=tiled, fronts=fronts,
+                   unroll=unroll)
     ray_spec = pl.BlockSpec((block_h, TILE_W), lambda i: (i, 0),
                             memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -3910,7 +3924,8 @@ def trace_fused(scene, cfg, cam, px, py, valid, return_stats: bool = False,
         # leaf-window engine would need per-front window slots);
         # rowtrav keeps precedence when explicitly set
         fronts=(2 if int(_OPTS.front_split) == 2 and not hbm
-                and not _OPTS.rowtrav else 1))
+                and not _OPTS.rowtrav else 1),
+        unroll=max(int(_OPTS.wave_unroll), 1))
 
     def unfold(a):
         return a.reshape(Kp, P)[:K]
