@@ -203,19 +203,21 @@ def headline() -> dict:
     }
 
 
-def _write_panel_texture(path: str, size: int = 256) -> None:
-    """Deterministic solar-panel-like cell grid (no asset dependency)."""
+def _write_panel_texture(path: str, size: int = 256, variant: int = 0) -> None:
+    """Deterministic solar-panel-like cell grid (no asset dependency).
+    `variant` shifts the base colors so multi-map scenes carry DISTINCT
+    pools (each map still deterministic)."""
     import numpy as np
     from dsrt_tpu.utils.image_io import write_png
     y, x = np.mgrid[0:size, 0:size]
     cell = ((x // 16 + y // 16) % 2).astype(np.float32)
     grid = ((x % 16 < 1) | (y % 16 < 1)).astype(np.float32)
-    r = 40 + 30 * cell
-    g = 35 + 25 * cell
-    b = 110 + 60 * cell
+    r = 40 + 30 * cell + 25 * (variant % 4)
+    g = 35 + 25 * cell + 18 * ((variant + 1) % 4)
+    b = 110 + 60 * cell - 20 * (variant % 3)
     img = np.stack([r, g, b], axis=-1)
     img = img * (1.0 - 0.7 * grid[..., None]) + 220.0 * 0.2 * grid[..., None]
-    write_png(path, img.astype(np.uint8))
+    write_png(path, np.clip(img, 0, 255).astype(np.uint8))
 
 
 def all_configs() -> list[dict]:
@@ -455,6 +457,61 @@ def all_configs() -> list[dict]:
                 "tex_rows": int(_tex_plane_rows(scene_bt)),
                 "rays": exact, "sec_per_frame": round(dt, 3)})
     del scene_bt
+
+    # --- MULTI-map_Kd pool (the real NASA OBJ layout: every surface
+    # its own texture): 4 distinct 512^2 maps cycled across the 8
+    # solar wings + radiators — the designed win case of the chunked/
+    # tiled pool gather, where a wave's texel footprint localizes to
+    # the 1-2 maps its hits use instead of unioning over one shared
+    # map's UV islands (exec_opts.tex_chunk/tex_tiled docstrings).
+    # Same total pool rows as tex1024 (4 x 512^2 == 1024^2), so the
+    # delta vs that line is pure footprint locality. -------------------
+    cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
+    with tempfile.TemporaryDirectory() as td:
+        paths = []
+        for i in range(4):
+            p = os.path.join(td, f"panel512_{i}.png")
+            _write_panel_texture(p, size=512, variant=i)
+            paths.append(p)
+        scene_mt = iss_standin_scene(detail=12, tex_paths=paths)
+    assert int(scene_mt.n_textures) == 4
+    cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
+                          vfov=cfg.vfov, width=800, height=450)
+    if fused_kind(scene_mt, cfg):
+        mrays, dt, exact = _fused_mrays(scene_mt, cam, cfg)
+        mode = "fused"
+    else:
+        mrays, dt, exact = _wavefront_mrays(scene_mt, cam, cfg)
+        mode = "wavefront"
+    out.append({"config": "iss50k_tex4x512_800x450_32spp",
+                "metric": "Mrays/sec/chip", "value": round(mrays, 3),
+                "mode": mode, "n_tris": int(scene_mt.n_tris),
+                "n_textures": int(scene_mt.n_textures),
+                "tex_rows": int(_tex_plane_rows(scene_mt)),
+                "rays": exact, "sec_per_frame": round(dt, 3)})
+    del scene_mt
+
+    # --- TEXTURED mesh past the VMEM tri budget (the least-beaten
+    # cell per VERDICT r4: the real ISS OBJ is plausibly >100k tris
+    # WITH textures): 137k tris + a 256^2 map_Kd. ----------------------
+    cfg = RenderConfig(width=800, height=450, spp=32, max_depth=50)
+    with tempfile.TemporaryDirectory() as td:
+        tex_path = os.path.join(td, "panel.png")
+        _write_panel_texture(tex_path)
+        scene_bt2 = iss_standin_scene(detail=20, tex_path=tex_path)
+    cam = point_camera_at((40.0, 60.0, 190.0), (0.0, 0.0, 0.0),
+                          vfov=cfg.vfov, width=800, height=450)
+    if fused_kind(scene_bt2, cfg):
+        mrays, dt, exact = _fused_mrays(scene_bt2, cam, cfg)
+        mode = "hbm" if _hbm_mode(scene_bt2, 0) else "resident"
+    else:
+        mrays, dt, exact = _wavefront_mrays(scene_bt2, cam, cfg)
+        mode = "wavefront"
+    out.append({"config": "iss130k_tex_800x450_32spp",
+                "metric": "Mrays/sec/chip", "value": round(mrays, 3),
+                "mode": mode, "n_tris": int(scene_bt2.n_tris),
+                "rays": exact, "sec_per_frame": round(dt, 3)})
+    del scene_bt2
 
     # --- scale -> throughput curve (VERDICT r3 weak #6): the stand-in
     # mesh at 84k/131k/255k/517k tri references, so the "2.4M-tri

@@ -114,7 +114,8 @@ class MeshAccum:
             materials=self.mats, tex_paths=self.texs)
 
 
-def iss_standin_mesh(detail: int = 2, tex_path: str = "") -> MeshData:
+def iss_standin_mesh(detail: int = 2, tex_path: str = "",
+                     tex_paths=()) -> MeshData:
     """ISS-like station, ~meters scale, centered at origin.
 
     detail=1 -> ~0.8k tris, detail=2 -> ~2.4k, detail=3 -> ~5k,
@@ -125,14 +126,24 @@ def iss_standin_mesh(detail: int = 2, tex_path: str = "") -> MeshData:
     texture (per-triangle map_Kd, the real NASA OBJ's layout —
     inc/triangle_mesh.h:244-251); their materials then follow the
     builder's textured-albedo-forced-white contract.
+
+    With `tex_paths` (a sequence) each solar WING cycles through its
+    own map and the radiators take the last one — the real multi-MTL
+    OBJ layout where every surface has a distinct map_Kd, so a wave's
+    texel footprint localizes to the 1-2 maps its hits use (the
+    designed win case of the chunked/tiled in-kernel pool gather).
     """
     m = MeshAccum()
     hull = Material.lambertian((0.73, 0.73, 0.73))
     truss_m = Material.lambertian((0.55, 0.55, 0.58))
+    tex_paths = tuple(tex_paths)
+    if tex_paths and not tex_path:
+        tex_path = tex_paths[0]
     if tex_path:
         panel = Material.lambertian((0.25, 0.2, 0.45), tex_path=tex_path)
-        radiator = Material.lambertian((0.85, 0.85, 0.88),
-                                       tex_path=tex_path)
+        radiator = Material.lambertian(
+            (0.85, 0.85, 0.88),
+            tex_path=tex_paths[-1] if tex_paths else tex_path)
     else:
         panel = Material.lambertian((0.25, 0.2, 0.45))
         radiator = Material.lambertian((0.85, 0.85, 0.88))
@@ -149,23 +160,34 @@ def iss_standin_mesh(detail: int = 2, tex_path: str = "") -> MeshData:
     # docked vehicle
     m.cylinder((0, 0, -34), (0, 0, -28), 1.8, gold, segments=seg)
 
-    # 4 solar array wing pairs at the truss ends (each wing ~34x12 m)
+    # 4 solar array wing pairs at the truss ends (each wing ~34x12 m);
+    # with tex_paths every wing cycles through its own map_Kd (its own
+    # forced-white material, like a real per-surface-MTL OBJ)
     wing = 4 * detail
+    wi = 0
     for sx in (-1, 1):
         for wx in (34.0, 46.0):
             x = sx * wx
             for sy in (-1, 1):
+                if tex_paths:
+                    wtex = tex_paths[wi % len(tex_paths)]
+                    wmat = Material.lambertian((0.25, 0.2, 0.45),
+                                               tex_path=wtex)
+                else:
+                    wtex, wmat = tex_path, panel
+                wi += 1
                 y0, y1 = 2.5 * sy, (2.5 + 34.0) * sy
                 m.quad((x - 6, y0, -0.2), (x + 6, y0, -0.2),
                        (x + 6, y1, -0.2), (x - 6, y1, -0.2),
-                       panel, tex=tex_path, subdiv=wing)
+                       wmat, tex=wtex, subdiv=wing)
 
     # radiators
+    rtex = tex_paths[-1] if tex_paths else tex_path
     for sx in (-1, 1):
         x = sx * 14.0
         m.quad((x - 1.5, -1.8, 3), (x + 1.5, -1.8, 3),
                (x + 1.5, -1.8, 25), (x - 1.5, -1.8, 25),
-               radiator, tex=tex_path, subdiv=2 * detail)
+               radiator, tex=rtex, subdiv=2 * detail)
 
     return m.build()
 
@@ -173,17 +195,20 @@ def iss_standin_mesh(detail: int = 2, tex_path: str = "") -> MeshData:
 def iss_standin_scene(detail: int = 2, sun_dir=(0.35, 0.65, 0.4),
                       sun_radiance=(1e5, 9.5e4, 9e4), seed: int = 1337,
                       bvh_method: str = "sbvh", wide_max_leaf=None,
-                      tex_path: str = "", sbvh_alpha: float = 1e-5):
+                      tex_path: str = "", sbvh_alpha: float = 1e-5,
+                      tex_paths=()):
     """Stand-in for the per-frame ISS scene: mesh at origin, directional
     sun.  `sun_dir` here is the model->Sun direction exactly as the pose
     pipeline supplies it (the renderer negates it, reference parity).
-    `tex_path` textures the panel/radiator quads (see iss_standin_mesh)."""
+    `tex_path` textures the panel/radiator quads; `tex_paths` gives each
+    solar wing its OWN map_Kd (see iss_standin_mesh)."""
     from dsrt_tpu.models.scene import SceneBuilder
     b = SceneBuilder(sun_enabled=True, sun_dir=sun_dir,
                      sun_radiance=sun_radiance, seed=seed,
                      bvh_method=bvh_method, wide_max_leaf=wide_max_leaf,
                      sbvh_alpha=sbvh_alpha)
-    b.add_mesh(iss_standin_mesh(detail, tex_path=tex_path))
+    b.add_mesh(iss_standin_mesh(detail, tex_path=tex_path,
+                                tex_paths=tex_paths))
     return b.build()
 
 

@@ -141,3 +141,48 @@ def test_fused_dual_union_bit_identical():
     assert (b > 0).any()
     np.testing.assert_array_equal(a, b)
     np.testing.assert_array_equal(b, ref)
+
+
+def test_standin_multi_texture_structure(tmp_path):
+    """tex_paths gives each solar wing its own map_Kd (the real NASA
+    OBJ's per-surface-MTL layout, inc/triangle_mesh.h:244-251): four
+    distinct maps must land as four texture pools, wings cycling."""
+    from dsrt_tpu.models.mesh_gen import iss_standin_mesh
+    from dsrt_tpu.utils.image_io import write_png
+    paths = []
+    for i in range(4):
+        tex = np.full((4, 4, 3), 40 + 50 * i, np.uint8)
+        p = str(tmp_path / f"t{i}.png")
+        write_png(p, tex)
+        paths.append(p)
+    mesh = iss_standin_mesh(detail=1, tex_paths=paths)
+    assert sorted(set(p for p in mesh.tex_paths if p)) == sorted(paths)
+    scene = iss_standin_scene(detail=1, tex_paths=paths)
+    assert int(scene.n_textures) == 4
+    # single-path form unchanged
+    one = iss_standin_scene(detail=1, tex_path=paths[0])
+    assert int(one.n_textures) == 1
+
+
+@pytest.mark.slow
+def test_fused_multi_texture_standin_matches_parity(tmp_path):
+    """The 4-map stand-in must stay on the fused path and remain
+    bit-identical to the parity renderer (multi-pool select)."""
+    from dsrt_tpu.models.mesh_gen import iss_standin_scene as mk
+    from dsrt_tpu.utils.image_io import write_png
+    paths = []
+    for i in range(4):
+        tex = np.zeros((4, 4, 3), np.uint8)
+        tex[::2, ::2] = [200 - 40 * i, 60 + 40 * i, 90]
+        p = str(tmp_path / f"t{i}.png")
+        write_png(p, tex)
+        paths.append(p)
+    scene = mk(detail=1, tex_paths=paths)
+    _require_fused(scene, CFG)
+    from dsrt_tpu.render import render_frame, render_frame_fused
+    cam = point_camera_at((20.0, 30.0, 95.0), (0.0, 0.0, 0.0),
+                          vfov=CFG.vfov, width=W, height=H)
+    ref = render_frame(scene, cam, CFG)
+    img = render_frame_fused(scene, cam, CFG)
+    assert (img > 0).any()
+    np.testing.assert_array_equal(img, ref)
